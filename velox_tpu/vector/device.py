@@ -1,0 +1,326 @@
+"""Device-resident columnar batches (the HBM analogue of velox/vector).
+
+Role parity: ``velox/vector/BaseVector.h:68`` (FlatVector / DictionaryVector /
+ConstantVector and friends) and ``velox/vector/SelectivityVector.h``.
+
+TPU-first departures from the reference:
+
+* **Struct-of-arrays in HBM, statically shaped.** A ``DeviceBatch`` holds one
+  dense jnp array per column, padded to a fixed ``capacity`` so every batch of
+  a pipeline shares one compiled program. There is no per-batch encoding
+  dispatch: encodings are *metadata resolved at trace time*.
+* **SelectivityVector -> ``mask``.** Instead of per-row branching, an active
+  row bitmask rides with the batch and operators execute densely, masking
+  results (VPU-style). Filters AND into the mask; compaction happens only at
+  operator boundaries that profit from it (exchange, output).
+* **Dictionary encoding** survives only for strings: a column is int32 ids
+  plus a *trace-stable* host dictionary (built per table by the connector so
+  jit traces don't churn). DecodedVector (vector/DecodedVector.h:26) has no
+  analogue — a gather is just a gather and XLA fuses it.
+* **Constant/lazy vectors** collapse into trace-time constants and deferred
+  host->device transfer, respectively.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from velox_tpu import types as T
+
+
+def round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def default_capacity(n: int) -> int:
+    """Pad row counts to multiples of 1024 (8*128 VPU tile) with a floor."""
+    return max(1024, round_up(n, 1024))
+
+
+class Dictionary:
+    """A trace-stable host-side value dictionary for a string column.
+
+    Hash/eq by identity: passing the same Dictionary object across batches
+    keeps jit traces cached; a different dictionary forces a (correct)
+    retrace. Values are a numpy object array of Python str/bytes.
+    """
+
+    __slots__ = ("values", "_index")
+
+    def __init__(self, values):
+        self.values = np.asarray(values, dtype=object)
+        self._index: Optional[Dict] = None
+
+    def __len__(self):
+        return len(self.values)
+
+    def id_of(self, value) -> int:
+        """Return the id of `value`, or -1 if absent (never matches)."""
+        if self._index is None:
+            self._index = {v: i for i, v in enumerate(self.values)}
+        return self._index.get(value, -1)
+
+    def __repr__(self):
+        return f"Dictionary({len(self.values)} values)"
+
+
+@jax.tree_util.register_pytree_node_class
+class DeviceColumn:
+    """One column: dense data array + optional validity mask (True=non-null).
+
+    data.shape == (capacity,) for scalars; strings are int32 dictionary ids
+    into ``dictionary``. ``validity is None`` means no nulls (fast path).
+    """
+
+    def __init__(self, data, validity=None, dtype: T.DataType = T.BIGINT,
+                 dictionary: Optional[Dictionary] = None):
+        self.data = data
+        self.validity = validity
+        self.dtype = dtype
+        self.dictionary = dictionary
+
+    def tree_flatten(self):
+        if self.validity is None:
+            return (self.data,), (False, self.dtype, self.dictionary)
+        return (self.data, self.validity), (True, self.dtype, self.dictionary)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        has_validity, dtype, dictionary = aux
+        if has_validity:
+            data, validity = children
+        else:
+            (data,), validity = children, None
+        return cls(data, validity, dtype, dictionary)
+
+    @property
+    def capacity(self) -> int:
+        return self.data.shape[0]
+
+    def __repr__(self):
+        return (f"DeviceColumn({self.dtype}, cap={self.capacity}, "
+                f"nulls={'y' if self.validity is not None else 'n'})")
+
+
+@jax.tree_util.register_pytree_node_class
+class DeviceBatch:
+    """A batch of rows on device: named columns + an active-row mask."""
+
+    def __init__(self, columns: Dict[str, DeviceColumn], mask):
+        self.columns = columns
+        self.mask = mask
+
+    def tree_flatten(self):
+        names = tuple(self.columns)  # preserve column order
+        return (
+            tuple(self.columns[n] for n in names) + (self.mask,),
+            names,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, names, children):
+        *cols, mask = children
+        return cls(dict(zip(names, cols)), mask)
+
+    @property
+    def capacity(self) -> int:
+        return self.mask.shape[0]
+
+    @property
+    def names(self):
+        return list(self.columns)
+
+    def column(self, name: str) -> DeviceColumn:
+        return self.columns[name]
+
+    def num_active(self):
+        """Traced count of active rows."""
+        return jnp.sum(self.mask, dtype=jnp.int32)
+
+    def row_type(self) -> T.DataType:
+        names = list(self.columns)
+        return T.row(names, [self.columns[n].dtype for n in names])
+
+    def with_mask(self, mask) -> "DeviceBatch":
+        return DeviceBatch(self.columns, mask)
+
+    def with_columns(self, columns) -> "DeviceBatch":
+        return DeviceBatch(columns, self.mask)
+
+    def __repr__(self):
+        return f"DeviceBatch(cap={self.capacity}, cols={list(self.columns)})"
+
+
+# ---------------------------------------------------------------------------
+# Arrow bridge (host <-> device). Parity: velox/vector/arrow/Bridge.h:73-163.
+# ---------------------------------------------------------------------------
+
+def _pad_np(arr: np.ndarray, capacity: int, fill=0) -> np.ndarray:
+    n = arr.shape[0]
+    if n == capacity:
+        return arr
+    out = np.full((capacity,), fill, dtype=arr.dtype)
+    out[:n] = arr
+    return out
+
+
+def column_from_arrow(
+    arr,
+    capacity: int,
+    dictionary: Optional[Dictionary] = None,
+) -> DeviceColumn:
+    """Convert one pyarrow Array/ChunkedArray to a DeviceColumn."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+
+    dtype = T.from_arrow(arr.type)
+    n = len(arr)
+
+    validity_np = None
+    if arr.null_count:
+        validity_np = np.asarray(pc.is_valid(arr))
+
+    if dtype.is_string:
+        if pa.types.is_dictionary(arr.type):
+            darr = arr
+        else:
+            darr = pc.dictionary_encode(arr)
+        ids = np.asarray(darr.indices.fill_null(0)).astype(np.int32)
+        values = darr.dictionary.to_pylist()
+        if dictionary is not None:
+            # Remap local ids into the provided stable dictionary.
+            remap = np.array(
+                [dictionary.id_of(v) for v in values], dtype=np.int32
+            )
+            if (remap < 0).any():
+                missing = [v for v, r in zip(values, remap) if r < 0]
+                raise ValueError(
+                    f"values {missing[:5]} missing from stable dictionary"
+                )
+            ids = remap[ids]
+            dict_out = dictionary
+        else:
+            dict_out = Dictionary(values)
+        data_np = _pad_np(ids, capacity)
+        col_dict = dict_out
+    elif dtype.kind is T.TypeKind.DECIMAL:
+        # decimal128 -> scaled int64 (short decimals only). Slow path via
+        # python objects; hot ingest (dbgen) builds scaled ints directly.
+        ints = np.array(
+            [0 if d is None else int(d.scaleb(dtype.scale))
+             for d in arr.to_pylist()],
+            dtype=np.int64)
+        data_np = _pad_np(ints, capacity)
+        col_dict = None
+    elif dtype.kind is T.TypeKind.TIMESTAMP:
+        data_np = _pad_np(
+            np.asarray(arr.cast(pa.timestamp("us"))).astype(np.int64),
+            capacity)
+        col_dict = None
+    elif dtype.kind is T.TypeKind.DATE:
+        data_np = _pad_np(
+            np.asarray(arr.cast(pa.int32())).astype(np.int32), capacity)
+        col_dict = None
+    elif dtype.kind is T.TypeKind.UNKNOWN:
+        data_np = np.zeros((capacity,), dtype=np.bool_)
+        validity_np = np.zeros((n,), dtype=np.bool_)
+        col_dict = None
+    else:
+        if arr.null_count:
+            arr = arr.fill_null(
+                False if pa.types.is_boolean(arr.type) else 0)
+        data_np = _pad_np(np.asarray(arr).astype(dtype.np_dtype()), capacity)
+        col_dict = None
+
+    validity = None
+    if validity_np is not None:
+        validity = jnp.asarray(_pad_np(validity_np, capacity, fill=False))
+
+    return DeviceColumn(jnp.asarray(data_np), validity, dtype, col_dict)
+
+
+def from_arrow(
+    table,
+    capacity: Optional[int] = None,
+    dictionaries: Optional[Dict[str, Dictionary]] = None,
+) -> DeviceBatch:
+    """pyarrow Table/RecordBatch -> DeviceBatch (padded, masked)."""
+    n = table.num_rows
+    cap = capacity if capacity is not None else default_capacity(n)
+    if n > cap:
+        raise ValueError(f"{n} rows exceed capacity {cap}")
+    dictionaries = dictionaries or {}
+    cols = {
+        name: column_from_arrow(table.column(name), cap,
+                                dictionaries.get(name))
+        for name in table.schema.names
+    }
+    mask = jnp.arange(cap, dtype=jnp.int32) < n
+    return DeviceBatch(cols, mask)
+
+
+def column_to_numpy(col: DeviceColumn) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    data = np.asarray(jax.device_get(col.data))
+    validity = (
+        np.asarray(jax.device_get(col.validity))
+        if col.validity is not None else None
+    )
+    return data, validity
+
+
+def to_arrow(batch: DeviceBatch):
+    """DeviceBatch -> pyarrow Table (active rows only, in order)."""
+    import pyarrow as pa
+
+    mask = np.asarray(jax.device_get(batch.mask))
+    arrays, names = [], []
+    for name, col in batch.columns.items():
+        data, validity = column_to_numpy(col)
+        data = data[mask]
+        valid = validity[mask] if validity is not None else None
+        arrays.append(_np_to_arrow(data, valid, col))
+        names.append(name)
+    return pa.table(arrays, names=names)
+
+
+def _np_to_arrow(data: np.ndarray, validity: Optional[np.ndarray],
+                 col: DeviceColumn):
+    import pyarrow as pa
+
+    dt = col.dtype
+    pa_mask = None if validity is None else ~validity
+    if dt.is_string:
+        values = col.dictionary.values if col.dictionary is not None else None
+        if values is None:
+            raise ValueError("string column without dictionary")
+        out = values[np.clip(data, 0, len(values) - 1)]
+        if validity is not None:
+            out = out.copy()
+            out[~validity] = None
+        return pa.array(out.tolist(), type=T.to_arrow(dt))
+    if dt.kind is T.TypeKind.DECIMAL:
+        import decimal as pydec
+        q = pydec.Decimal(1).scaleb(-dt.scale)
+        vals = [
+            (None if (validity is not None and not v)
+             else pydec.Decimal(int(x)).scaleb(-dt.scale))
+            for x, v in zip(
+                data, validity if validity is not None else
+                np.ones(len(data), bool))
+        ]
+        return pa.array(vals, type=T.to_arrow(dt))
+    if dt.kind is T.TypeKind.TIMESTAMP:
+        return pa.array(data.astype("datetime64[us]"), mask=pa_mask)
+    if dt.kind is T.TypeKind.DATE:
+        return pa.array(data, type=pa.date32(), mask=pa_mask)
+    if dt.kind is T.TypeKind.UNKNOWN:
+        return pa.nulls(len(data))
+    return pa.array(data, mask=pa_mask)
