@@ -1,0 +1,2 @@
+from velox_tpu.functions import registry  # noqa: F401
+from velox_tpu.functions import scalar  # noqa: F401

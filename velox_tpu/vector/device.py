@@ -50,11 +50,12 @@ class Dictionary:
     retrace. Values are a numpy object array of Python str/bytes.
     """
 
-    __slots__ = ("values", "_index")
+    __slots__ = ("values", "_index", "is_sorted")
 
     def __init__(self, values):
         self.values = np.asarray(values, dtype=object)
         self._index: Optional[Dict] = None
+        self.is_sorted = False  # memoized by ordered-comparison checks
 
     def __len__(self):
         return len(self.values)
@@ -195,6 +196,15 @@ def column_from_arrow(
             darr = pc.dictionary_encode(arr)
         ids = np.asarray(darr.indices.fill_null(0)).astype(np.int32)
         values = darr.dictionary.to_pylist()
+        if dictionary is None and len(values) > 1:
+            # Sort the local dictionary so ordered comparisons are valid in
+            # id space (ids become order-preserving).
+            order = sorted(range(len(values)), key=lambda i: values[i])
+            remap = np.empty(len(values), dtype=np.int32)
+            for new_id, old_id in enumerate(order):
+                remap[old_id] = new_id
+            ids = remap[ids]
+            values = [values[i] for i in order]
         if dictionary is not None:
             # Remap local ids into the provided stable dictionary.
             remap = np.array(
