@@ -1,0 +1,301 @@
+"""Query plan node tree.
+
+Role parity: ``velox/core/PlanNode.h:110-2391`` — the ~30 plan node types a
+host engine hands to the executor. This file covers the core relational set;
+exchange/partitioning nodes live here too and are lowered by the parallel
+layer onto jax.sharding collectives instead of a wire protocol.
+
+Plan nodes are immutable metadata (no device state); operators in
+velox_tpu/exec compile them into jitted batch programs.
+"""
+
+from __future__ import annotations
+
+import enum
+import itertools
+from dataclasses import dataclass, field as dfield
+from typing import List, Optional, Sequence, Tuple
+
+from velox_tpu import types as T
+from velox_tpu.core import expressions as ex
+
+
+class PlanNodeIdGenerator:
+    def __init__(self):
+        self._c = itertools.count()
+
+    def next(self) -> str:
+        return str(next(self._c))
+
+
+@dataclass(frozen=True)
+class PlanNode:
+    id: str
+
+    @property
+    def sources(self) -> Tuple["PlanNode", ...]:
+        return ()
+
+    def output_type(self) -> T.DataType:
+        raise NotImplementedError
+
+    @property
+    def name(self) -> str:
+        return type(self).__name__.replace("Node", "")
+
+
+@dataclass(frozen=True)
+class ValuesNode(PlanNode):
+    """Literal in-memory batches. Parity: core/PlanNode.h:224."""
+    row_type: T.DataType = None
+    # host-side payload (list of pyarrow tables); not hashed
+    tables: tuple = dfield(default=(), hash=False, compare=False)
+
+    def output_type(self):
+        return self.row_type
+
+
+@dataclass(frozen=True)
+class TableScanNode(PlanNode):
+    """Connector-backed scan. Parity: core/PlanNode.h:460."""
+    table: str = ""
+    connector_id: str = "tpch"
+    columns: Tuple[str, ...] = ()
+    row_type: T.DataType = None
+    # optional pushed-down filter evaluated inside the scan superstep
+    filter: Optional[ex.TypedExpr] = None
+
+    def output_type(self):
+        return self.row_type
+
+
+@dataclass(frozen=True)
+class FilterNode(PlanNode):
+    """Parity: core/PlanNode.h:350."""
+    source: PlanNode = None
+    predicate: ex.TypedExpr = None
+
+    @property
+    def sources(self):
+        return (self.source,)
+
+    def output_type(self):
+        return self.source.output_type()
+
+
+@dataclass(frozen=True)
+class ProjectNode(PlanNode):
+    """Parity: core/PlanNode.h:389."""
+    source: PlanNode = None
+    names: Tuple[str, ...] = ()
+    expressions: Tuple[ex.TypedExpr, ...] = ()
+
+    @property
+    def sources(self):
+        return (self.source,)
+
+    def output_type(self):
+        return T.row(self.names, [e.dtype for e in self.expressions])
+
+
+class AggregationStep(enum.Enum):
+    # Parity: core/PlanNode.h:512-525 (partial/intermediate/final/single).
+    PARTIAL = "partial"
+    INTERMEDIATE = "intermediate"
+    FINAL = "final"
+    SINGLE = "single"
+
+
+@dataclass(frozen=True)
+class AggregateCall:
+    name: str  # e.g. 'sum'
+    inputs: Tuple[ex.TypedExpr, ...]
+    result_type: T.DataType
+    mask: Optional[ex.TypedExpr] = None  # FILTER (WHERE mask)
+    distinct: bool = False
+
+
+@dataclass(frozen=True)
+class AggregationNode(PlanNode):
+    """Parity: core/PlanNode.h:512."""
+    source: PlanNode = None
+    step: AggregationStep = AggregationStep.SINGLE
+    grouping_keys: Tuple[ex.FieldAccess, ...] = ()
+    aggregate_names: Tuple[str, ...] = ()
+    aggregates: Tuple[AggregateCall, ...] = ()
+
+    @property
+    def sources(self):
+        return (self.source,)
+
+    def output_type(self):
+        names = [k.name for k in self.grouping_keys]
+        types = [k.dtype for k in self.grouping_keys]
+        from velox_tpu.functions.aggregates import resolve_aggregate
+        for out_name, agg in zip(self.aggregate_names, self.aggregates):
+            names.append(out_name)
+            fn = resolve_aggregate(agg.name, [i.dtype for i in agg.inputs])
+            if self.step in (AggregationStep.PARTIAL,
+                             AggregationStep.INTERMEDIATE):
+                types.append(fn.intermediate_type)
+            else:
+                types.append(fn.result_type)
+        return T.row(names, types)
+
+
+class SortOrder(enum.Enum):
+    ASC_NULLS_LAST = "asc_nulls_last"
+    ASC_NULLS_FIRST = "asc_nulls_first"
+    DESC_NULLS_LAST = "desc_nulls_last"
+    DESC_NULLS_FIRST = "desc_nulls_first"
+
+    @property
+    def ascending(self):
+        return self in (SortOrder.ASC_NULLS_LAST, SortOrder.ASC_NULLS_FIRST)
+
+    @property
+    def nulls_first(self):
+        return self in (SortOrder.ASC_NULLS_FIRST, SortOrder.DESC_NULLS_FIRST)
+
+
+@dataclass(frozen=True)
+class OrderByNode(PlanNode):
+    """Parity: core/PlanNode.h:1798."""
+    source: PlanNode = None
+    keys: Tuple[ex.FieldAccess, ...] = ()
+    orders: Tuple[SortOrder, ...] = ()
+    is_partial: bool = False
+
+    @property
+    def sources(self):
+        return (self.source,)
+
+    def output_type(self):
+        return self.source.output_type()
+
+
+@dataclass(frozen=True)
+class TopNNode(PlanNode):
+    """Parity: core/PlanNode.h:1871."""
+    source: PlanNode = None
+    keys: Tuple[ex.FieldAccess, ...] = ()
+    orders: Tuple[SortOrder, ...] = ()
+    count: int = 0
+    is_partial: bool = False
+
+    @property
+    def sources(self):
+        return (self.source,)
+
+    def output_type(self):
+        return self.source.output_type()
+
+
+@dataclass(frozen=True)
+class LimitNode(PlanNode):
+    """Parity: core/PlanNode.h:1923."""
+    source: PlanNode = None
+    offset: int = 0
+    count: int = 0
+    is_partial: bool = False
+
+    @property
+    def sources(self):
+        return (self.source,)
+
+    def output_type(self):
+        return self.source.output_type()
+
+
+class JoinType(enum.Enum):
+    # Parity: velox/core/PlanNode.h join types (HashJoinNode:1640).
+    INNER = "inner"
+    LEFT = "left"
+    RIGHT = "right"
+    FULL = "full"
+    LEFT_SEMI_FILTER = "left_semi_filter"
+    RIGHT_SEMI_FILTER = "right_semi_filter"
+    ANTI = "anti"  # null-aware anti join
+
+
+@dataclass(frozen=True)
+class HashJoinNode(PlanNode):
+    """Parity: core/PlanNode.h:1640. Probe side = left source, build side =
+    right source (matches the reference's convention)."""
+    left: PlanNode = None
+    right: PlanNode = None
+    join_type: JoinType = JoinType.INNER
+    left_keys: Tuple[ex.FieldAccess, ...] = ()
+    right_keys: Tuple[ex.FieldAccess, ...] = ()
+    filter: Optional[ex.TypedExpr] = None
+    output_columns: Tuple[str, ...] = ()
+    null_aware: bool = False
+
+    @property
+    def sources(self):
+        return (self.left, self.right)
+
+    def output_type(self):
+        lt, rt = self.left.output_type(), self.right.output_type()
+        if self.join_type in (JoinType.LEFT_SEMI_FILTER, JoinType.ANTI):
+            avail_names, avail_types = list(lt.names), list(lt.children)
+        elif self.join_type is JoinType.RIGHT_SEMI_FILTER:
+            avail_names, avail_types = list(rt.names), list(rt.children)
+        else:
+            avail_names = list(lt.names) + list(rt.names)
+            avail_types = list(lt.children) + list(rt.children)
+        if not self.output_columns:
+            return T.row(avail_names, avail_types)
+        idx = {n: t for n, t in zip(avail_names, avail_types)}
+        return T.row(self.output_columns,
+                     [idx[n] for n in self.output_columns])
+
+
+@dataclass(frozen=True)
+class LocalPartitionNode(PlanNode):
+    """In-process repartition. Parity: core/PlanNode.h:1171. On TPU this is
+    a reshard across the chips of one host (mesh sub-axis)."""
+    source: PlanNode = None
+    kind: str = "gather"  # gather | repartition | round_robin
+    keys: Tuple[ex.TypedExpr, ...] = ()
+
+    @property
+    def sources(self):
+        return (self.source,)
+
+    def output_type(self):
+        return self.source.output_type()
+
+
+@dataclass(frozen=True)
+class PartitionedOutputNode(PlanNode):
+    """Distributed shuffle producer. Parity: core/PlanNode.h:1251. Lowered
+    to a bucketize + all_to_all collective (SURVEY.md §5.8)."""
+    source: PlanNode = None
+    kind: str = "partitioned"  # partitioned | broadcast | arbitrary
+    keys: Tuple[ex.TypedExpr, ...] = ()
+    num_partitions: int = 1
+
+    @property
+    def sources(self):
+        return (self.source,)
+
+    def output_type(self):
+        return self.source.output_type()
+
+
+@dataclass(frozen=True)
+class ExchangeNode(PlanNode):
+    """Distributed shuffle consumer. Parity: core/PlanNode.h:1004."""
+    row_type: T.DataType = None
+
+    def output_type(self):
+        return self.row_type
+
+
+def plan_tree_string(node: PlanNode, indent: int = 0) -> str:
+    pad = "  " * indent
+    lines = [f"{pad}- {node.name}[{node.id}] -> {node.output_type()}"]
+    for s in node.sources:
+        lines.append(plan_tree_string(s, indent + 1))
+    return "\n".join(lines)

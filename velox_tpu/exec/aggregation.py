@@ -1,0 +1,310 @@
+"""Hash-aggregation operator (group-by and global).
+
+Role parity: ``velox/exec/HashAggregation.h:23`` + ``GroupingSet.cpp``
+(addInput -> groupProbe -> Aggregate::addRawInput; getOutput/extract;
+partial/final steps per core/PlanNode.h:512-525).
+
+TPU-first (SURVEY.md §7.1/§7.2 step 4): no probing hash table. Per input
+batch, a jitted *partial* program computes per-row addends and reduces them
+into dense per-group state using array mode (small known key domains) or
+sort mode (normalized keys + lax.sort + segment ops) — see groupby.py. The
+host accumulates partial group batches; a jitted *merge* program re-groups
+the concatenated partials and extracts final values. This mirrors the
+reference's partial->final split and its spill "sorted run merge"
+(GroupingSet::getOutputWithSpill, GroupingSet.cpp:1043) — partial runs here
+are the in-HBM analogue of spill runs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from velox_tpu import types as T
+from velox_tpu.core import plan as P
+from velox_tpu.exec import groupby as G
+from velox_tpu.exec.batch_utils import concat_batches
+from velox_tpu.exec.operator import Operator
+from velox_tpu.expression.eval import (
+    EvalCtx, EvalValue, ExprSet, value_from_column,
+)
+from velox_tpu.functions.aggregates import resolve_aggregate
+from velox_tpu.vector.device import DeviceBatch, DeviceColumn
+
+
+def _state_col_name(out_name: str, agg, suffix: str) -> str:
+    if len(agg.states) == 1:
+        return out_name
+    return f"{out_name}${suffix}"
+
+
+class AggregationOperator(Operator):
+    """Group-by aggregation over one or more key columns."""
+
+    def __init__(self, node: P.AggregationNode):
+        super().__init__(node)
+        self._step = node.step
+        self._keys = list(node.grouping_keys)
+        self._agg_calls = list(node.aggregates)
+        self._agg_names = list(node.aggregate_names)
+        self._aggs = [resolve_aggregate(a.name, [i.dtype for i in a.inputs])
+                      for a in self._agg_calls]
+        self._partials: List[DeviceBatch] = []
+        self._outputs: List[DeviceBatch] = []
+        self._finished = False
+        self._partial_fn = jax.jit(self._partial_step)
+        self._merge_fn = jax.jit(self._merge_step)
+        self._compact_fn = jax.jit(self._compact_step)
+        # Fold accumulated partial runs when this many pile up — the in-HBM
+        # analogue of velox's spill-run merging (GroupingSet.cpp:1043).
+        self._compact_threshold = 8
+        # string aggregate outputs need the input dictionary carried over
+        self._agg_dicts: List = [None] * len(self._aggs)
+
+    # ---- traced programs ---------------------------------------------------
+
+    def _eval_keys_and_addends(self, batch: DeviceBatch, raw: bool):
+        """Evaluate grouping keys and per-row addends (raw or intermediate)."""
+        cap = batch.capacity
+        cols = {n: value_from_column(c) for n, c in batch.columns.items()}
+        ctx = EvalCtx(cols, cap)
+        keys = [cols[k.name] for k in self._keys]
+        active = batch.mask
+        addends: List[Tuple[jnp.ndarray, str]] = []
+        for out_name, agg_call, agg in zip(
+                self._agg_names, self._agg_calls, self._aggs):
+            if raw:
+                es = ExprSet(list(agg_call.inputs), None)
+                args = es.eval_batch(batch)
+                row_active = active
+                if agg_call.mask is not None:
+                    m = ExprSet([agg_call.mask], None).eval_batch(batch)[0]
+                    mm = m.full_data(cap).astype(bool)
+                    if m.validity is not None:
+                        mm = mm & m.full_validity(cap)
+                    row_active = row_active & mm
+                arrays = agg.map_raw(ctx, args, row_active)
+                for arr, st in zip(arrays, agg.states):
+                    addends.append((arr, st.combine))
+            else:
+                # intermediate input: state columns combine with identity
+                # masking for inactive rows
+                for st in agg.states:
+                    cname = _state_col_name(out_name, agg, st.suffix)
+                    col = cols[cname]
+                    data = col.full_data(cap)
+                    ident = st.identity()
+                    keep = active
+                    if col.validity is not None:
+                        keep = keep & col.full_validity(cap)
+                    data = jnp.where(keep, data, ident)
+                    addends.append((data, st.combine))
+        return keys, addends, active
+
+    def _partial_step(self, batch: DeviceBatch) -> DeviceBatch:
+        raw = self._step in (P.AggregationStep.PARTIAL,
+                             P.AggregationStep.SINGLE)
+        keys, addends, active = self._eval_keys_and_addends(batch, raw)
+        cap = batch.capacity
+        domain = G.array_mode_domain(keys) if keys else None
+        if keys and domain is not None and domain <= cap:
+            gk, gs, gmask = G.reduce_array_mode(
+                keys, addends, active, cap, domain)
+            out_cap = domain
+        else:
+            gk, gs, gmask = G.reduce_sort_mode(keys, addends, active, cap)
+            out_cap = cap
+        return self._make_state_batch(gk, gs, gmask, out_cap)
+
+    def _make_state_batch(self, group_keys, group_states, group_mask,
+                          out_cap) -> DeviceBatch:
+        cols: Dict[str, DeviceColumn] = {}
+        for k, v in zip(self._keys, group_keys):
+            cols[k.name] = v.to_column(out_cap)
+        i = 0
+        for out_name, agg in zip(self._agg_names, self._aggs):
+            for st in agg.states:
+                cname = _state_col_name(out_name, agg, st.suffix)
+                cols[cname] = DeviceColumn(group_states[i], None, st.dtype,
+                                           None)
+                i += 1
+        # pad group arrays to a power-of-two-ish capacity is unnecessary:
+        # out_cap is static (domain or input capacity)
+        return DeviceBatch(cols, group_mask)
+
+
+    def _regroup_states(self, merged: DeviceBatch):
+        cap = merged.capacity
+        cols = {n: value_from_column(c) for n, c in merged.columns.items()}
+        keys = [cols[k.name] for k in self._keys]
+        active = merged.mask
+        addends = []
+        for out_name, agg in zip(self._agg_names, self._aggs):
+            for st in agg.states:
+                cname = _state_col_name(out_name, agg, st.suffix)
+                data = cols[cname].full_data(cap)
+                data = jnp.where(active, data, st.identity())
+                addends.append((data, st.combine))
+        domain = G.array_mode_domain(keys) if keys else None
+        if keys and domain is not None and domain <= cap:
+            gk, gs, gmask = G.reduce_array_mode(
+                keys, addends, active, cap, domain)
+            out_cap = domain
+        else:
+            gk, gs, gmask = G.reduce_sort_mode(keys, addends, active, cap)
+            out_cap = cap
+        return gk, gs, gmask, out_cap
+
+    def _compact_step(self, merged: DeviceBatch) -> DeviceBatch:
+        """Re-group concatenated partials back into one state batch."""
+        gk, gs, gmask, out_cap = self._regroup_states(merged)
+        return self._make_state_batch(gk, gs, gmask, out_cap)
+
+    def _merge_step(self, merged: DeviceBatch) -> DeviceBatch:
+        """Re-group concatenated partial state batches; extract if final."""
+        gk, gs, gmask, out_cap = self._regroup_states(merged)
+
+        if self._step in (P.AggregationStep.PARTIAL,
+                          P.AggregationStep.INTERMEDIATE):
+            return self._make_state_batch(gk, gs, gmask, out_cap)
+
+        # FINAL / SINGLE: extract results
+        out_cols: Dict[str, DeviceColumn] = {}
+        for k, v in zip(self._keys, gk):
+            out_cols[k.name] = v.to_column(out_cap)
+        i = 0
+        for out_name, agg, d in zip(self._agg_names, self._aggs,
+                                    self._agg_dicts):
+            n_states = len(agg.states)
+            res = agg.extract(gs[i:i + n_states], gmask)
+            i += n_states
+            col = res.to_column(out_cap)
+            if res.dtype.is_string and col.dictionary is None:
+                col = DeviceColumn(col.data, col.validity, col.dtype, d)
+            out_cols[out_name] = col
+        return DeviceBatch(out_cols, gmask)
+
+    # ---- operator contract -------------------------------------------------
+
+    def add_input(self, batch: DeviceBatch):
+        # remember dictionaries of string aggregate inputs for extraction
+        for j, agg_call in enumerate(self._agg_calls):
+            if agg_call.inputs and agg_call.inputs[0].dtype.is_string:
+                from velox_tpu.core import expressions as ex
+                inp = agg_call.inputs[0]
+                if isinstance(inp, ex.FieldAccess):
+                    self._agg_dicts[j] = \
+                        batch.columns[inp.name].dictionary
+        if self._keys:
+            self._partials.append(self._partial_fn(batch))
+            if len(self._partials) >= self._compact_threshold:
+                self._compact_partials()
+        else:
+            self._accumulate_global(batch)
+
+    def _compact_partials(self):
+        """Fold all pending partial runs into one right-sized state batch.
+
+        Reads the group count back to the host once per fold to pick a
+        static capacity (the analogue of velox's adaptive hash-table resize,
+        HashTable::decideHashMode)."""
+        from velox_tpu.exec.batch_utils import slice_batch
+        merged = self._compact_fn(concat_batches(self._partials))
+        num_groups = int(jax.device_get(merged.num_active()))
+        cap = merged.capacity
+        want = max(1024, 1 << (max(1, num_groups - 1)).bit_length())
+        if want < cap:
+            # Safe only when groups are a dense prefix (sort mode); array
+            # mode scatters groups over the domain — verify before cutting.
+            tail = int(jax.device_get(jnp.sum(merged.mask[want:])))
+            if tail == 0:
+                merged = jax.jit(
+                    slice_batch, static_argnums=(1, 2))(merged, 0, want)
+        self._partials = [merged]
+
+    def no_more_input(self):
+        super().no_more_input()
+        if self._keys:
+            if not self._partials:
+                self._outputs = []
+            else:
+                merged = concat_batches(self._partials)
+                self._partials = []
+                self._outputs = [self._merge_fn(merged)]
+        else:
+            self._outputs = [self._extract_global()]
+        self._finished_inputs = True
+
+    def get_output(self):
+        if self._outputs:
+            return self._outputs.pop(0)
+        return None
+
+    def is_finished(self):
+        return self._no_more_input and not self._outputs
+
+    # ---- global (no grouping keys) ----------------------------------------
+
+    _global_state: Optional[List] = None
+
+    def _accumulate_global(self, batch: DeviceBatch):
+        if not hasattr(self, "_global_fn"):
+            def _step(batch, state):
+                raw = self._step in (P.AggregationStep.PARTIAL,
+                                     P.AggregationStep.SINGLE)
+                _, addends, _ = self._eval_keys_and_addends(batch, raw)
+                new_state = []
+                for (data, combine), s in zip(addends, state):
+                    if combine == "sum":
+                        new_state.append(s + jnp.sum(data))
+                    elif combine == "min":
+                        new_state.append(jnp.minimum(s, jnp.min(data)))
+                    else:
+                        new_state.append(jnp.maximum(s, jnp.max(data)))
+                return new_state
+            self._global_fn = jax.jit(_step)
+        if self._global_state is None:
+            self._global_state = []
+            for agg in self._aggs:
+                for st in agg.states:
+                    self._global_state.append(
+                        jnp.asarray(st.identity(), st.dtype.np_dtype()))
+        self._global_state = self._global_fn(batch, self._global_state)
+
+    def _extract_global(self) -> DeviceBatch:
+        if self._global_state is None:
+            self._accumulate_empty_global()
+        state = self._global_state
+        out_cols: Dict[str, DeviceColumn] = {}
+        i = 0
+        one = jnp.ones((1,), dtype=bool)
+        if self._step in (P.AggregationStep.PARTIAL,
+                          P.AggregationStep.INTERMEDIATE):
+            for out_name, agg in zip(self._agg_names, self._aggs):
+                for st in agg.states:
+                    cname = _state_col_name(out_name, agg, st.suffix)
+                    out_cols[cname] = DeviceColumn(
+                        state[i].reshape(1), None, st.dtype, None)
+                    i += 1
+            return DeviceBatch(out_cols, one)
+        for out_name, agg, d in zip(self._agg_names, self._aggs,
+                                    self._agg_dicts):
+            n_states = len(agg.states)
+            arrays = [s.reshape(1) for s in state[i:i + n_states]]
+            res = agg.extract(arrays, one)
+            i += n_states
+            col = res.to_column(1)
+            if res.dtype.is_string and col.dictionary is None:
+                col = DeviceColumn(col.data, col.validity, col.dtype, d)
+            out_cols[out_name] = col
+        return DeviceBatch(out_cols, one)
+
+    def _accumulate_empty_global(self):
+        self._global_state = []
+        for agg in self._aggs:
+            for st in agg.states:
+                self._global_state.append(
+                    jnp.asarray(st.identity(), st.dtype.np_dtype()))

@@ -1,0 +1,74 @@
+"""Batch-level utilities: concat, compaction, chunking.
+
+Compaction (moving active rows to the front) is the TPU analogue of the
+reference's selection-vector materialization — done only at operator
+boundaries that profit (exchange, buffered sorts), per SURVEY.md §7.1.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from velox_tpu.vector.device import DeviceBatch, DeviceColumn
+
+
+def concat_batches(batches: List[DeviceBatch]) -> DeviceBatch:
+    """Concatenate batches (same schema) into one larger batch."""
+    if len(batches) == 1:
+        return batches[0]
+    names = batches[0].names
+    cols = {}
+    for name in names:
+        parts = [b.columns[name] for b in batches]
+        data = jnp.concatenate([p.data for p in parts])
+        if any(p.validity is not None for p in parts):
+            validity = jnp.concatenate([
+                p.validity if p.validity is not None
+                else jnp.ones((p.capacity,), dtype=bool)
+                for p in parts])
+        else:
+            validity = None
+        first = parts[0]
+        cols[name] = DeviceColumn(data, validity, first.dtype,
+                                  first.dictionary)
+    mask = jnp.concatenate([b.mask for b in batches])
+    return DeviceBatch(cols, mask)
+
+
+def compact(batch: DeviceBatch) -> DeviceBatch:
+    """Move active rows to the front (stable), preserving order."""
+    cap = batch.capacity
+    perm = jnp.argsort(~batch.mask, stable=True)
+    cols = {}
+    for name, col in batch.columns.items():
+        data = col.data[perm]
+        validity = col.validity[perm] if col.validity is not None else None
+        cols[name] = DeviceColumn(data, validity, col.dtype, col.dictionary)
+    n = batch.num_active()
+    mask = jnp.arange(cap, dtype=jnp.int32) < n
+    return DeviceBatch(cols, mask)
+
+
+def take(batch: DeviceBatch, indices, valid_rows) -> DeviceBatch:
+    """Gather rows by index; `valid_rows` becomes the new mask."""
+    cols = {}
+    for name, col in batch.columns.items():
+        data = col.data[indices]
+        validity = col.validity[indices] if col.validity is not None else None
+        cols[name] = DeviceColumn(data, validity, col.dtype, col.dictionary)
+    return DeviceBatch(cols, valid_rows)
+
+
+def slice_batch(batch: DeviceBatch, start: int, length: int) -> DeviceBatch:
+    """Static slice of a batch's rows (used to re-chunk large batches)."""
+    cols = {}
+    for name, col in batch.columns.items():
+        data = jax.lax.dynamic_slice_in_dim(col.data, start, length)
+        validity = (jax.lax.dynamic_slice_in_dim(col.validity, start, length)
+                    if col.validity is not None else None)
+        cols[name] = DeviceColumn(data, validity, col.dtype, col.dictionary)
+    mask = jax.lax.dynamic_slice_in_dim(batch.mask, start, length)
+    return DeviceBatch(cols, mask)

@@ -1,0 +1,218 @@
+"""Operator SPI + stateless operators.
+
+Role parity: ``velox/exec/Operator.h:289-505`` — the
+needsInput/addInput/getOutput/noMoreInput/isFinished contract — and the
+simple operators (FilterProject exec/FilterProject.h:24, Values, Limit).
+
+TPU-first: an operator's per-batch work is one jit-compiled program (traced
+lazily on the first batch); the host-side driver loop only moves batch
+handles, so per-batch dispatch cost is amortized over capacity-sized
+batches (the reference instead walks operators per 1-10K-row vector).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from velox_tpu import types as T
+from velox_tpu.core import plan as P
+from velox_tpu.expression.eval import ExprSet, value_from_column
+from velox_tpu.vector.device import DeviceBatch, DeviceColumn
+
+
+@dataclass
+class OperatorStats:
+    """Parity: velox/exec/OperatorStats (TaskStats.h)."""
+    operator_type: str = ""
+    plan_node_id: str = ""
+    input_batches: int = 0
+    input_rows: int = 0
+    output_batches: int = 0
+    output_rows: int = 0
+    add_input_wall_ns: int = 0
+    get_output_wall_ns: int = 0
+    finish_wall_ns: int = 0
+
+    def as_dict(self):
+        return dict(self.__dict__)
+
+
+class Operator:
+    """Push/pull operator contract (parity exec/Operator.h:398-434)."""
+
+    def __init__(self, node: P.PlanNode):
+        self.node = node
+        self.stats = OperatorStats(operator_type=type(self).__name__,
+                                   plan_node_id=node.id if node else "")
+        self._no_more_input = False
+
+    # SPI ------------------------------------------------------------------
+    def needs_input(self) -> bool:
+        return not self._no_more_input
+
+    def add_input(self, batch: DeviceBatch) -> None:
+        raise NotImplementedError
+
+    def get_output(self) -> Optional[DeviceBatch]:
+        raise NotImplementedError
+
+    def no_more_input(self) -> None:
+        self._no_more_input = True
+
+    def is_finished(self) -> bool:
+        raise NotImplementedError
+
+
+class SourceOperator(Operator):
+    """Source operators take no input."""
+
+    def needs_input(self) -> bool:
+        return False
+
+    def add_input(self, batch):
+        raise RuntimeError(f"{type(self).__name__} takes no input")
+
+
+# ---------------------------------------------------------------------------
+
+class ValuesOperator(SourceOperator):
+    """Parity: velox/exec/Values.h:21."""
+
+    def __init__(self, node: P.ValuesNode,
+                 dictionaries: Optional[Dict] = None):
+        super().__init__(node)
+        self._tables = list(node.tables)
+        self._i = 0
+        self._dictionaries = dictionaries or {}
+
+    def get_output(self):
+        from velox_tpu.vector.device import from_arrow
+        if self._i >= len(self._tables):
+            return None
+        t = self._tables[self._i]
+        self._i += 1
+        if isinstance(t, DeviceBatch):
+            return t
+        return from_arrow(t, dictionaries=self._dictionaries)
+
+    def is_finished(self):
+        return self._i >= len(self._tables)
+
+
+class TableScanOperator(SourceOperator):
+    """Parity: velox/exec/TableScan.cpp:75 — pulls splits from the task,
+    hands them to a connector DataSource, yields device batches. The
+    pushed-down filter (node.filter) is fused into the first downstream
+    superstep by the planner."""
+
+    def __init__(self, node: P.TableScanNode, data_source, splits):
+        super().__init__(node)
+        self._source = data_source
+        self._splits = list(splits)
+        self._i = 0
+
+    def get_output(self):
+        while self._i < len(self._splits):
+            split = self._splits[self._i]
+            out = self._source.next(split)
+            if out is None:
+                self._i += 1
+                continue
+            return out
+        return None
+
+    def is_finished(self):
+        return self._i >= len(self._splits)
+
+
+class FilterProjectOperator(Operator):
+    """Fused filter + project. Parity: velox/exec/FilterProject.h:24.
+
+    One jitted program evaluates the filter (ANDed into the mask) and all
+    projections; XLA fuses everything into a single pass over the batch.
+    """
+
+    def __init__(self, node: P.PlanNode, filter_expr, names, projections):
+        super().__init__(node)
+        self._filter = filter_expr
+        self._names = list(names)
+        self._projections = list(projections)
+        self._out: Optional[DeviceBatch] = None
+
+        def _run(batch: DeviceBatch) -> DeviceBatch:
+            exprs = ([self._filter] if self._filter is not None else []) \
+                + self._projections
+            es = ExprSet(exprs, None)
+            vals = es.eval_batch(batch)
+            mask = batch.mask
+            if self._filter is not None:
+                f = vals[0]
+                passed = f.data.astype(bool)
+                if f.validity is not None:
+                    passed = passed & f.validity
+                mask = mask & (jnp.broadcast_to(passed, (batch.capacity,))
+                               if passed.ndim == 0 else passed)
+                vals = vals[1:]
+            cols = {
+                name: v.to_column(batch.capacity)
+                for name, v in zip(self._names, vals)
+            }
+            return DeviceBatch(cols, mask)
+
+        self._fn = jax.jit(_run)
+
+    def add_input(self, batch):
+        self._out = self._fn(batch)
+
+    def get_output(self):
+        out, self._out = self._out, None
+        return out
+
+    def needs_input(self):
+        return not self._no_more_input and self._out is None
+
+    def is_finished(self):
+        return self._no_more_input and self._out is None
+
+
+class LimitOperator(Operator):
+    """Parity: velox/exec/Limit.h:20. The running row count stays on device
+    (no host sync per batch)."""
+
+    def __init__(self, node: P.LimitNode):
+        super().__init__(node)
+        self._offset = node.offset
+        self._count = node.count
+        self._seen = None  # device scalar
+        self._out = None
+        self._done = False
+
+        def _run(batch: DeviceBatch, seen):
+            prefix = jnp.cumsum(batch.mask.astype(jnp.int64))
+            pos = seen + prefix - 1  # 0-based global position of each row
+            keep = batch.mask & (pos >= self._offset) & \
+                (pos < self._offset + self._count)
+            new_seen = seen + prefix[-1]
+            return batch.with_mask(keep), new_seen
+
+        self._fn = jax.jit(_run)
+
+    def add_input(self, batch):
+        if self._seen is None:
+            self._seen = jnp.zeros((), dtype=jnp.int64)
+        self._out, self._seen = self._fn(batch, self._seen)
+
+    def get_output(self):
+        out, self._out = self._out, None
+        return out
+
+    def needs_input(self):
+        return not self._no_more_input and self._out is None and not self._done
+
+    def is_finished(self):
+        return (self._no_more_input or self._done) and self._out is None

@@ -1,0 +1,106 @@
+"""Sort operators: OrderBy and TopN.
+
+Role parity: ``velox/exec/OrderBy.h:35`` (SortBuffer + PrefixSort) and
+``velox/exec/TopN.h:23``.
+
+TPU-first: PrefixSort's normalized binary keys (exec/prefixsort/
+PrefixSortEncoder.h:31) become int64 normalized key columns (exec/keys.py)
+fed to ``lax.sort`` — XLA lowers this to the TPU's sort engine, so there is
+no hand-written quicksort. TopN keeps a device-resident top-k buffer merged
+with each incoming batch (one fused sort per batch), the analogue of the
+reference's bounded row-container heap.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from velox_tpu.core import plan as P
+from velox_tpu.exec import keys as K
+from velox_tpu.exec.batch_utils import concat_batches, slice_batch, take
+from velox_tpu.exec.operator import Operator
+from velox_tpu.expression.eval import value_from_column
+from velox_tpu.vector.device import DeviceBatch
+
+
+def sort_batch(batch: DeviceBatch, keys, orders) -> DeviceBatch:
+    """Stable sort of a batch's rows by keys/orders; inactive rows last."""
+    cap = batch.capacity
+    key_vals = [value_from_column(batch.columns[k.name]) for k in keys]
+    ops = K.sort_operands(key_vals, orders, cap, batch.mask)
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    out = jax.lax.sort(ops + [iota], num_keys=len(ops), is_stable=True)
+    perm = out[-1]
+    return take(batch, perm, out[0] == 0)  # first operand is ~active
+
+
+class OrderByOperator(Operator):
+    """Full sort: buffer all input, sort once at the end."""
+
+    def __init__(self, node: P.OrderByNode):
+        super().__init__(node)
+        self._keys = list(node.keys)
+        self._orders = list(node.orders)
+        self._buffer: List[DeviceBatch] = []
+        self._out: Optional[DeviceBatch] = None
+        self._sort_fn = jax.jit(
+            lambda b: sort_batch(b, self._keys, self._orders))
+
+    def add_input(self, batch):
+        self._buffer.append(batch)
+
+    def no_more_input(self):
+        super().no_more_input()
+        if self._buffer:
+            self._out = self._sort_fn(concat_batches(self._buffer))
+            self._buffer = []
+
+    def get_output(self):
+        out, self._out = self._out, None
+        return out
+
+    def is_finished(self):
+        return self._no_more_input and self._out is None
+
+
+class TopNOperator(Operator):
+    """Bounded sort: device-resident top-k buffer, merged per batch."""
+
+    def __init__(self, node: P.TopNNode):
+        super().__init__(node)
+        self._keys = list(node.keys)
+        self._orders = list(node.orders)
+        self._n = node.count
+        self._topk: Optional[DeviceBatch] = None
+        self._out: Optional[DeviceBatch] = None
+        # static buffer capacity: round n up for alignment
+        self._buf_cap = max(1024, -(-node.count // 128) * 128)
+
+        def _merge(buf: Optional[DeviceBatch], batch: DeviceBatch):
+            merged = concat_batches([buf, batch]) if buf is not None \
+                else batch
+            s = sort_batch(merged, self._keys, self._orders)
+            s = slice_batch(s, 0, min(self._buf_cap, s.capacity))
+            # only the first n rows survive
+            keep = (jnp.arange(s.capacity, dtype=jnp.int32) < self._n) \
+                & s.mask
+            return s.with_mask(keep)
+
+        self._merge_fn = jax.jit(_merge)
+
+    def add_input(self, batch):
+        self._topk = self._merge_fn(self._topk, batch)
+
+    def no_more_input(self):
+        super().no_more_input()
+        self._out, self._topk = self._topk, None
+
+    def get_output(self):
+        out, self._out = self._out, None
+        return out
+
+    def is_finished(self):
+        return self._no_more_input and self._out is None

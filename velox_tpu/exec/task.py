@@ -1,0 +1,164 @@
+"""Task: executes one plan fragment.
+
+Role parity: ``velox/exec/Task.h:72-238`` (serial ``Task::next`` mode) +
+``velox/exec/LocalPlanner.*`` (plan tree -> pipelines; pipelines split at
+join builds) + ``velox/exec/Driver.cpp:478`` (the operator pull loop).
+
+TPU-first: the host driver loop only shuffles batch *handles*; all per-batch
+compute is inside jitted programs, so one Python-level loop iteration covers
+a capacity-sized batch (vs the reference's per-1K-row operator walk). Join
+build sides run as nested pipelines to completion before the probe pipeline
+streams (same ordering the reference gets from its JoinBridge barrier).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Iterator, List, Optional
+
+from velox_tpu import types as T
+from velox_tpu.core import expressions as ex
+from velox_tpu.core import plan as P
+from velox_tpu.exec.aggregation import AggregationOperator
+from velox_tpu.exec.join import HashBuildStage, HashJoinOperator
+from velox_tpu.exec.operator import (
+    FilterProjectOperator, LimitOperator, Operator, SourceOperator,
+    TableScanOperator, ValuesOperator,
+)
+from velox_tpu.exec.orderby import OrderByOperator, TopNOperator
+from velox_tpu.vector.device import DeviceBatch
+
+
+class QueryCtx:
+    """Per-query context. Parity: velox/core/QueryCtx.h:33."""
+
+    def __init__(self, config: Optional[Dict] = None):
+        self.config = dict(config or {})
+
+    def get(self, key, default=None):
+        return self.config.get(key, default)
+
+
+class Task:
+    """Serial single-fragment execution (Task::next parity)."""
+
+    def __init__(self, plan: P.PlanNode, ctx: Optional[QueryCtx] = None):
+        self.plan = plan
+        self.ctx = ctx or QueryCtx()
+        self.operators: List[Operator] = []  # for stats
+
+    # ---- public API --------------------------------------------------------
+
+    def batches(self) -> Iterator[DeviceBatch]:
+        yield from self._run_node(self.plan)
+
+    def run(self):
+        """Execute to completion; return a pyarrow Table."""
+        import pyarrow as pa
+        from velox_tpu.vector.device import to_arrow
+        tables = [to_arrow(b) for b in self.batches()]
+        if not tables:
+            schema = T.to_arrow(self.plan.output_type())
+            import pyarrow as pa
+            return pa.table({n: pa.array([], type=f.type)
+                             for n, f in zip(schema.names, schema)})
+        return pa.concat_tables(tables)
+
+    def stats(self):
+        return [op.stats.as_dict() for op in self.operators]
+
+    # ---- pipeline construction ----------------------------------------------
+
+    def _run_node(self, node: P.PlanNode) -> Iterator[DeviceBatch]:
+        """Recursively build + drive the pipeline rooted at `node`."""
+        if isinstance(node, P.ValuesNode):
+            yield from self._drive_source(ValuesOperator(node))
+        elif isinstance(node, P.TableScanNode):
+            yield from self._drive_source(self._make_scan(node))
+        elif isinstance(node, P.FilterNode):
+            ot = node.output_type()
+            identity = [ex.field(n, t)
+                        for n, t in zip(ot.names, ot.children)]
+            op = FilterProjectOperator(node, node.predicate, ot.names,
+                                       identity)
+            yield from self._drive(node.source, op)
+        elif isinstance(node, P.ProjectNode):
+            op = FilterProjectOperator(node, None, node.names,
+                                       list(node.expressions))
+            yield from self._drive(node.source, op)
+        elif isinstance(node, P.AggregationNode):
+            yield from self._drive(node.source, AggregationOperator(node))
+        elif isinstance(node, P.OrderByNode):
+            yield from self._drive(node.source, OrderByOperator(node))
+        elif isinstance(node, P.TopNNode):
+            yield from self._drive(node.source, TopNOperator(node))
+        elif isinstance(node, P.LimitNode):
+            yield from self._drive(node.source, LimitOperator(node))
+        elif isinstance(node, P.HashJoinNode):
+            yield from self._run_join(node)
+        elif isinstance(node, P.LocalPartitionNode):
+            # single-task serial mode: pass-through (parallel layer handles
+            # the sharded form)
+            yield from self._run_node(node.source)
+        else:
+            raise NotImplementedError(f"no operator for {type(node).__name__}")
+
+    def _make_scan(self, node: P.TableScanNode) -> TableScanOperator:
+        from velox_tpu.connectors.connector import get_connector
+        conn = get_connector(node.connector_id)
+        source = conn.create_data_source(node.table, node.columns, self.ctx)
+        splits = self.ctx.get(f"splits.{node.id}") \
+            or conn.default_splits(node.table, self.ctx)
+        return TableScanOperator(node, source, splits)
+
+    def _run_join(self, node: P.HashJoinNode) -> Iterator[DeviceBatch]:
+        # Build side: nested pipeline run to completion (JoinBridge parity).
+        build = HashBuildStage(node.right_keys)
+        for batch in self._run_node(node.right):
+            build.add_input(batch)
+        table = build.finish()
+        probe = HashJoinOperator(node)
+        probe.set_built_table(table)
+        self.operators.append(probe)
+        yield from self._drive(node.left, probe)
+
+    # ---- driver loop (Driver::runInternal parity) ---------------------------
+
+    def _drive(self, source_node: P.PlanNode, op: Operator
+               ) -> Iterator[DeviceBatch]:
+        self.operators.append(op)
+        st = op.stats
+        for batch in self._run_node(source_node):
+            t0 = time.perf_counter_ns()
+            op.add_input(batch)
+            st.add_input_wall_ns += time.perf_counter_ns() - t0
+            st.input_batches += 1
+            while True:
+                t0 = time.perf_counter_ns()
+                out = op.get_output()
+                st.get_output_wall_ns += time.perf_counter_ns() - t0
+                if out is None:
+                    break
+                st.output_batches += 1
+                yield out
+        t0 = time.perf_counter_ns()
+        op.no_more_input()
+        st.finish_wall_ns += time.perf_counter_ns() - t0
+        while True:
+            out = op.get_output()
+            if out is None:
+                break
+            st.output_batches += 1
+            yield out
+
+    def _drive_source(self, op: SourceOperator) -> Iterator[DeviceBatch]:
+        self.operators.append(op)
+        st = op.stats
+        while not op.is_finished():
+            t0 = time.perf_counter_ns()
+            out = op.get_output()
+            st.get_output_wall_ns += time.perf_counter_ns() - t0
+            if out is None:
+                break
+            st.output_batches += 1
+            yield out

@@ -1,0 +1,217 @@
+"""Aggregate function package.
+
+Role parity: ``velox/exec/Aggregate.h:43`` (the accumulator SPI:
+addRawInput/addIntermediateResults/extractValues) and the Presto aggregate
+library (velox/functions/prestosql/aggregates).
+
+TPU-first redesign: accumulators are **columnar state vectors**, not rows in
+a RowContainer. An aggregate is described by a list of *states*, each with a
+segment-combine op (sum/min/max); the execution layer computes per-row
+addends once per batch and reduces them with jax segment ops into dense
+per-group state. Velox's companion-function split (partial/merge/extract,
+exec/AggregateCompanionAdapter.h:172) maps onto:
+
+  map_raw()    -> per-row addends from raw inputs    (addRawInput)
+  states       -> the intermediate layout            (accumulator)
+  combine ops  -> merging intermediates              (addIntermediateResults)
+  extract()    -> final result from state columns    (extractValues)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from velox_tpu import types as T
+from velox_tpu.expression.eval import EvalValue
+
+
+@dataclass(frozen=True)
+class StateSpec:
+    suffix: str           # physical column suffix, e.g. "sum", "count"
+    dtype: T.DataType     # device dtype of the state column
+    combine: str          # 'sum' | 'min' | 'max'
+
+    def identity(self):
+        """Identity element for masked-out rows."""
+        np_dt = self.dtype.np_dtype()
+        if self.combine == "sum":
+            return np.zeros((), np_dt)
+        if self.combine == "min":
+            return (np.array(np.inf, np_dt) if self.dtype.is_floating
+                    else np.iinfo(np_dt).max)
+        if self.combine == "max":
+            return (np.array(-np.inf, np_dt) if self.dtype.is_floating
+                    else np.iinfo(np_dt).min)
+        raise ValueError(self.combine)
+
+
+class AggregateFunction:
+    """One resolved aggregate (name + input types)."""
+
+    name: str
+    states: Tuple[StateSpec, ...]
+    result_type: T.DataType
+
+    @property
+    def intermediate_type(self) -> T.DataType:
+        if len(self.states) == 1:
+            return self.states[0].dtype
+        return T.row([s.suffix for s in self.states],
+                     [s.dtype for s in self.states])
+
+    def map_raw(self, ctx, args: List[EvalValue], active) -> List:
+        """Per-row addend arrays (one per state) from raw inputs; rows where
+        `active` is False (or input null) must contribute the identity."""
+        raise NotImplementedError
+
+    def extract(self, state_arrays: List, group_valid) -> EvalValue:
+        """Final result from dense per-group state columns."""
+        raise NotImplementedError
+
+
+def _masked(data, keep, identity):
+    return jnp.where(keep, data, identity)
+
+
+def _valid_and_active(v: EvalValue, active, capacity):
+    keep = active
+    if v.validity is not None:
+        keep = keep & v.full_validity(capacity)
+    return keep
+
+
+# ---------------------------------------------------------------------------
+
+class SumAgg(AggregateFunction):
+    def __init__(self, input_type: T.DataType):
+        self.name = "sum"
+        if input_type.is_integral:
+            st = T.BIGINT
+        elif input_type.kind is T.TypeKind.DECIMAL:
+            st = T.decimal(18, input_type.scale)
+        elif input_type.kind is T.TypeKind.REAL:
+            st = T.DOUBLE
+        else:
+            st = T.DOUBLE
+        self.input_type = input_type
+        self.result_type = st
+        self.states = (StateSpec("sum", st, "sum"),
+                       StateSpec("count", T.BIGINT, "sum"))
+
+    def map_raw(self, ctx, args, active):
+        (v,) = args
+        keep = _valid_and_active(v, active, ctx.capacity)
+        data = v.full_data(ctx.capacity)
+        if v.dtype.kind is T.TypeKind.DECIMAL:
+            from velox_tpu.functions.scalar import _rescale_decimal
+            data = _rescale_decimal(
+                data, v.dtype.scale, self.result_type.scale)
+        else:
+            data = data.astype(self.result_type.np_dtype())
+        return [_masked(data, keep, 0),
+                keep.astype(np.int64)]
+
+    def extract(self, state_arrays, group_valid):
+        s, c = state_arrays
+        return EvalValue(s, group_valid & (c > 0), self.result_type)
+
+
+class CountAgg(AggregateFunction):
+    def __init__(self, input_type: Optional[T.DataType]):
+        self.name = "count"
+        self.input_type = input_type  # None => count(*)
+        self.result_type = T.BIGINT
+        self.states = (StateSpec("count", T.BIGINT, "sum"),)
+
+    def map_raw(self, ctx, args, active):
+        if not args:
+            keep = active
+        else:
+            keep = _valid_and_active(args[0], active, ctx.capacity)
+        return [keep.astype(np.int64)]
+
+    def extract(self, state_arrays, group_valid):
+        (c,) = state_arrays
+        # count over an empty/all-null group is 0, never null.
+        c = jnp.where(group_valid, c, 0)
+        return EvalValue(c, None, T.BIGINT)
+
+
+class AvgAgg(AggregateFunction):
+    def __init__(self, input_type: T.DataType):
+        self.name = "avg"
+        self.input_type = input_type
+        if input_type.kind is T.TypeKind.DECIMAL:
+            sum_t = T.decimal(18, input_type.scale)
+            self.result_type = input_type
+        else:
+            sum_t = T.DOUBLE
+            self.result_type = T.DOUBLE
+        self.states = (StateSpec("sum", sum_t, "sum"),
+                       StateSpec("count", T.BIGINT, "sum"))
+
+    def map_raw(self, ctx, args, active):
+        (v,) = args
+        keep = _valid_and_active(v, active, ctx.capacity)
+        data = v.full_data(ctx.capacity)
+        st = self.states[0].dtype
+        if v.dtype.kind is T.TypeKind.DECIMAL:
+            from velox_tpu.functions.scalar import _rescale_decimal
+            data = _rescale_decimal(data, v.dtype.scale, st.scale)
+        else:
+            data = data.astype(st.np_dtype())
+        return [_masked(data, keep, 0), keep.astype(np.int64)]
+
+    def extract(self, state_arrays, group_valid):
+        s, c = state_arrays
+        valid = group_valid & (c > 0)
+        c_safe = jnp.maximum(c, 1)
+        if self.result_type.kind is T.TypeKind.DECIMAL:
+            # decimal avg: half-up rounded division at the same scale
+            half = c_safe // 2
+            q = jnp.where(s >= 0, (s + half) // c_safe,
+                          -((-s + half) // c_safe))
+            return EvalValue(q, valid, self.result_type)
+        return EvalValue(s / c_safe, valid, T.DOUBLE)
+
+
+class MinMaxAgg(AggregateFunction):
+    def __init__(self, name: str, input_type: T.DataType):
+        self.name = name
+        self.input_type = input_type
+        self.result_type = input_type
+        self.states = (StateSpec(name, input_type, name),
+                       StateSpec("count", T.BIGINT, "sum"))
+
+    def map_raw(self, ctx, args, active):
+        (v,) = args
+        keep = _valid_and_active(v, active, ctx.capacity)
+        ident = self.states[0].identity()
+        data = v.full_data(ctx.capacity)
+        return [_masked(data, keep, ident), keep.astype(np.int64)]
+
+    def extract(self, state_arrays, group_valid):
+        m, c = state_arrays
+        out = EvalValue(m, group_valid & (c > 0), self.result_type)
+        # carry dictionary through for string min/max (ids order-preserving
+        # only if dictionary sorted; enforced by the planner)
+        return out
+
+
+# ---------------------------------------------------------------------------
+
+def resolve_aggregate(name: str, input_types) -> AggregateFunction:
+    name = name.lower()
+    if name == "sum":
+        return SumAgg(input_types[0])
+    if name == "count":
+        return CountAgg(input_types[0] if input_types else None)
+    if name == "avg":
+        return AvgAgg(input_types[0])
+    if name in ("min", "max"):
+        return MinMaxAgg(name, input_types[0])
+    raise KeyError(f"unknown aggregate function {name!r}")

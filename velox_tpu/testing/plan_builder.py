@@ -1,0 +1,214 @@
+"""Fluent plan construction DSL.
+
+Role parity: ``velox/exec/tests/utils/PlanBuilder.h`` — the de-facto user
+API in the reference's tests and benchmarks. Expressions are SQL strings
+parsed by velox_tpu.parse (the reference uses DuckDB's parser there).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Sequence
+
+from velox_tpu import types as T
+from velox_tpu.core import expressions as ex
+from velox_tpu.core import plan as P
+from velox_tpu.parse.parser import Parser, _tokenize, parse_expression
+
+
+def _parse_named(text: str, row_type):
+    """Parse 'expr [AS name]' -> (name, expr)."""
+    p = Parser(_tokenize(text), row_type)
+    e = p.parse_expr()
+    name = None
+    if p.accept("kw", "as") or (p.peek().kind == "name"):
+        t = p.next()
+        name = t.value
+    if p.peek().kind != "eof":
+        raise ValueError(f"trailing tokens in projection {text!r}")
+    if name is None:
+        name = str(e) if isinstance(e, ex.FieldAccess) else None
+    return name, e
+
+
+_AGG_RE = re.compile(
+    r"^\s*(\w+)\s*\((.*)\)\s*(?:as\s+(\w+))?\s*$", re.I | re.S)
+
+
+class PlanBuilder:
+    def __init__(self, id_gen: Optional[P.PlanNodeIdGenerator] = None):
+        self._ids = id_gen or P.PlanNodeIdGenerator()
+        self._node: Optional[P.PlanNode] = None
+
+    # ---- sources -----------------------------------------------------------
+
+    def values(self, tables) -> "PlanBuilder":
+        import pyarrow as pa
+        first = tables[0]
+        if isinstance(first, (pa.Table, pa.RecordBatch)):
+            rt = T.row(first.schema.names,
+                       [T.from_arrow(f.type) for f in first.schema])
+        else:
+            rt = first.row_type()
+        self._node = P.ValuesNode(self._ids.next(), row_type=rt,
+                                  tables=tuple(tables))
+        return self
+
+    def table_scan(self, table: str, columns: Sequence[str] = (),
+                   connector_id: str = "tpch",
+                   filter: Optional[str] = None) -> "PlanBuilder":
+        from velox_tpu.connectors.connector import get_connector
+        conn = get_connector(connector_id)
+        schema = conn.table_schema(table)
+        cols = tuple(columns) if columns else tuple(schema.names)
+        rt = T.row(cols, [schema.field_type(c) for c in cols])
+        filter_expr = parse_expression(filter, rt) if filter else None
+        self._node = P.TableScanNode(
+            self._ids.next(), table=table, connector_id=connector_id,
+            columns=cols, row_type=rt, filter=filter_expr)
+        return self
+
+    # ---- row-level ----------------------------------------------------------
+
+    def filter(self, predicate: str) -> "PlanBuilder":
+        e = parse_expression(predicate, self._node.output_type())
+        self._node = P.FilterNode(self._ids.next(), source=self._node,
+                                  predicate=e)
+        return self
+
+    def project(self, projections: Sequence[str]) -> "PlanBuilder":
+        rt = self._node.output_type()
+        names, exprs = [], []
+        for i, text in enumerate(projections):
+            name, e = _parse_named(text, rt)
+            names.append(name or f"p{i}")
+            exprs.append(e)
+        self._node = P.ProjectNode(self._ids.next(), source=self._node,
+                                   names=tuple(names),
+                                   expressions=tuple(exprs))
+        return self
+
+    # ---- aggregation ---------------------------------------------------------
+
+    def _aggregation(self, step, grouping_keys, aggregates):
+        rt = self._node.output_type()
+        keys = tuple(ex.field(k, rt.field_type(k)) for k in grouping_keys)
+        agg_names, agg_calls = [], []
+        for i, text in enumerate(aggregates):
+            m = _AGG_RE.match(text)
+            if not m:
+                raise ValueError(f"cannot parse aggregate {text!r}")
+            fname, arg_text, out_name = m.groups()
+            fname = fname.lower()
+            arg_text = arg_text.strip()
+            if arg_text in ("", "*"):
+                inputs = ()
+            else:
+                inputs = tuple(
+                    parse_expression(a.strip(), rt)
+                    for a in _split_args(arg_text))
+            from velox_tpu.functions.aggregates import resolve_aggregate
+            fn = resolve_aggregate(fname, [x.dtype for x in inputs])
+            agg_names.append(out_name or f"a{i}")
+            agg_calls.append(P.AggregateCall(
+                name=fname, inputs=inputs, result_type=fn.result_type))
+        self._node = P.AggregationNode(
+            self._ids.next(), source=self._node, step=step,
+            grouping_keys=keys, aggregate_names=tuple(agg_names),
+            aggregates=tuple(agg_calls))
+        return self
+
+    def single_aggregation(self, grouping_keys, aggregates):
+        return self._aggregation(P.AggregationStep.SINGLE,
+                                 grouping_keys, aggregates)
+
+    def partial_aggregation(self, grouping_keys, aggregates):
+        return self._aggregation(P.AggregationStep.PARTIAL,
+                                 grouping_keys, aggregates)
+
+    def final_aggregation(self, grouping_keys, aggregates):
+        return self._aggregation(P.AggregationStep.FINAL,
+                                 grouping_keys, aggregates)
+
+    # ---- sorts / limits -------------------------------------------------------
+
+    def _parse_orders(self, keys):
+        rt = self._node.output_type()
+        fields, orders = [], []
+        for k in keys:
+            parts = k.split()
+            name = parts[0]
+            spec = " ".join(parts[1:]).lower()
+            order = P.SortOrder.ASC_NULLS_LAST
+            if spec.startswith("desc"):
+                order = (P.SortOrder.DESC_NULLS_FIRST
+                         if "nulls first" in spec
+                         else P.SortOrder.DESC_NULLS_LAST)
+            elif "nulls first" in spec:
+                order = P.SortOrder.ASC_NULLS_FIRST
+            fields.append(ex.field(name, rt.field_type(name)))
+            orders.append(order)
+        return tuple(fields), tuple(orders)
+
+    def order_by(self, keys: Sequence[str]) -> "PlanBuilder":
+        fields, orders = self._parse_orders(keys)
+        self._node = P.OrderByNode(self._ids.next(), source=self._node,
+                                   keys=fields, orders=orders)
+        return self
+
+    def top_n(self, keys: Sequence[str], count: int) -> "PlanBuilder":
+        fields, orders = self._parse_orders(keys)
+        self._node = P.TopNNode(self._ids.next(), source=self._node,
+                                keys=fields, orders=orders, count=count)
+        return self
+
+    def limit(self, count: int, offset: int = 0) -> "PlanBuilder":
+        self._node = P.LimitNode(self._ids.next(), source=self._node,
+                                 offset=offset, count=count)
+        return self
+
+    # ---- joins -----------------------------------------------------------------
+
+    def hash_join(self, left_keys, right_keys, build: "PlanBuilder",
+                  output: Sequence[str] = (),
+                  join_type: str = "inner",
+                  filter: Optional[str] = None) -> "PlanBuilder":
+        lt = self._node.output_type()
+        rt_ = build._node.output_type()
+        lk = tuple(ex.field(k, lt.field_type(k)) for k in left_keys)
+        rk = tuple(ex.field(k, rt_.field_type(k)) for k in right_keys)
+        jt = P.JoinType(join_type)
+        combined = T.row(list(lt.names) + list(rt_.names),
+                         list(lt.children) + list(rt_.children))
+        fexpr = parse_expression(filter, combined) if filter else None
+        self._node = P.HashJoinNode(
+            self._ids.next(), left=self._node, right=build._node,
+            join_type=jt, left_keys=lk, right_keys=rk, filter=fexpr,
+            output_columns=tuple(output))
+        return self
+
+    # -----------------------------------------------------------------------------
+
+    def plan(self) -> P.PlanNode:
+        return self._node
+
+    def new_builder(self) -> "PlanBuilder":
+        """A builder sharing this one's id generator (for join builds)."""
+        return PlanBuilder(self._ids)
+
+
+def _split_args(s: str) -> List[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
