@@ -4,11 +4,15 @@ Mirrors the reference's test strategy of exercising multi-node paths in one
 process (velox/exec/tests/MultiFragmentTest.cpp:41-46): we force the JAX CPU
 backend with 8 virtual devices so sharding/collective code paths compile and
 run without TPU hardware.
+
+NOTE: this image's sitecustomize registers the `axon` TPU-tunnel PJRT plugin
+at interpreter start and exports JAX_PLATFORMS=axon, so a plain env
+`setdefault` is not enough — we must override the platform after importing
+jax. XLA_FLAGS must still be set before the backend initializes.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +21,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()

@@ -31,6 +31,11 @@ def normalize_key(v: EvalValue, capacity: int):
     """Return (data_i64, null_flag) — order/equality-preserving int64.
 
     null_flag is a bool array (True = null) or None when no nulls.
+
+    NOTE (TPU): f64 keys are NOT supported here — the f64->s64 bitcast is
+    unimplemented in XLA:TPU's x64 rewriting. Sorting uses native-dtype
+    operands instead (sort_operands); this normalization is for *join* keys,
+    which are integral/string in practice.
     """
     data = v.full_data(capacity)
     dt = v.dtype
@@ -38,15 +43,12 @@ def normalize_key(v: EvalValue, capacity: int):
         if dt.kind is T.TypeKind.REAL:
             bits = jax.lax.bitcast_convert_type(data, jnp.int32) \
                 .astype(jnp.int64)
+            key = jnp.where(bits >= 0, bits ^ jnp.int64(1 << 31), ~bits)
+            key = jnp.where(data == 0, jnp.int64(1 << 31), key)
         else:
-            bits = jax.lax.bitcast_convert_type(data, jnp.int64)
-        # Monotone transform: flip sign bit for positives, all bits for
-        # negatives -> total order matching float order (NaNs sort high).
-        key = jnp.where(bits >= 0,
-                        bits ^ INT64_MIN,
-                        ~bits)
-        # normalize negative zero to positive zero for equality
-        key = jnp.where(data == 0, jnp.int64(0) ^ INT64_MIN, key)
+            raise NotImplementedError(
+                "DOUBLE join keys: f64->s64 bitcast is unsupported on TPU; "
+                "cast to DECIMAL/BIGINT first")
     elif dt.kind is T.TypeKind.BOOLEAN:
         key = data.astype(jnp.int64)
     else:
@@ -55,6 +57,26 @@ def normalize_key(v: EvalValue, capacity: int):
     if v.validity is not None:
         null_flag = ~v.full_validity(capacity)
     return key, null_flag
+
+
+def _native_sort_key(v: EvalValue, capacity: int, descending: bool):
+    """Order-preserving sort operand in a TPU-supported dtype.
+
+    Integers/strings/bools use ints (bitwise-not for descending, which
+    reverses order without overflow); floats stay in their native dtype
+    (negated for descending; XLA's total-order comparator handles the rest).
+    """
+    data = v.full_data(capacity)
+    dt = v.dtype
+    if dt.is_floating:
+        return jnp.negative(data) if descending else data
+    if dt.kind is T.TypeKind.BOOLEAN:
+        data = data.astype(jnp.int32)
+        return ~data if descending else data
+    if dt.is_string:
+        data = data.astype(jnp.int32)
+        return ~data if descending else data
+    return ~data if descending else data
 
 
 def sort_operands(
@@ -73,17 +95,18 @@ def sort_operands(
 
     ops = [(~active).astype(jnp.int32)]
     for i, v in enumerate(keys):
-        key, null_flag = normalize_key(v, capacity)
         order = orders[i] if orders is not None else None
-        if order is not None and not order.ascending:
-            key = ~key  # exact order reversal for int64
+        key = _native_sort_key(v, capacity, descending=(
+            order is not None and not order.ascending))
+        null_flag = (~v.full_validity(capacity)
+                     if v.validity is not None else None)
         if null_flag is None:
             nf = jnp.zeros((capacity,), dtype=jnp.int32)
         else:
             nf = null_flag.astype(jnp.int32)
             # canonicalize null lanes so all nulls compare equal regardless
             # of the garbage their data lanes may hold
-            key = jnp.where(null_flag, jnp.int64(0), key)
+            key = jnp.where(null_flag, jnp.zeros_like(key), key)
         if order is not None and order.nulls_first:
             nf = -nf
         ops.append(nf)

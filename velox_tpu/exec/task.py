@@ -74,7 +74,26 @@ class Task:
         if isinstance(node, P.ValuesNode):
             yield from self._drive_source(ValuesOperator(node))
         elif isinstance(node, P.TableScanNode):
-            yield from self._drive_source(self._make_scan(node))
+            scan = self._make_scan(node)
+            if node.filter is not None:
+                # Pushed-down filter: fused as the scan's superstep (the
+                # analogue of dwio ScanSpec filters, dwio/common/ScanSpec.h:40)
+                ot = node.output_type()
+                identity = [ex.field(n, t)
+                            for n, t in zip(ot.names, ot.children)]
+                fop = FilterProjectOperator(node, node.filter, ot.names,
+                                            identity)
+                self.operators.append(fop)
+
+                def _filtered(scan=scan, fop=fop):
+                    for b in self._drive_source(scan):
+                        fop.add_input(b)
+                        out = fop.get_output()
+                        if out is not None:
+                            yield out
+                yield from _filtered()
+            else:
+                yield from self._drive_source(scan)
         elif isinstance(node, P.FilterNode):
             ot = node.output_type()
             identity = [ex.field(n, t)

@@ -126,7 +126,23 @@ class PlanBuilder:
         return self._aggregation(P.AggregationStep.PARTIAL,
                                  grouping_keys, aggregates)
 
-    def final_aggregation(self, grouping_keys, aggregates):
+    def final_aggregation(self, grouping_keys=None, aggregates=None):
+        if grouping_keys is None:
+            # Derive from the preceding partial aggregation (parity with the
+            # reference PlanBuilder::finalAggregation() no-arg form).
+            src = self._node
+            if not isinstance(src, P.AggregationNode):
+                raise ValueError("no-arg final_aggregation requires a "
+                                 "partial aggregation as input")
+            ot = src.output_type()
+            keys = tuple(ex.field(k.name, ot.field_type(k.name))
+                         for k in src.grouping_keys)
+            self._node = P.AggregationNode(
+                self._ids.next(), source=src,
+                step=P.AggregationStep.FINAL, grouping_keys=keys,
+                aggregate_names=src.aggregate_names,
+                aggregates=src.aggregates)
+            return self
         return self._aggregation(P.AggregationStep.FINAL,
                                  grouping_keys, aggregates)
 

@@ -66,6 +66,11 @@ class Dictionary:
             self._index = {v: i for i, v in enumerate(self.values)}
         return self._index.get(value, -1)
 
+    def take(self, ids: np.ndarray) -> np.ndarray:
+        """Materialize values for the given ids (overridable for lazily
+        formatted dictionaries, e.g. tpch c_name)."""
+        return self.values[np.clip(ids, 0, len(self) - 1)]
+
     def __repr__(self):
         return f"Dictionary({len(self.values)} values)"
 
@@ -308,10 +313,9 @@ def _np_to_arrow(data: np.ndarray, validity: Optional[np.ndarray],
     dt = col.dtype
     pa_mask = None if validity is None else ~validity
     if dt.is_string:
-        values = col.dictionary.values if col.dictionary is not None else None
-        if values is None:
+        if col.dictionary is None:
             raise ValueError("string column without dictionary")
-        out = values[np.clip(data, 0, len(values) - 1)]
+        out = col.dictionary.take(data)
         if validity is not None:
             out = out.copy()
             out[~validity] = None
