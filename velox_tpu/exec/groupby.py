@@ -3,17 +3,16 @@
 Role parity: ``velox/exec/GroupingSet.cpp`` + ``velox/exec/HashTable.cpp``
 (groupProbe / kArray / kNormalizedKey / kHash modes, HashTable.h:122).
 
-TPU-first redesign (SURVEY.md §7.1): instead of a probing hash table,
-grouping is
+TPU-first redesign (SURVEY.md §7.1):
 
   * **array mode** (parity: kArray, HashTable.h:119): when every key has a
     small known domain (dictionary-encoded strings, booleans), the group id
     is the mixed-radix combination of dictionary ids — a pure index — and
     aggregation is one ``segment_sum`` per state. No sort, no probe.
-  * **sort mode** (parity: kNormalizedKey/kHash): normalize keys to int64,
-    ``lax.sort`` rows by (active, keys...), detect group boundaries, and
-    segment-reduce addends. Fully static shapes; group output lands densely
-    in key-sorted order.
+  * **hash mode** (parity: kNormalizedKey/kHash): the scatter-probe device
+    hash table (exec/hashtable.py) assigns every row a slot; addends are
+    segment-reduced by slot and groups compacted to a dense prefix. No
+    sorting — XLA:TPU lax.sort compile cost is prohibitive (exec/sort.py).
 
 Both modes are pure traced JAX — one compiled program per (schema,
 capacity). Partial/final split (velox AggregationNode steps) reuses the same
@@ -30,7 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from velox_tpu import types as T
-from velox_tpu.exec import keys as K
 from velox_tpu.expression.eval import EvalValue
 
 _SEGMENT_OPS = {
@@ -122,70 +120,48 @@ def reduce_array_mode(
     return out_keys, out_states, occupied
 
 
-def reduce_sort_mode(
+def reduce_hash_mode(
     keys: List[EvalValue],
     addends: List[Tuple[jnp.ndarray, str]],
     active,
     capacity: int,
-    payload: Sequence[jnp.ndarray] = (),
 ):
-    """Generic grouping: sort by normalized keys, segment-reduce addends.
+    """Generic grouping via the scatter-probe hash table (hashtable.py).
 
-    Returns (group_keys: List[EvalValue], group_states, group_mask). Output
-    arrays have length `capacity`; groups are dense from index 0 upward in
-    key-sorted order.
+    Parity: velox kNormalizedKey/kHash modes (exec/HashTable.h:122), redesigned
+    without sorting — XLA:TPU lax.sort compile cost is prohibitive (see
+    exec/sort.py). Returns (group_keys: List[EvalValue], group_states,
+    group_mask). Output arrays have length `capacity`; groups are a dense
+    prefix in arbitrary (hash) order.
     """
-    key_ops = K.sort_operands(keys, None, capacity, active)
-    n_key_ops = len(key_ops)
-    addend_arrays = [a for a, _ in addends]
-    # carry raw key data (+validity) through the sort for reconstruction
-    raw = []
-    for v in keys:
-        raw.append(v.full_data(capacity))
-        raw.append(v.full_validity(capacity))
-    operands = key_ops + [active] + addend_arrays + list(raw) + list(payload)
-    sorted_ops = jax.lax.sort(operands, num_keys=n_key_ops, is_stable=False)
-    s_keys = sorted_ops[:n_key_ops]
-    s_active = sorted_ops[n_key_ops]
-    s_addends = sorted_ops[n_key_ops + 1: n_key_ops + 1 + len(addend_arrays)]
-    s_raw = sorted_ops[n_key_ops + 1 + len(addend_arrays):
-                       n_key_ops + 1 + len(addend_arrays) + len(raw)]
+    from velox_tpu.exec import hashtable as H
 
-    diff = K.group_identity_diff(s_keys[1:], capacity)  # skip active key
-    new_group = s_active & diff
-    seg = jnp.cumsum(new_group.astype(jnp.int32)) - 1
-    num_groups = jnp.sum(new_group.astype(jnp.int32))
-    # inactive rows -> overflow bucket `capacity`
-    seg = jnp.where(s_active, seg, capacity)
+    S = H.table_size_for(capacity)
+    table = H.empty_table(keys, S)
+    table, slots, _ = H.insert(table, keys, active, capacity)
 
-    out_states = []
-    for data, (_, combine) in zip(s_addends, addends):
-        red = _SEGMENT_OPS[combine](data, seg, num_segments=capacity + 1)
-        out_states.append(red[:capacity])
+    seg = jnp.where(active, slots, jnp.int32(S))
+    out_states_full = []
+    for data, combine in addends:
+        red = _SEGMENT_OPS[combine](data, seg, num_segments=S + 1)
+        out_states_full.append(red[:S])
 
+    occupied = table.occupied
+    didx = jnp.cumsum(occupied.astype(jnp.int32)) - 1
+    num_groups = jnp.sum(occupied.astype(jnp.int32))
+    # compact slots -> dense prefix of length `capacity` (groups <= rows)
+    target = jnp.where(occupied, didx, jnp.int32(capacity))
+
+    def compact(arr):
+        return jnp.zeros((capacity,) + arr.shape[1:], arr.dtype) \
+            .at[target].set(arr, mode="drop")
+
+    out_states = [compact(s) for s in out_states_full]
     group_mask = jnp.arange(capacity, dtype=jnp.int32) < num_groups
 
     out_keys = []
-    for i, v in enumerate(keys):
-        data = s_raw[2 * i]
-        valid = s_raw[2 * i + 1]
-        # key value is constant within a group: take it at group starts via
-        # segment_max over a monotone encoding (use normalized data + max).
-        gd = jax.ops.segment_max(
-            jnp.where(s_active, data,
-                      _type_min(data.dtype)), seg,
-            num_segments=capacity + 1)[:capacity]
-        gv = jax.ops.segment_max(
-            jnp.where(s_active & valid, 1, 0), seg,
-            num_segments=capacity + 1)[:capacity] > 0
-        validity = None if v.validity is None else gv
+    for v, col, cval in zip(keys, table.key_cols, table.key_valid):
+        gd = compact(col)
+        validity = None if v.validity is None else compact(cval)
         out_keys.append(EvalValue(gd, validity, v.dtype, v.dictionary))
     return out_keys, out_states, group_mask
-
-
-def _type_min(dtype):
-    if jnp.issubdtype(dtype, jnp.floating):
-        return np.array(-np.inf, dtype)
-    if dtype == jnp.bool_:
-        return False
-    return np.iinfo(np.dtype(dtype)).min

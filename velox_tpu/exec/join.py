@@ -3,25 +3,20 @@
 Role parity: ``velox/exec/HashBuild.h:38`` / ``HashProbe.h:28`` /
 ``HashJoinBridge.h`` — all join types over a shared build-side table.
 
-TPU-first redesign (SURVEY.md §7.1): the probing hash table is replaced by
-a **sorted build table + vectorized binary search** (``searchsorted`` is an
-XLA-native, branch-free log-n gather — the TPU analogue of the reference's
-SIMD 16-tag bucket probe, HashTable.h:377). Build:
-
-  1. concat build batches, normalize join keys to int64,
-  2. sort rows by key (nulls/inactive to +inf region),
-  3. store sorted keys + payload (dense arrays in HBM).
-
-Probe per batch: searchsorted(left) -> candidate index; range length gives
-the duplicate count. Unique-key builds emit one output row per probe row
-(static shape). Duplicate-key builds use a two-pass expand: compute per-row
-match counts, then emit output in fixed-capacity chunks (capacity + retry is
-the static-shape answer to unknown join cardinality, SURVEY.md §7.3).
+TPU-first redesign: the build side goes into the scatter-probe device hash
+table (exec/hashtable.py — the analogue of the reference's SIMD tagged
+table, HashTable.h:377), keyed on the native-dtype join columns (multi-key
+supported). The probe is one vectorized ``lookup`` per batch: slot -> build
+row index -> gathers of build payload columns. Unique-key builds emit one
+output row per probe row (static shape). Duplicate-key builds use a
+CSR expansion (slot -> [row...] list built by a radix pass over slot ids)
+with a two-pass count+emit probe — the static-shape answer to unknown join
+cardinality (SURVEY.md §7.3).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +24,7 @@ import numpy as np
 
 from velox_tpu import types as T
 from velox_tpu.core import plan as P
-from velox_tpu.exec import keys as K
+from velox_tpu.exec import hashtable as H
 from velox_tpu.exec.batch_utils import concat_batches
 from velox_tpu.exec.operator import Operator
 from velox_tpu.expression.eval import (
@@ -38,34 +33,27 @@ from velox_tpu.expression.eval import (
 from velox_tpu.vector.device import DeviceBatch, DeviceColumn
 
 
-class BuiltTable:
-    """Sorted build-side table (the HashJoinBridge payload)."""
-
-    def __init__(self, sorted_keys, batch: DeviceBatch, num_rows,
-                 has_null_key, has_dup_keys):
-        self.sorted_keys = sorted_keys      # [cap] int64, inactive -> MAX
-        self.batch = batch                  # row-permuted build batch
-        self.num_rows = num_rows            # device scalar
-        self.has_null_key = has_null_key    # device scalar bool (anti joins)
-        self.has_dup_keys = has_dup_keys    # device scalar bool
+class BuiltTable(NamedTuple):
+    """The HashJoinBridge payload."""
+    table: H.HashTable
+    batch: DeviceBatch       # build-side rows (unpermuted)
+    slot_count: jnp.ndarray  # int32[S]: rows per slot (dup detection/expand)
+    num_rows: jnp.ndarray    # device scalar
+    has_null_key: jnp.ndarray  # device scalar bool (null-aware anti joins)
+    has_dup_keys: jnp.ndarray  # device scalar bool
 
 
-def _normalize_multi(keys: List[EvalValue], capacity: int):
-    """Combine multiple key columns into one int64 key where possible.
+def _key_values(batch: DeviceBatch, key_fields) -> List[EvalValue]:
+    return [value_from_column(batch.columns[k.name]) for k in key_fields]
 
-    Single key: normalized directly. Multiple keys: packed when their
-    normalized ranges fit in 64 bits is future work — currently hashed with
-    collision verification left to the caller (not yet enabled).
-    """
-    if len(keys) != 1:
-        raise NotImplementedError(
-            "multi-key hash joins land with the Pallas hash table; "
-            "single-key covers TPC-H Q3/Q18")
-    key, null_flag = K.normalize_key(keys[0], capacity)
-    valid = None
-    if null_flag is not None:
-        valid = ~null_flag
-    return key, valid
+
+def _usable(batch: DeviceBatch, keys: List[EvalValue]):
+    """Active rows with fully non-null keys (SQL join null semantics)."""
+    ok = batch.mask
+    for v in keys:
+        if v.validity is not None:
+            ok = ok & v.full_validity(batch.capacity)
+    return ok
 
 
 class HashBuildStage:
@@ -88,26 +76,21 @@ class HashBuildStage:
         @jax.jit
         def _build(b: DeviceBatch):
             cap = b.capacity
-            kv = [value_from_column(b.columns[k.name])
-                  for k in self._key_fields]
-            key, valid = _normalize_multi(kv, cap)
-            usable = b.mask if valid is None else (b.mask & valid)
-            skey = jnp.where(usable, key, K.INT64_MAX)
-            iota = jnp.arange(cap, dtype=jnp.int32)
-            skeys, active_s, perm = jax.lax.sort(
-                [skey, (~usable).astype(jnp.int32), iota],
-                num_keys=2, is_stable=True)
-            from velox_tpu.exec.batch_utils import take
-            permuted = take(b, perm, active_s == 0)
+            keys = _key_values(b, self._key_fields)
+            usable = _usable(b, keys)
+            table = H.empty_table(keys, H.table_size_for(cap))
+            table, slots, is_new = H.insert(table, keys, usable, cap)
+            S = table.size
+            seg = jnp.where(usable, slots, jnp.int32(S))
+            slot_count = jax.ops.segment_sum(
+                jnp.ones((cap,), jnp.int32), seg, num_segments=S + 1)[:S]
             num = jnp.sum(usable.astype(jnp.int32))
-            has_null_key = jnp.any(b.mask & ~(
-                jnp.ones((cap,), bool) if valid is None else valid))
-            has_dups = jnp.any((skeys[:-1] == skeys[1:])
-                               & (skeys[:-1] != K.INT64_MAX))
-            return skeys, permuted, num, has_null_key, has_dups
+            has_null_key = jnp.any(b.mask & ~usable)
+            has_dups = jnp.any(usable & ~is_new)
+            return table, slot_count, num, has_null_key, has_dups
 
-        skeys, permuted, num, has_null, has_dups = _build(merged)
-        return BuiltTable(skeys, permuted, num, has_null, has_dups)
+        table, slot_count, num, has_null, has_dups = _build(merged)
+        return BuiltTable(table, merged, slot_count, num, has_null, has_dups)
 
 
 class HashJoinOperator(Operator):
@@ -131,33 +114,28 @@ class HashJoinOperator(Operator):
 
     # ---- traced probe -------------------------------------------------------
 
-    def _probe(self, batch: DeviceBatch, table_keys, build: DeviceBatch,
-               num_build, has_null_key) -> DeviceBatch:
+    def _probe(self, batch: DeviceBatch, bt: BuiltTable) -> DeviceBatch:
         node = self._node
         cap = batch.capacity
-        kv = [value_from_column(batch.columns[k.name])
-              for k in node.left_keys]
-        pkey, pvalid = _normalize_multi(kv, cap)
-        probe_ok = batch.mask if pvalid is None else (batch.mask & pvalid)
-
-        idx = jnp.searchsorted(table_keys, pkey, side="left")
-        idx_c = jnp.clip(idx, 0, table_keys.shape[0] - 1)
-        hit = probe_ok & (idx < num_build) & (table_keys[idx_c] == pkey)
+        keys = _key_values(batch, node.left_keys)
+        probe_ok = _usable(batch, keys)
+        slots, found = H.lookup(bt.table, keys, probe_ok, cap)
+        slots_c = jnp.clip(slots, 0, bt.table.size - 1)
+        build_row = jnp.clip(bt.table.slot_row[slots_c], 0, None)
+        hit = probe_ok & found
 
         jt = node.join_type
+        build = bt.batch
         if jt in (P.JoinType.INNER, P.JoinType.LEFT):
             # unique-build fast path: one output row per probe row
-            out_cols: Dict[str, DeviceColumn] = {}
-            for name in batch.columns:
-                out_cols[name] = batch.columns[name]
+            out_cols: Dict[str, DeviceColumn] = dict(batch.columns)
             for name, col in build.columns.items():
-                data = col.data[idx_c]
-                validity = (col.validity[idx_c]
+                data = col.data[build_row]
+                validity = (col.validity[build_row]
                             if col.validity is not None else None)
                 if jt is P.JoinType.LEFT:
                     # non-matching probe rows -> null build columns
-                    v = hit if validity is None else (validity & hit)
-                    validity = v
+                    validity = hit if validity is None else (validity & hit)
                 out_cols[name] = DeviceColumn(data, validity, col.dtype,
                                               col.dictionary)
             mask = (batch.mask & hit) if jt is P.JoinType.INNER \
@@ -170,7 +148,7 @@ class HashJoinOperator(Operator):
             if node.null_aware:
                 # null-aware anti: any null build key voids all matches;
                 # null probe keys never pass
-                miss = jnp.where(has_null_key,
+                miss = jnp.where(bt.has_null_key,
                                  jnp.zeros_like(miss), miss)
                 miss = miss & probe_ok
             out = batch.with_mask(miss)
@@ -185,8 +163,7 @@ class HashJoinOperator(Operator):
             if jt is P.JoinType.INNER:
                 out = out.with_mask(out.mask & passed)
             else:
-                raise NotImplementedError(
-                    "join filter on non-inner joins")
+                raise NotImplementedError("join filter on non-inner joins")
 
         if node.output_columns:
             cols = {n: out.columns[n] for n in node.output_columns}
@@ -197,9 +174,7 @@ class HashJoinOperator(Operator):
 
     def add_input(self, batch):
         assert self._table is not None, "build side not finished"
-        t = self._table
-        self._out = self._probe_fn(batch, t.sorted_keys, t.batch,
-                                   t.num_rows, t.has_null_key)
+        self._out = self._probe_fn(batch, self._table)
 
     def get_output(self):
         out, self._out = self._out, None

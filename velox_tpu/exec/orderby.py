@@ -4,11 +4,11 @@ Role parity: ``velox/exec/OrderBy.h:35`` (SortBuffer + PrefixSort) and
 ``velox/exec/TopN.h:23``.
 
 TPU-first: PrefixSort's normalized binary keys (exec/prefixsort/
-PrefixSortEncoder.h:31) become int64 normalized key columns (exec/keys.py)
-fed to ``lax.sort`` — XLA lowers this to the TPU's sort engine, so there is
-no hand-written quicksort. TopN keeps a device-resident top-k buffer merged
-with each incoming batch (one fused sort per batch), the analogue of the
-reference's bounded row-container heap.
+PrefixSortEncoder.h:31) become order-preserving unsigned words fed to a
+counting radix sort (exec/sort.py) — ``lax.sort``'s XLA:TPU compile cost is
+prohibitive at framework scale. TopN keeps a device-resident top-k buffer
+merged with each incoming batch (one radix pass per batch), the analogue of
+the reference's bounded row-container heap.
 """
 
 from __future__ import annotations
@@ -19,9 +19,9 @@ import jax
 import jax.numpy as jnp
 
 from velox_tpu.core import plan as P
-from velox_tpu.exec import keys as K
 from velox_tpu.exec.batch_utils import concat_batches, slice_batch, take
 from velox_tpu.exec.operator import Operator
+from velox_tpu.exec.sort import sort_permutation
 from velox_tpu.expression.eval import value_from_column
 from velox_tpu.vector.device import DeviceBatch
 
@@ -30,11 +30,8 @@ def sort_batch(batch: DeviceBatch, keys, orders) -> DeviceBatch:
     """Stable sort of a batch's rows by keys/orders; inactive rows last."""
     cap = batch.capacity
     key_vals = [value_from_column(batch.columns[k.name]) for k in keys]
-    ops = K.sort_operands(key_vals, orders, cap, batch.mask)
-    iota = jnp.arange(cap, dtype=jnp.int32)
-    out = jax.lax.sort(ops + [iota], num_keys=len(ops), is_stable=True)
-    perm = out[-1]
-    return take(batch, perm, out[0] == 0)  # first operand is ~active
+    perm = sort_permutation(key_vals, orders, cap, batch.mask)
+    return take(batch, perm, batch.mask[perm])
 
 
 class OrderByOperator(Operator):

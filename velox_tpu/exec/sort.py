@@ -1,0 +1,141 @@
+"""Radix sort: LSD counting sort over order-preserving unsigned words.
+
+Role parity: ``velox/exec/PrefixSort.h:92`` + ``prefixsort/PrefixSortEncoder.h``
+(normalized binary-comparable keys + sort) — but as a counting radix sort
+built from cumsum/gather/scatter, because XLA:TPU's ``lax.sort`` compile time
+explodes with operand count/width (measured: 2xi32 19s, 2xi64 53s, 15-operand
+586s, vs ~1s for scatter/segment ops; see .claude/skills/verify gotchas).
+
+Key encoding notes (TPU x64 rewriting forbids every f64 bitcast and frexp):
+
+* signed ints  -> biased unsigned words (hi/lo for 64-bit)
+* f32          -> monotone u32 via i32 bitcast + sign fold
+* f64          -> THREE f32 words (hi = f32(x), lo = f32(x - hi),
+                  lo2 = f32(x - hi - lo)): within equal hi (and lo) the
+                  residual orders exactly, and 3x24 bits >= 53 mantissa bits
+* strings      -> sorted-dictionary ids (i32)
+* descending   -> bitwise-not every value word (reverses lexicographic order)
+* nulls        -> a leading 1-bit word per nullable key (independent of desc)
+* active       -> the most significant word: inactive rows sort last
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from velox_tpu import types as T
+from velox_tpu.expression.eval import EvalValue
+
+_SIGN32 = np.uint32(0x80000000)
+
+
+def _f32_monotone_u32(x):
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    u = jax.lax.bitcast_convert_type(bits, jnp.uint32)
+    return jnp.where(bits < 0, ~u, u | _SIGN32)
+
+
+def _signed_words(data) -> List:
+    """Biased unsigned words (most significant first) for an integer array."""
+    if data.dtype == jnp.int64:
+        hi = (data >> 32).astype(jnp.int32)
+        lo = (data & 0xFFFFFFFF).astype(jnp.uint32)
+        hi_u = jax.lax.bitcast_convert_type(hi, jnp.uint32) ^ _SIGN32
+        return [hi_u, lo]
+    data32 = data.astype(jnp.int32)
+    return [jax.lax.bitcast_convert_type(data32, jnp.uint32) ^ _SIGN32]
+
+
+def value_words(v: EvalValue, capacity: int) -> List:
+    """Order-preserving unsigned words, most significant first."""
+    data = v.full_data(capacity)
+    dt = v.dtype
+    if dt.kind is T.TypeKind.DOUBLE:
+        hi = data.astype(jnp.float32)
+        lo = (data - hi.astype(jnp.float64)).astype(jnp.float32)
+        lo2 = (data - hi.astype(jnp.float64)
+               - lo.astype(jnp.float64)).astype(jnp.float32)
+        return [_f32_monotone_u32(hi), _f32_monotone_u32(lo),
+                _f32_monotone_u32(lo2)]
+    if dt.kind is T.TypeKind.REAL:
+        return [_f32_monotone_u32(data)]
+    if dt.kind is T.TypeKind.BOOLEAN:
+        return [data.astype(jnp.uint32)]
+    if dt.is_string:
+        # sorted-dictionary ids (order-preserving; see device.py)
+        return _signed_words(data.astype(jnp.int32))
+    return _signed_words(data)
+
+
+def sort_words(
+    keys: Sequence[EvalValue],
+    orders,
+    capacity: int,
+    active,
+) -> Tuple[List, List[int]]:
+    """(words, bit_widths) for a multi-key sort, most significant first.
+
+    `orders` is a list of plan.SortOrder or None entries (None = grouping /
+    equality only). The leading word puts inactive rows last.
+    """
+    words: List = [(~active).astype(jnp.uint32)]
+    bits: List[int] = [1]
+    for i, v in enumerate(keys):
+        order = orders[i] if orders is not None else None
+        desc = order is not None and not order.ascending
+        vw = value_words(v, capacity)
+        if v.validity is not None:
+            null = ~v.full_validity(capacity)
+            nulls_first = order is not None and order.nulls_first
+            nw = jnp.where(null ^ nulls_first, jnp.uint32(1), jnp.uint32(0)) \
+                if order is not None else null.astype(jnp.uint32)
+            words.append(nw)
+            bits.append(1)
+            # canonicalize null lanes for deterministic output
+            vw = [jnp.where(null, jnp.uint32(0), w) for w in vw]
+        if desc:
+            vw = [~w for w in vw]
+        words.extend(vw)
+        bits.extend([32] * len(vw))
+    return words, bits
+
+
+def radix_sort_perm(words: List, bits: List[int], capacity: int,
+                    bits_per_pass: int = 8):
+    """Stable permutation sorting rows by unsigned words (lexicographic,
+    words[0] most significant). Pure cumsum/gather/scatter."""
+    n = capacity
+    iota = jnp.arange(n, dtype=jnp.int32)
+    perm = iota
+    for word, wb in zip(reversed(words), reversed(bits)):
+        w = word.astype(jnp.uint32)
+        for shift in range(0, wb, bits_per_pass):
+            width = min(bits_per_pass, wb - shift)
+            r = 1 << width
+            d = (w[perm] >> np.uint32(shift)) & np.uint32(r - 1)
+            if width == 1:
+                d_i = d.astype(jnp.int32)
+                ones_before = jnp.cumsum(d_i) - d_i
+                zeros_before = iota - ones_before
+                num_zero = n - jnp.sum(d_i)
+                pos = jnp.where(d_i == 0, zeros_before,
+                                num_zero + ones_before)
+            else:
+                buckets = jnp.arange(r, dtype=jnp.uint32)
+                oh = (d[None, :] == buckets[:, None])
+                ranks = jnp.cumsum(oh.astype(jnp.int32), axis=1)
+                counts = ranks[:, -1]
+                base = jnp.cumsum(counts) - counts
+                pos = base[d] + ranks[d, iota] - 1
+            perm = jnp.zeros((n,), jnp.int32).at[pos].set(perm)
+    return perm
+
+
+def sort_permutation(keys, orders, capacity, active):
+    """Permutation putting active rows first, ordered by keys (stable)."""
+    words, bits = sort_words(keys, orders, capacity, active)
+    return radix_sort_perm(words, bits, capacity)

@@ -1,0 +1,420 @@
+"""Distributed (multi-chip) plan execution over a jax.sharding.Mesh.
+
+Role parity: the multi-task topology of the reference — N Driver threads
+pulling splits (velox/exec/Task.h:166), LocalPartition/PartitionedOutput
+exchanges between pipelines (SURVEY.md §2.9) — collapsed onto a device mesh:
+
+* **split/data parallelism**: scan splits are grouped into waves of
+  ``n_devices``; each wave is a stacked (n, cap) batch sharded on the mesh's
+  data axis. Per-shard work (filter/project/partial agg/probe) runs as one
+  vmapped jitted program — XLA SPMD partitions it with zero communication.
+* **exchange**: aggregation finalization repartitions partial group states
+  with an ICI ``all_to_all`` (exchange.py) so each device owns a hash range
+  of the keys — the PartitionedOutput/Exchange analogue. Global (keyless)
+  aggregates finalize with ``psum``/``pmax``/``pmin``.
+* **broadcast join**: the build side is all_gather'd so every device probes
+  a replicated table — the reference's broadcast-join strategy; partitioned
+  joins ride the same all_to_all exchange.
+
+The same code runs on a virtual CPU mesh (tests, dryrun) and real chips.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from velox_tpu import types as T
+from velox_tpu.core import expressions as ex
+from velox_tpu.core import plan as Pn
+from velox_tpu.exec.aggregation import AggregationOperator
+from velox_tpu.exec.batch_utils import concat_batches
+from velox_tpu.exec.join import HashBuildStage, HashJoinOperator
+from velox_tpu.exec.operator import FilterProjectOperator
+from velox_tpu.exec.orderby import TopNOperator, sort_batch
+from velox_tpu.parallel import exchange as X
+from velox_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from velox_tpu.vector.device import DeviceBatch, DeviceColumn
+
+
+def _stack_batches(batches: List[DeviceBatch], mesh: Mesh) -> DeviceBatch:
+    """Stack per-device batches -> leading-axis-sharded stacked batch."""
+    n = len(batches)
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    def stack(arrs):
+        return jax.device_put(jnp.stack(arrs), sharding)
+
+    names = batches[0].names
+    cols: Dict[str, DeviceColumn] = {}
+    for name in names:
+        cs = [b.columns[name] for b in batches]
+        data = stack([c.data for c in cs])
+        validity = None
+        if any(c.validity is not None for c in cs):
+            validity = stack([
+                c.validity if c.validity is not None
+                else jnp.ones((b.capacity,), bool)
+                for c, b in zip(cs, batches)])
+        cols[name] = DeviceColumn(data, validity, cs[0].dtype,
+                                  cs[0].dictionary)
+    mask = stack([b.mask for b in batches])
+    return DeviceBatch(cols, mask)
+
+
+def _empty_like_schema(row_type: T.DataType, capacity: int,
+                       dictionaries) -> DeviceBatch:
+    cols = {}
+    for name, dt in zip(row_type.names, row_type.children):
+        cols[name] = DeviceColumn(
+            jnp.zeros((capacity,), dt.np_dtype()), None, dt,
+            dictionaries.get(name))
+    return DeviceBatch(cols, jnp.zeros((capacity,), bool))
+
+
+def _unstack(batch: DeviceBatch) -> DeviceBatch:
+    """(n, cap) stacked batch -> flat (n*cap,) batch (host-side gather)."""
+    def flat(a):
+        return a.reshape((-1,) + a.shape[2:])
+
+    cols = {
+        n: DeviceColumn(flat(c.data),
+                        flat(c.validity) if c.validity is not None else None,
+                        c.dtype, c.dictionary)
+        for n, c in batch.columns.items()
+    }
+    return DeviceBatch(cols, flat(batch.mask))
+
+
+class DistributedTask:
+    """Executes one plan over all devices of a mesh.
+
+    Parity: velox Task in parallel mode (Task::start, exec/Task.h:172) —
+    drivers become mesh shards, exchanges become collectives.
+    """
+
+    def __init__(self, plan: Pn.PlanNode, mesh: Optional[Mesh] = None,
+                 ctx=None):
+        from velox_tpu.exec.task import QueryCtx
+        self.plan = plan
+        self.mesh = mesh or make_mesh()
+        self.n = self.mesh.devices.size
+        self.ctx = ctx or QueryCtx()
+
+    # -- public ---------------------------------------------------------------
+
+    def run(self):
+        import pyarrow as pa
+        from velox_tpu.vector.device import to_arrow
+        tables = [to_arrow(_unstack(b)) for b in self._run_node(self.plan)]
+        if not tables:
+            schema = T.to_arrow(self.plan.output_type())
+            return pa.table({n: pa.array([], type=f.type)
+                             for n, f in zip(schema.names, schema)})
+        return pa.concat_tables(tables)
+
+    # -- plan walk (stacked (n, cap) batches, sharded on axis d) --------------
+
+    def _run_node(self, node: Pn.PlanNode) -> Iterator[DeviceBatch]:
+        if isinstance(node, Pn.TableScanNode):
+            yield from self._run_scan(node)
+        elif isinstance(node, Pn.ValuesNode):
+            yield from self._run_values(node)
+        elif isinstance(node, Pn.FilterNode):
+            ot = node.output_type()
+            identity = [ex.field(n, t) for n, t in zip(ot.names, ot.children)]
+            op = FilterProjectOperator(node, node.predicate, ot.names,
+                                       identity)
+            yield from self._map_shards(node.source, op)
+        elif isinstance(node, Pn.ProjectNode):
+            op = FilterProjectOperator(node, None, node.names,
+                                       list(node.expressions))
+            yield from self._map_shards(node.source, op)
+        elif isinstance(node, Pn.AggregationNode):
+            yield from self._run_aggregation(node)
+        elif isinstance(node, Pn.HashJoinNode):
+            yield from self._run_join(node)
+        elif isinstance(node, Pn.TopNNode):
+            yield from self._run_topn(node)
+        elif isinstance(node, (Pn.LocalPartitionNode,
+                               Pn.PartitionedOutputNode)):
+            yield from self._run_repartition(node)
+        else:
+            raise NotImplementedError(
+                f"distributed operator for {type(node).__name__}")
+
+    # -- sources ---------------------------------------------------------------
+
+    def _run_scan(self, node: Pn.TableScanNode) -> Iterator[DeviceBatch]:
+        from velox_tpu.connectors.connector import get_connector
+        conn = get_connector(node.connector_id)
+        source = conn.create_data_source(node.table, node.columns, self.ctx)
+        splits = self.ctx.get(f"splits.{node.id}") \
+            or conn.default_splits(node.table, self.ctx)
+        dicts = source.dictionaries()
+
+        filter_op = None
+        if node.filter is not None:
+            ot = node.output_type()
+            identity = [ex.field(n, t) for n, t in zip(ot.names, ot.children)]
+            filter_op = FilterProjectOperator(node, node.filter, ot.names,
+                                              identity)
+
+        for lo in range(0, len(splits), self.n):
+            wave = splits[lo:lo + self.n]
+            batches = []
+            for s in wave:
+                parts = []
+                while True:
+                    b = source.next(s)
+                    if b is None:
+                        break
+                    parts.append(b)
+                if len(parts) == 1:
+                    batches.append(parts[0])
+                elif parts:
+                    batches.append(concat_batches(parts))
+            if not batches:
+                continue
+            cap = batches[0].capacity
+            while len(batches) < self.n:
+                batches.append(_empty_like_schema(
+                    node.output_type(), cap, dicts))
+            stacked = _stack_batches(batches, self.mesh)
+            if filter_op is not None:
+                stacked = self._vmapped(filter_op)(stacked)
+            yield stacked
+
+    def _run_values(self, node: Pn.ValuesNode) -> Iterator[DeviceBatch]:
+        from velox_tpu.vector.device import from_arrow
+        tables = list(node.tables)
+        for lo in range(0, len(tables), self.n):
+            wave = tables[lo:lo + self.n]
+            batches = [t if isinstance(t, DeviceBatch) else from_arrow(t)
+                       for t in wave]
+            cap = max(b.capacity for b in batches)
+            batches = [b if b.capacity == cap else _pad_batch(b, cap)
+                       for b in batches]
+            while len(batches) < self.n:
+                batches.append(_empty_like_schema(node.row_type, cap, {}))
+            yield _stack_batches(batches, self.mesh)
+
+    # -- per-shard map ----------------------------------------------------------
+
+    def _vmapped(self, op) -> "callable":
+        fn = op._fn if isinstance(op, FilterProjectOperator) else op
+        return jax.jit(jax.vmap(fn))
+
+    def _map_shards(self, source: Pn.PlanNode, op) -> Iterator[DeviceBatch]:
+        fn = self._vmapped(op)
+        for stacked in self._run_node(source):
+            yield fn(stacked)
+
+    # -- aggregation -------------------------------------------------------------
+
+    def _run_aggregation(self, node: Pn.AggregationNode
+                         ) -> Iterator[DeviceBatch]:
+        op = AggregationOperator(node)
+        if not node.grouping_keys:
+            yield self._run_global_aggregation(node, op)
+            return
+        partial_fn = jax.jit(jax.vmap(op._partial_step))
+        partials: List[DeviceBatch] = []
+        for stacked in self._run_node(node.source):
+            partials.append(partial_fn(stacked))
+        if not partials:
+            return
+        # local merge of all partial waves (per device, no communication)
+        merged = jax.jit(jax.vmap(
+            lambda b: op._compact_step(b)))(
+                _concat_stacked(partials))
+        # exchange so each device owns hash-range of keys, then finalize
+        key_names = [k.name for k in node.grouping_keys]
+        n = self.n
+
+        def finalize(local: DeviceBatch) -> DeviceBatch:
+            local = _squeeze0(local)
+            ex_batch = X.repartition_all_to_all(
+                local, key_names, n, DATA_AXIS)
+            out = op._merge_step(ex_batch)
+            return _expand0(out)
+
+        fin = jax.jit(
+            jax.shard_map(
+                finalize, mesh=self.mesh,
+                in_specs=P(DATA_AXIS),
+                out_specs=P(DATA_AXIS),
+                check_vma=False))
+        yield fin(merged)
+
+    def _run_global_aggregation(self, node, op) -> DeviceBatch:
+        # per-shard accumulation then cross-device reduction of state
+        raw = node.step in (Pn.AggregationStep.PARTIAL,
+                            Pn.AggregationStep.SINGLE)
+
+        def local_state(stacked: DeviceBatch):
+            def one(batch):
+                _, addends, _ = op._eval_keys_and_addends(batch, raw)
+                outs = []
+                for (data, combine) in addends:
+                    if combine == "sum":
+                        outs.append(jnp.sum(data))
+                    elif combine == "min":
+                        outs.append(jnp.min(data))
+                    else:
+                        outs.append(jnp.max(data))
+                return outs
+            return jax.vmap(one)(stacked)  # [n_states] of (n,)
+
+        fn = jax.jit(local_state)
+        combines = [st.combine for agg in op._aggs for st in agg.states]
+        total: Optional[List] = None
+        for stacked in self._run_node(node.source):
+            states = fn(stacked)
+            if total is None:
+                total = states
+            else:
+                total = [
+                    t + s if c == "sum"
+                    else (jnp.minimum(t, s) if c == "min"
+                          else jnp.maximum(t, s))
+                    for t, s, c in zip(total, states, combines)]
+        if total is None:
+            op._accumulate_empty_global()
+        else:
+            # reduce the per-device partials (device-count-sized, tiny)
+            op._global_state = [
+                jnp.sum(t) if c == "sum"
+                else (jnp.min(t) if c == "min" else jnp.max(t))
+                for t, c in zip(total, combines)]
+        out = op._extract_global()
+        return _stack_batches([out] + [
+            out.with_mask(jnp.zeros_like(out.mask))
+            for _ in range(self.n - 1)], self.mesh)
+
+    # -- join ---------------------------------------------------------------------
+
+    def _run_join(self, node: Pn.HashJoinNode) -> Iterator[DeviceBatch]:
+        # broadcast join: gather the distributed build side onto every
+        # device, build a replicated table, probe shards locally.
+        build_parts = [b for b in self._run_node(node.right)]
+        if not build_parts:
+            raise RuntimeError("empty build side")
+        stacked_build = _concat_stacked(build_parts)
+        n = self.n
+
+        def gather(local):
+            return _expand0(X.broadcast_gather(_squeeze0(local), n,
+                                               DATA_AXIS))
+
+        gathered = jax.jit(
+            jax.shard_map(
+                gather, mesh=self.mesh, in_specs=P(DATA_AXIS),
+                out_specs=P(DATA_AXIS), check_vma=False))(stacked_build)
+        # every shard now holds the full build side: build once on shard 0's
+        # copy (they are identical) and share the table.
+        build_stage = HashBuildStage(node.right_keys)
+        build_stage.add_input(_take0(gathered))
+        table = build_stage.finish()
+
+        probe = HashJoinOperator(node)
+        probe.set_built_table(table)
+        probe_fn = jax.jit(jax.vmap(lambda b: probe._probe(b, table)))
+        for stacked in self._run_node(node.left):
+            yield probe_fn(stacked)
+
+    # -- topN ----------------------------------------------------------------------
+
+    def _run_topn(self, node: Pn.TopNNode) -> Iterator[DeviceBatch]:
+        op = TopNOperator(node)
+        merge_fn = None
+        buf: Optional[DeviceBatch] = None
+        for stacked in self._run_node(node.source):
+            if merge_fn is None:
+                merge_fn = jax.jit(jax.vmap(op._merge_fn))
+            buf = merge_fn(buf, stacked) if buf is not None else \
+                merge_fn(None, stacked)
+        if buf is None:
+            return
+        # gather per-device top-k candidates, final top-k on one pass
+        n = self.n
+        keys, orders, count = list(node.keys), list(node.orders), node.count
+
+        def final(local):
+            local = _squeeze0(local)
+            allb = X.broadcast_gather(local, n, DATA_AXIS)
+            s = sort_batch(allb, keys, orders)
+            iota = jnp.arange(s.capacity, dtype=jnp.int32)
+            keep = s.mask & (jnp.cumsum(s.mask.astype(jnp.int32))
+                             <= count)
+            # only device 0 emits
+            dev = jax.lax.axis_index(DATA_AXIS)
+            keep = keep & (dev == 0)
+            return _expand0(s.with_mask(keep))
+
+        fin = jax.jit(
+            jax.shard_map(final, mesh=self.mesh, in_specs=P(DATA_AXIS),
+                          out_specs=P(DATA_AXIS), check_vma=False))
+        yield fin(buf)
+
+    # -- repartition ------------------------------------------------------------------
+
+    def _run_repartition(self, node) -> Iterator[DeviceBatch]:
+        key_names = [k.name if isinstance(k, ex.FieldAccess) else None
+                     for k in node.keys]
+        if not key_names or any(k is None for k in key_names):
+            # gather / round-robin kinds: pass through (already sharded)
+            yield from self._run_node(node.source)
+            return
+        n = self.n
+
+        def repart(local):
+            local = _squeeze0(local)
+            out = X.repartition_all_to_all(local, key_names, n, DATA_AXIS)
+            return _expand0(out)
+
+        fn = jax.jit(
+            jax.shard_map(repart, mesh=self.mesh, in_specs=P(DATA_AXIS),
+                          out_specs=P(DATA_AXIS), check_vma=False))
+        for stacked in self._run_node(node.source):
+            yield fn(stacked)
+
+
+# -- small pytree helpers -------------------------------------------------------
+
+
+def _squeeze0(b: DeviceBatch) -> DeviceBatch:
+    return jax.tree_util.tree_map(lambda a: a[0], b)
+
+
+def _expand0(b: DeviceBatch) -> DeviceBatch:
+    return jax.tree_util.tree_map(lambda a: a[None], b)
+
+
+def _take0(b: DeviceBatch) -> DeviceBatch:
+    return jax.tree_util.tree_map(lambda a: a[0], b)
+
+
+def _concat_stacked(batches: List[DeviceBatch]) -> DeviceBatch:
+    """Concatenate stacked (n, cap_i) batches along the capacity axis."""
+    if len(batches) == 1:
+        return batches[0]
+    return jax.tree_util.tree_map(
+        lambda *arrs: jnp.concatenate(arrs, axis=1), *batches)
+
+
+def _pad_batch(b: DeviceBatch, cap: int) -> DeviceBatch:
+    def pad(a):
+        out = jnp.zeros((cap,) + a.shape[1:], a.dtype)
+        return out.at[:a.shape[0]].set(a)
+    cols = {
+        n: DeviceColumn(pad(c.data),
+                        pad(c.validity) if c.validity is not None else None,
+                        c.dtype, c.dictionary)
+        for n, c in b.columns.items()
+    }
+    return DeviceBatch(cols, pad(b.mask))

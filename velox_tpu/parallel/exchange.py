@@ -1,0 +1,109 @@
+"""Distributed exchange: hash repartition over mesh collectives.
+
+Role parity: ``velox/exec/PartitionedOutput.h:149`` + ``OutputBuffer`` +
+``Exchange`` (SURVEY.md §3.5/§5.8) — the destination-buffered, ack-based
+pull shuffle. TPU-native redesign: partition+serialize becomes a device-side
+bucketize (radix partition by destination) and the wire protocol becomes a
+single ``lax.all_to_all`` over the mesh axis; backpressure/acks are replaced
+by fixed-size exchange windows with row-count headers (padding instead of
+credit), exactly the plan SURVEY.md §5.8 lays out.
+
+Current window sizing is the safe worst case (window = local capacity, i.e.
+any device may send its whole batch to one destination). Count-based
+windows + skew splitting are follow-up work; the API keeps the counts so the
+receiving side already masks padding away.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from velox_tpu.exec.hashtable import hash_rows
+from velox_tpu.exec.sort import radix_sort_perm
+from velox_tpu.expression.eval import EvalValue, value_from_column
+from velox_tpu.vector.device import DeviceBatch, DeviceColumn
+
+
+def partition_ids(keys: Sequence[EvalValue], capacity: int, n: int):
+    """Destination id per row = hash(keys) % n.
+    Parity: exec/HashPartitionFunction.h."""
+    h = hash_rows(keys, capacity)
+    return (h % np.uint32(n)).astype(jnp.int32)
+
+
+def repartition_all_to_all(batch: DeviceBatch, key_names: List[str],
+                           n: int, axis_name: str) -> DeviceBatch:
+    """Inside shard_map: exchange rows so each row lands on device
+    hash(key) % n. Returns the local received batch (capacity n * window).
+
+    The local batch is bucketized by destination with a radix pass (the
+    device-side analogue of Destination::advance serialization,
+    exec/PartitionedOutput.cpp:23-70), laid out into an (n, window) send
+    buffer, and exchanged with one all_to_all.
+    """
+    cap = batch.capacity
+    window = cap  # safe worst case; see module docstring
+    keys = [value_from_column(batch.columns[k]) for k in key_names]
+    dest = partition_ids(keys, cap, n)
+    dest = jnp.where(batch.mask, dest, jnp.int32(n))  # inactive -> dropped
+
+    # stable partition by destination (4-bit digits cover n <= 16 twice)
+    bits = max(1, int(np.ceil(np.log2(max(2, n + 1)))))
+    perm = radix_sort_perm([dest.astype(jnp.uint32)], [bits], cap)
+    dest_s = dest[perm]
+    counts = jax.ops.segment_sum(
+        jnp.ones((cap,), jnp.int32), dest_s, num_segments=n + 1)[:n]
+    offsets = jnp.cumsum(counts) - counts
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    # position within the (n, window) send buffer
+    within = iota - offsets[jnp.clip(dest_s, 0, n - 1)]
+    send_pos = jnp.where(dest_s < n,
+                         jnp.clip(dest_s, 0, n - 1) * window + within,
+                         jnp.int32(n * window))  # inactive dropped
+
+    def exchange_col(data):
+        send = jnp.zeros((n * window,) + data.shape[1:], data.dtype) \
+            .at[send_pos].set(data[perm], mode="drop")
+        send = send.reshape((n, window) + data.shape[1:])
+        recv = jax.lax.all_to_all(send, axis_name, split_axis=0,
+                                  concat_axis=0, tiled=False)
+        return recv.reshape((n * window,) + data.shape[1:])
+
+    recv_counts = jax.lax.all_to_all(
+        counts.reshape(n, 1), axis_name, split_axis=0, concat_axis=0,
+        tiled=False).reshape(n)
+    # received row i of block b is valid iff i < recv_counts[b]
+    pos_in_block = jnp.arange(n * window, dtype=jnp.int32) % window
+    block = jnp.arange(n * window, dtype=jnp.int32) // window
+    mask = pos_in_block < recv_counts[block]
+
+    cols: Dict[str, DeviceColumn] = {}
+    for name, col in batch.columns.items():
+        data = exchange_col(col.data)
+        validity = exchange_col(col.validity) \
+            if col.validity is not None else None
+        cols[name] = DeviceColumn(data, validity, col.dtype, col.dictionary)
+    return DeviceBatch(cols, mask)
+
+
+def broadcast_gather(batch: DeviceBatch, n: int,
+                     axis_name: str) -> DeviceBatch:
+    """Inside shard_map: all_gather every device's batch (broadcast join
+    build side / gather exchange). Returns capacity n * cap, replicated."""
+    cap = batch.capacity
+
+    def gather_col(data):
+        g = jax.lax.all_gather(data, axis_name, axis=0, tiled=False)
+        return g.reshape((n * cap,) + data.shape[1:])
+
+    cols = {}
+    for name, col in batch.columns.items():
+        data = gather_col(col.data)
+        validity = gather_col(col.validity) \
+            if col.validity is not None else None
+        cols[name] = DeviceColumn(data, validity, col.dtype, col.dictionary)
+    return DeviceBatch(cols, gather_col(batch.mask))
