@@ -63,30 +63,31 @@ def main():
         keep = b.mask & passed.full_data(b.capacity).astype(bool)
         if passed.validity is not None:
             keep = keep & passed.full_validity(b.capacity)
-        return jnp.sum(jnp.where(keep, rev.full_data(b.capacity), 0.0))
+        data = rev.full_data(b.capacity)
+        return jnp.sum(jnp.where(keep, data, jnp.zeros_like(data)))
 
-    # warm up (compile)
-    superstep(batches[0]).block_until_ready()
+    # Stack all batches into one (num_batches, cap) pytree: a full pass is
+    # ONE device dispatch (per-call dispatch latency dominates otherwise —
+    # the compiled superstep itself runs ~0.05 ms per 460K-row batch).
+    stacked = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *batches)
 
-    def run_all():
-        acc = None
-        for b in batches:
-            r = superstep(b)
-            acc = r if acc is None else acc + r
-        return acc.block_until_ready()
+    @jax.jit
+    def run_all(sb):
+        return jnp.sum(jax.vmap(superstep)(sb))
 
-    run_all()  # warm
-    n_iters = 5
+    result = run_all(stacked).block_until_ready()  # warm up (compile)
+    n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        result = run_all()
+        result = run_all(stacked)
+    result.block_until_ready()
     dt = (time.perf_counter() - t0) / n_iters
     rows_per_s = total_rows / dt
 
     # CPU baseline: identical computation, vectorized numpy over host data
-    # regenerated exactly (NOT round-tripped through the device: the TPU
-    # x64 path stores f64 as an f32+f32 pair with ~48-bit mantissa, so a
-    # download is 2 ulps off and flips boundary comparisons like >= 0.05).
+    # regenerated exactly. Money columns are DECIMAL(12,2) scaled ints, so
+    # both sides compute exact integer sums (device result must match
+    # bit-for-bit).
     n_orders = conn.num_index_rows("lineitem")
     host_parts = {c: [] for c in cols}
     step = 1 << 20
@@ -103,8 +104,8 @@ def main():
 
     def cpu_q6():
         m = ((host["l_shipdate"] >= d94) & (host["l_shipdate"] < d95)
-             & (host["l_discount"] >= 0.05) & (host["l_discount"] <= 0.07)
-             & (host["l_quantity"] < 24.0))
+             & (host["l_discount"] >= 5) & (host["l_discount"] <= 7)
+             & (host["l_quantity"] < 2400))
         return (host["l_extendedprice"] * host["l_discount"] * m).sum()
 
     cpu_result = cpu_q6()
@@ -114,9 +115,7 @@ def main():
     cpu_dt = (time.perf_counter() - t0) / 3
     cpu_rows_per_s = total_rows / cpu_dt
 
-    # tolerance covers the TPU's 48-bit f64 storage (see baseline comment)
-    assert abs(float(result) - float(cpu_result)) < 1e-6 * abs(cpu_result), \
-        (float(result), float(cpu_result))
+    assert int(result) == int(cpu_result), (int(result), int(cpu_result))
 
     print(json.dumps({
         "metric": "tpch_q6_sf1_rows_per_s",

@@ -4,16 +4,17 @@ Mirrors the reference's DuckDB-oracle strategy
 (velox/exec/tests/utils/QueryAssertions.h:216-258): generate the data once,
 run the plan through the engine, compute the expected result with pandas
 over the identical data, compare.
+
+Money columns are DECIMAL(12,2) scaled ints, so the oracle computes sums in
+exact int64 arithmetic (same as the engine) and only converts to float for
+the final comparison.
 """
 
 import numpy as np
 import pandas as pd
 import pytest
 
-from velox_tpu.connectors.connector import _CONNECTORS
-from velox_tpu.connectors.tpch import (
-    TPCH_SCHEMAS, TpchConnector, register_tpch,
-)
+from velox_tpu.connectors.tpch import TPCH_SCHEMAS, register_tpch
 from velox_tpu.exec.task import Task
 from velox_tpu.testing.plan_builder import PlanBuilder
 from velox_tpu.tpch import tpch_plan
@@ -46,6 +47,18 @@ def days(iso: str) -> int:
     return (np.datetime64(iso) - np.datetime64("1970-01-01")).astype(int)
 
 
+def as_float(series):
+    """Engine decimal outputs (python Decimal) -> float64."""
+    return np.asarray([float(x) for x in series])
+
+
+def div_round_half_up(s: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Engine's decimal avg: half-up integer division (aggregates.py)."""
+    s = s.astype(np.int64)
+    c = np.maximum(c.astype(np.int64), 1)
+    return np.where(s >= 0, (s + c // 2) // c, -((-s + c // 2) // c))
+
+
 def test_generator_split_invariance(conn):
     """Any split decomposition generates identical table contents."""
     g = conn.gen
@@ -64,38 +77,52 @@ def test_q6(conn, dfs):
     li = dfs["lineitem"]
     m = ((li.l_shipdate >= days("1994-01-01"))
          & (li.l_shipdate < days("1995-01-01"))
-         & (li.l_discount >= 0.05) & (li.l_discount <= 0.07)
-         & (li.l_quantity < 24))
-    expected = (li.l_extendedprice[m] * li.l_discount[m]).sum()
-    got = Task(tpch_plan(6)).run().to_pandas().revenue[0]
+         & (li.l_discount >= 5) & (li.l_discount <= 7)
+         & (li.l_quantity < 2400))
+    # revenue = sum(ext(s2) * disc(s2)) -> exact scale-4 int
+    expected = int((li.l_extendedprice[m].astype(np.int64)
+                    * li.l_discount[m].astype(np.int64)).sum()) / 1e4
+    got = float(Task(tpch_plan(6)).run().to_pandas().revenue[0])
     assert got == pytest.approx(expected, rel=1e-12)
 
 
 def test_q1(conn, dfs):
     li = dfs["lineitem"]
     f = li[li.l_shipdate <= days("1998-09-02")].copy()
-    f["disc_price"] = f.l_extendedprice * (1 - f.l_discount)
-    f["charge"] = f.disc_price * (1 + f.l_tax)
-    exp = (f.groupby(["l_returnflag", "l_linestatus"]).agg(
+    # engine decimal scales: qty s2, price s2, disc_price s4, charge s6
+    f["disc_price"] = f.l_extendedprice * (100 - f.l_discount)
+    f["charge"] = f.disc_price * (100 + f.l_tax)
+    g = f.groupby(["l_returnflag", "l_linestatus"]).agg(
         sum_qty=("l_quantity", "sum"),
         sum_base_price=("l_extendedprice", "sum"),
         sum_disc_price=("disc_price", "sum"),
         sum_charge=("charge", "sum"),
-        avg_qty=("l_quantity", "mean"),
-        avg_price=("l_extendedprice", "mean"),
-        avg_disc=("l_discount", "mean"),
-        count_order=("l_quantity", "size"))
-        .reset_index()
-        .sort_values(["l_returnflag", "l_linestatus"])
-        .reset_index(drop=True))
+        sum_disc=("l_discount", "sum"),
+        count_order=("l_quantity", "size")).reset_index()
+    exp = g.sort_values(["l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True)
     got = Task(tpch_plan(1)).run().to_pandas()
     assert len(got) == len(exp) >= 4  # A/F, N/F, N/O, R/F
     assert list(got.l_returnflag) == list(exp.l_returnflag)
     assert list(got.l_linestatus) == list(exp.l_linestatus)
-    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
-              "avg_qty", "avg_price", "avg_disc"):
-        np.testing.assert_allclose(got[c], exp[c], rtol=1e-9)
     np.testing.assert_array_equal(got.count_order, exp.count_order)
+    cnt = exp.count_order.to_numpy()
+    for col, scale in (("sum_qty", 2), ("sum_base_price", 2),
+                       ("sum_disc_price", 4), ("sum_charge", 6)):
+        np.testing.assert_allclose(
+            as_float(got[col]), exp[col].to_numpy() / 10.0 ** scale,
+            rtol=1e-12)
+    # decimal avg: exact half-up division at input scale
+    np.testing.assert_allclose(
+        as_float(got.avg_qty),
+        div_round_half_up(exp.sum_qty.to_numpy(), cnt) / 1e2, rtol=1e-12)
+    np.testing.assert_allclose(
+        as_float(got.avg_price),
+        div_round_half_up(exp.sum_base_price.to_numpy(), cnt) / 1e2,
+        rtol=1e-12)
+    np.testing.assert_allclose(
+        as_float(got.avg_disc),
+        div_round_half_up(exp.sum_disc.to_numpy(), cnt) / 1e2, rtol=1e-12)
 
 
 def test_q3(conn, dfs):
@@ -105,7 +132,8 @@ def test_q3(conn, dfs):
     o = od[(od.o_orderdate < d) & od.o_custkey.isin(c.c_custkey)]
     l = li[li.l_shipdate > d]
     j = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
-    j["rev"] = j.l_extendedprice * (1 - j.l_discount)
+    j["rev"] = (j.l_extendedprice.astype(np.int64)
+                * (100 - j.l_discount.astype(np.int64)))  # scale 4, exact
     g = j.groupby(["l_orderkey", "o_orderdate", "o_shippriority"],
                   as_index=False).rev.sum()
     exp = (g.sort_values(["rev", "o_orderdate"], ascending=[False, True])
@@ -113,7 +141,8 @@ def test_q3(conn, dfs):
     got = Task(tpch_plan(3)).run().to_pandas()
     assert len(got) == len(exp) > 0
     np.testing.assert_array_equal(got.l_orderkey, exp.l_orderkey)
-    np.testing.assert_allclose(got.revenue, exp.rev, rtol=1e-12)
+    np.testing.assert_allclose(as_float(got.revenue),
+                               exp.rev.to_numpy() / 1e4, rtol=1e-12)
     got_days = np.array(list(got.o_orderdate),
                         dtype="datetime64[D]").astype(int)
     np.testing.assert_array_equal(got_days, exp.o_orderdate.astype("int64"))
@@ -150,7 +179,7 @@ def _q18_variant(threshold: float):
 def test_q18(conn, dfs, threshold):
     li, od, cu = dfs["lineitem"], dfs["orders"], dfs["customer"]
     big = li.groupby("l_orderkey", as_index=False).l_quantity.sum()
-    big = big[big.l_quantity > threshold]
+    big = big[big.l_quantity > threshold * 100]  # scale 2
     j = (od.merge(big, left_on="o_orderkey", right_on="l_orderkey")
          .merge(cu, left_on="o_custkey", right_on="c_custkey"))
     exp = (j.sort_values(["o_totalprice", "o_orderdate"],
@@ -161,10 +190,11 @@ def test_q18(conn, dfs, threshold):
     if threshold < 300:
         assert len(got) > 0  # make sure the variant exercises real rows
     np.testing.assert_array_equal(got.o_orderkey, exp.o_orderkey)
-    np.testing.assert_allclose(got.quantity, exp.l_quantity, rtol=1e-12)
+    np.testing.assert_allclose(as_float(got.quantity),
+                               exp.l_quantity.to_numpy() / 1e2, rtol=1e-12)
     np.testing.assert_array_equal(got.c_name, exp.c_name)
-    np.testing.assert_allclose(got.o_totalprice, exp.o_totalprice,
-                               rtol=1e-12)
+    np.testing.assert_allclose(as_float(got.o_totalprice),
+                               exp.o_totalprice.to_numpy() / 1e2, rtol=1e-12)
 
 
 def test_q18_canonical_plan_builds(conn):

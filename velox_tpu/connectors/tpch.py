@@ -16,8 +16,10 @@ TPU-first departures:
   price formula from partkey) and value distributions but not its bit-exact
   streams. Correctness of the *engine* is validated against an in-process
   pandas oracle over identical generated data (see tests/).
-* Prices/discounts are float64 columns — same choice as the reference's own
-  tpch connector (velox/tpch/gen/TpchGen.h produces DOUBLE columns).
+* Prices/quantities/discounts are DECIMAL(12,2) columns stored as scaled
+  int64 (cents) — the TPC-H spec type. (The reference's TpchGen emits DOUBLE,
+  but TPU f64 is emulated as an f32 pair: ~48-bit precision, no exact
+  round-trip, ~100x slower than ints. Decimal-as-int is exact AND fast.)
 * Low-cardinality string columns (returnflag, linestatus, shipmode,
   mktsegment, orderpriority, ...) carry **static dictionaries** shared by all
   splits, which makes Q1-style group-bys take the dense array-mode path.
@@ -210,22 +212,24 @@ class _LineCols:
 
 def _gen_lines_flat(line_gid: np.ndarray, orderdate: np.ndarray,
                     sf: float) -> _LineCols:
-    """Generate line-level columns for global line ids (order_idx*8 + ln)."""
+    """Generate line-level columns for global line ids (order_idx*8 + ln).
+
+    Money/quantity columns are DECIMAL(12,2) scaled ints (cents): exact and
+    ~100x faster than f64 on TPU (f64 is emulated as an f32 pair)."""
     nparts = int(PARTS_PER_SF * sf)
     nsupp = int(SUPPLIERS_PER_SF * sf)
-    quantity = _uniform_int(_S["l_quantity"], line_gid, 1, 50)
+    qty_raw = _uniform_int(_S["l_quantity"], line_gid, 1, 50)
     partkey = _uniform_int(_S["l_partkey"], line_gid, 1, nparts)
     # dbgen: suppkey = (partkey + (i * (nsupp/4 + partkey/nsupp))) % nsupp + 1
     i4 = (line_gid % 4).astype(np.int64)
     suppkey = (partkey + i4 * (nsupp // 4 + partkey // nsupp)) % nsupp + 1
-    price_c = _part_price_cents(partkey) * quantity
-    extendedprice = price_c / 100.0
-    discount = _uniform_int(_S["l_discount"], line_gid, 0, 10) / 100.0
-    tax = _uniform_int(_S["l_tax"], line_gid, 0, 8) / 100.0
+    extendedprice = _part_price_cents(partkey) * qty_raw  # cents, scale 2
+    discount = _uniform_int(_S["l_discount"], line_gid, 0, 10)  # scale 2
+    tax = _uniform_int(_S["l_tax"], line_gid, 0, 8)  # scale 2
     shipdate = orderdate + _uniform_int(_S["l_shipdate"], line_gid, 1, 121)
     commitdate = orderdate + _uniform_int(_S["l_commit"], line_gid, 30, 90)
     receiptdate = shipdate + _uniform_int(_S["l_receipt"], line_gid, 1, 30)
-    return _LineCols(quantity.astype(np.float64), extendedprice,
+    return _LineCols(qty_raw * 100, extendedprice,
                      discount, tax,
                      shipdate.astype(np.int32),
                      commitdate.astype(np.int32),
@@ -426,20 +430,21 @@ class TpchTableGen:
         if need_lines:
             counts = line_count_at(oidx)
             odate64 = _order_date(oidx).astype(np.int64)
-            total = np.zeros(len(oidx), np.float64)
+            total = np.zeros(len(oidx), np.int64)  # scale-6 scaled int
             all_f = np.ones(len(oidx), bool)
             all_o = np.ones(len(oidx), bool)
             for j in range(7):  # max 7 lines; masked accumulation
                 has = counts > j
                 gid = oidx * 8 + j
                 lc = _gen_lines_flat(gid, odate64, self.sf)
-                line_total = (lc.extendedprice * (1.0 - lc.discount)
-                              * (1.0 + lc.tax))
-                total += np.where(has, line_total, 0.0)
+                # ext(s2) * (1-disc)(s2) * (1+tax)(s2) -> scale 6, exact
+                line_total = (lc.extendedprice * (100 - lc.discount)
+                              * (100 + lc.tax))
+                total += np.where(has, line_total, 0)
                 shipped = lc.shipdate <= _CURRENT_DATE
                 all_f &= ~has | shipped
                 all_o &= ~has | ~shipped
-            totalprice = np.round(total, 2)
+            totalprice = (total + 5000) // 10000  # half-up to scale 2
             status = np.where(all_f, 0, np.where(all_o, 1, 2)) \
                 .astype(np.int32)  # F=0, O=1, P=2
         out: Dict[str, np.ndarray] = {}
@@ -491,7 +496,7 @@ class TpchTableGen:
                 out[c] = custkey.astype(np.int32)
             elif c == "c_acctbal":
                 out[c] = _uniform_int(_S["c_acctbal"], cidx, -99999,
-                                      999999) / 100.0
+                                      999999)  # cents, scale 2
             elif c == "c_mktsegment":
                 out[c] = _uniform_int(_S["c_segment"], cidx, 0,
                                       len(MKT_SEGMENTS) - 1).astype(np.int32)
@@ -527,7 +532,7 @@ class TpchTableGen:
                 out[c] = _uniform_int(_S["p_container"], pidx, 0, 39) \
                     .astype(np.int32)
             elif c == "p_retailprice":
-                out[c] = _part_price_cents(partkey) / 100.0
+                out[c] = _part_price_cents(partkey)  # cents, scale 2
             elif c == "p_comment":
                 out[c] = _uniform_int(_S["p_comment"], pidx, 0,
                                       len(_WORDS) ** 2 - 1).astype(np.int32)
@@ -554,7 +559,7 @@ class TpchTableGen:
                 out[c] = suppkey.astype(np.int32)
             elif c == "s_acctbal":
                 out[c] = _uniform_int(_S["s_acctbal"], sidx, -99999,
-                                      999999) / 100.0
+                                      999999)  # cents, scale 2
             elif c == "s_comment":
                 out[c] = _uniform_int(_S["s_comment"], sidx, 0,
                                       len(_WORDS) ** 2 - 1).astype(np.int32)
@@ -578,7 +583,7 @@ class TpchTableGen:
                 out[c] = _uniform_int(_S["ps_availqty"], idx, 1, 9999)
             elif c == "ps_supplycost":
                 out[c] = _uniform_int(_S["ps_supplycost"], idx, 100,
-                                      100000) / 100.0
+                                      100000)  # cents, scale 2
             elif c == "ps_comment":
                 out[c] = _uniform_int(_S["ps_comment"], idx, 0,
                                       len(_WORDS) ** 2 - 1).astype(np.int32)
@@ -634,8 +639,13 @@ def _phone_fmt(i: int) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Schemas (TPC-H spec 1.4; types per velox/tpch/gen/TpchGen.h — DOUBLE money)
+# Schemas (TPC-H spec 1.4). Money/quantity columns are DECIMAL(12,2) — the
+# spec's type. (The reference's TpchGen uses DOUBLE, but TPU f64 is emulated
+# at ~48 bits and ~100x slower than ints, so decimal-as-int64 is both the
+# exact and the fast representation here.)
 # ---------------------------------------------------------------------------
+
+_MONEY = T.decimal(12, 2)
 
 TPCH_SCHEMAS: Dict[str, T.DataType] = {
     "lineitem": T.row(
@@ -644,34 +654,34 @@ TPCH_SCHEMAS: Dict[str, T.DataType] = {
          "l_returnflag", "l_linestatus", "l_shipdate", "l_commitdate",
          "l_receiptdate", "l_shipinstruct", "l_shipmode", "l_comment"],
         [T.BIGINT, T.BIGINT, T.BIGINT, T.INTEGER,
-         T.DOUBLE, T.DOUBLE, T.DOUBLE, T.DOUBLE,
+         _MONEY, _MONEY, _MONEY, _MONEY,
          T.VARCHAR, T.VARCHAR, T.DATE, T.DATE,
          T.DATE, T.VARCHAR, T.VARCHAR, T.VARCHAR]),
     "orders": T.row(
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
          "o_orderdate", "o_orderpriority", "o_clerk", "o_shippriority",
          "o_comment"],
-        [T.BIGINT, T.BIGINT, T.VARCHAR, T.DOUBLE, T.DATE, T.VARCHAR,
+        [T.BIGINT, T.BIGINT, T.VARCHAR, _MONEY, T.DATE, T.VARCHAR,
          T.VARCHAR, T.INTEGER, T.VARCHAR]),
     "customer": T.row(
         ["c_custkey", "c_name", "c_address", "c_nationkey", "c_phone",
          "c_acctbal", "c_mktsegment", "c_comment"],
-        [T.BIGINT, T.VARCHAR, T.VARCHAR, T.BIGINT, T.VARCHAR, T.DOUBLE,
+        [T.BIGINT, T.VARCHAR, T.VARCHAR, T.BIGINT, T.VARCHAR, _MONEY,
          T.VARCHAR, T.VARCHAR]),
     "part": T.row(
         ["p_partkey", "p_name", "p_mfgr", "p_brand", "p_type", "p_size",
          "p_container", "p_retailprice", "p_comment"],
         [T.BIGINT, T.VARCHAR, T.VARCHAR, T.VARCHAR, T.VARCHAR, T.BIGINT,
-         T.VARCHAR, T.DOUBLE, T.VARCHAR]),
+         T.VARCHAR, _MONEY, T.VARCHAR]),
     "supplier": T.row(
         ["s_suppkey", "s_name", "s_address", "s_nationkey", "s_phone",
          "s_acctbal", "s_comment"],
-        [T.BIGINT, T.VARCHAR, T.VARCHAR, T.BIGINT, T.VARCHAR, T.DOUBLE,
+        [T.BIGINT, T.VARCHAR, T.VARCHAR, T.BIGINT, T.VARCHAR, _MONEY,
          T.VARCHAR]),
     "partsupp": T.row(
         ["ps_partkey", "ps_suppkey", "ps_availqty", "ps_supplycost",
          "ps_comment"],
-        [T.BIGINT, T.BIGINT, T.BIGINT, T.DOUBLE, T.VARCHAR]),
+        [T.BIGINT, T.BIGINT, T.BIGINT, _MONEY, T.VARCHAR]),
     "nation": T.row(
         ["n_nationkey", "n_name", "n_regionkey", "n_comment"],
         [T.BIGINT, T.VARCHAR, T.BIGINT, T.VARCHAR]),

@@ -234,7 +234,19 @@ class Parser:
         t = self.next()
         if t.kind == "num":
             txt = t.value
-            if "." in txt or "e" in txt or "E" in txt:
+            if "e" in txt or "E" in txt:
+                return ex.lit(float(txt))
+            if "." in txt:
+                # Exact numeric literals are DECIMAL (standard SQL / Presto
+                # semantics) — critical on TPU where f64 is emulated at
+                # ~48-bit precision and ~100x slower than ints.
+                int_part, frac = txt.split(".", 1)
+                s = len(frac)
+                digits = (int_part + frac).lstrip("0") or "0"
+                p = max(len(digits), s + 1)
+                if p <= 18:
+                    return ex.Constant(T.decimal(p, s),
+                                       int((int_part + frac) or "0"))
                 return ex.lit(float(txt))
             val = int(txt)
             dtype = T.INTEGER if -2**31 <= val < 2**31 else T.BIGINT
