@@ -1,0 +1,234 @@
+"""Hash join tests: all join types, unique + duplicate build keys, nulls.
+
+Oracle: pandas merges over the same data (parity with the reference's
+HashJoinTest.cpp + DuckDB assertions).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from velox_tpu.exec.task import Task
+from velox_tpu.testing.plan_builder import PlanBuilder
+
+
+def run_plan(plan):
+    return Task(plan).run().to_pandas()
+
+
+def make_tables(dup_build: bool, with_nulls: bool, seed=7):
+    rng = np.random.RandomState(seed)
+    n_probe, n_build = 500, 200
+    probe_keys = rng.randint(0, 100, n_probe).astype("int64")
+    if dup_build:
+        build_keys = rng.randint(0, 60, n_build).astype("int64")
+    else:
+        build_keys = rng.permutation(150)[:n_build // 2].astype("int64")
+    probe = pd.DataFrame({
+        "pk": probe_keys,
+        "pv": rng.randint(0, 1000, n_probe).astype("int64"),
+    })
+    build = pd.DataFrame({
+        "bk": build_keys,
+        "bv": rng.randint(0, 1000, len(build_keys)).astype("int64"),
+    })
+    if with_nulls:
+        probe.loc[rng.rand(len(probe)) < 0.1, "pk"] = None
+        build.loc[rng.rand(len(build)) < 0.1, "bk"] = None
+        probe["pk"] = probe["pk"].astype("Int64")
+        build["bk"] = build["bk"].astype("Int64")
+    return probe, build
+
+
+def to_arrow(df):
+    return pa.table(df)
+
+
+def build_join_plan(probe, build, join_type, output):
+    b = PlanBuilder()
+    bb = b.new_builder().values([to_arrow(build)])
+    return (
+        b.values([to_arrow(probe)])
+        .hash_join(["pk"], ["bk"], bb, output=output, join_type=join_type)
+        .plan()
+    )
+
+
+def _sorted(df, cols):
+    return (df.sort_values(cols).reset_index(drop=True))
+
+
+@pytest.mark.parametrize("dup", [False, True])
+@pytest.mark.parametrize("nulls", [False, True])
+def test_inner_join(dup, nulls):
+    probe, build = make_tables(dup, nulls)
+    plan = build_join_plan(probe, build, "inner", ["pk", "pv", "bk", "bv"])
+    got = run_plan(plan)
+    # SQL join semantics: NULL keys never match (pandas merge joins NAs)
+    exp = probe.merge(build.dropna(subset=["bk"]),
+                      left_on="pk", right_on="bk")
+    assert len(got) == len(exp)
+    cols = ["pk", "pv", "bk", "bv"]
+    g = _sorted(got, cols)
+    e = _sorted(exp, cols)
+    for c in cols:
+        np.testing.assert_array_equal(
+            g[c].to_numpy(dtype="float64"), e[c].to_numpy(dtype="float64"))
+
+
+@pytest.mark.parametrize("dup", [False, True])
+@pytest.mark.parametrize("nulls", [False, True])
+def test_left_join(dup, nulls):
+    probe, build = make_tables(dup, nulls)
+    plan = build_join_plan(probe, build, "left", ["pk", "pv", "bv"])
+    got = run_plan(plan)
+    exp = probe.merge(build.dropna(subset=["bk"]),
+                      left_on="pk", right_on="bk", how="left")
+    assert len(got) == len(exp)
+    cols = ["pk", "pv", "bv"]
+    g = _sorted(got, cols)
+    e = _sorted(exp, cols)
+    for c in cols:
+        ga = g[c].to_numpy(dtype="float64", na_value=np.nan)
+        ea = e[c].to_numpy(dtype="float64", na_value=np.nan)
+        np.testing.assert_array_equal(np.isnan(ga), np.isnan(ea))
+        np.testing.assert_array_equal(ga[~np.isnan(ga)], ea[~np.isnan(ea)])
+
+
+@pytest.mark.parametrize("dup", [False, True])
+@pytest.mark.parametrize("nulls", [False, True])
+def test_right_join(dup, nulls):
+    probe, build = make_tables(dup, nulls)
+    plan = build_join_plan(probe, build, "right", ["pv", "bk", "bv"])
+    got = run_plan(plan)
+    exp = probe.dropna(subset=["pk"]).merge(
+        build, left_on="pk", right_on="bk", how="right")
+    assert len(got) == len(exp)
+    cols = ["pv", "bk", "bv"]
+    g = _sorted(got, cols)
+    e = _sorted(exp, cols)
+    for c in cols:
+        ga = g[c].to_numpy(dtype="float64", na_value=np.nan)
+        ea = e[c].to_numpy(dtype="float64", na_value=np.nan)
+        np.testing.assert_array_equal(np.isnan(ga), np.isnan(ea))
+        np.testing.assert_array_equal(ga[~np.isnan(ga)], ea[~np.isnan(ea)])
+
+
+@pytest.mark.parametrize("dup", [False, True])
+def test_full_join(dup):
+    probe, build = make_tables(dup, False)
+    plan = build_join_plan(probe, build, "full", ["pk", "pv", "bk", "bv"])
+    got = run_plan(plan)
+    exp = probe.merge(build, left_on="pk", right_on="bk", how="outer")
+    assert len(got) == len(exp)
+    cols = ["pk", "pv", "bk", "bv"]
+    g = _sorted(got, cols)
+    e = _sorted(exp, cols)
+    for c in cols:
+        ga = g[c].to_numpy(dtype="float64", na_value=np.nan)
+        ea = e[c].to_numpy(dtype="float64", na_value=np.nan)
+        np.testing.assert_array_equal(np.isnan(ga), np.isnan(ea))
+        np.testing.assert_array_equal(ga[~np.isnan(ga)], ea[~np.isnan(ea)])
+
+
+@pytest.mark.parametrize("dup", [False, True])
+def test_left_semi(dup):
+    probe, build = make_tables(dup, False)
+    plan = build_join_plan(probe, build, "left_semi_filter", ["pk", "pv"])
+    got = run_plan(plan)
+    exp = probe[probe.pk.isin(build.bk)]
+    assert len(got) == len(exp)
+    g = _sorted(got, ["pk", "pv"])
+    e = _sorted(exp, ["pk", "pv"])
+    np.testing.assert_array_equal(g.pk, e.pk)
+    np.testing.assert_array_equal(g.pv, e.pv)
+
+
+@pytest.mark.parametrize("dup", [False, True])
+def test_right_semi(dup):
+    probe, build = make_tables(dup, False)
+    plan = build_join_plan(probe, build, "right_semi_filter", ["bk", "bv"])
+    got = run_plan(plan)
+    exp = build[build.bk.isin(probe.pk)]
+    assert len(got) == len(exp)
+    g = _sorted(got, ["bk", "bv"])
+    e = _sorted(exp, ["bk", "bv"])
+    np.testing.assert_array_equal(g.bk, e.bk)
+    np.testing.assert_array_equal(g.bv, e.bv)
+
+
+@pytest.mark.parametrize("dup", [False, True])
+def test_anti(dup):
+    probe, build = make_tables(dup, False)
+    plan = build_join_plan(probe, build, "anti", ["pk", "pv"])
+    got = run_plan(plan)
+    exp = probe[~probe.pk.isin(build.bk)]
+    assert len(got) == len(exp)
+    g = _sorted(got, ["pk", "pv"])
+    e = _sorted(exp, ["pk", "pv"])
+    np.testing.assert_array_equal(g.pk, e.pk)
+
+
+def test_inner_join_filter():
+    probe, build = make_tables(True, False)
+    b = PlanBuilder()
+    bb = b.new_builder().values([to_arrow(build)])
+    plan = (
+        b.values([to_arrow(probe)])
+        .hash_join(["pk"], ["bk"], bb, output=["pk", "pv", "bv"],
+                   join_type="inner", filter="pv > bv")
+        .plan()
+    )
+    got = run_plan(plan)
+    exp = probe.merge(build, left_on="pk", right_on="bk")
+    exp = exp[exp.pv > exp.bv]
+    assert len(got) == len(exp)
+    cols = ["pk", "pv", "bv"]
+    g = _sorted(got, cols)
+    e = _sorted(exp, cols)
+    for c in cols:
+        np.testing.assert_array_equal(g[c], e[c])
+
+
+def test_multi_key_join():
+    rng = np.random.RandomState(3)
+    probe = pd.DataFrame({
+        "k1": rng.randint(0, 10, 300).astype("int64"),
+        "k2": rng.randint(0, 10, 300).astype("int64"),
+        "pv": np.arange(300, dtype="int64"),
+    })
+    build = pd.DataFrame({
+        "b1": np.repeat(np.arange(10, dtype="int64"), 10),
+        "b2": np.tile(np.arange(10, dtype="int64"), 10),
+        "bv": np.arange(100, dtype="int64"),
+    })
+    b = PlanBuilder()
+    bb = b.new_builder().values([to_arrow(build)])
+    plan = (
+        b.values([to_arrow(probe)])
+        .hash_join(["k1", "k2"], ["b1", "b2"], bb,
+                   output=["k1", "k2", "pv", "bv"])
+        .plan()
+    )
+    got = run_plan(plan)
+    exp = probe.merge(build, left_on=["k1", "k2"], right_on=["b1", "b2"])
+    assert len(got) == len(exp)
+    cols = ["k1", "k2", "pv", "bv"]
+    g = _sorted(got, cols)
+    e = _sorted(exp, cols)
+    for c in cols:
+        np.testing.assert_array_equal(g[c], e[c])
+
+
+def test_expanding_join_multiple_chunks():
+    """Output larger than probe capacity forces multiple emit chunks."""
+    probe = pd.DataFrame({"pk": np.zeros(1000, "int64"),
+                          "pv": np.arange(1000, dtype="int64")})
+    build = pd.DataFrame({"bk": np.zeros(50, "int64"),
+                          "bv": np.arange(50, dtype="int64")})
+    plan = build_join_plan(probe, build, "inner", ["pv", "bv"])
+    got = run_plan(plan)
+    assert len(got) == 1000 * 50
+    assert got.pv.sum() == 50 * np.arange(1000).sum()
+    assert got.bv.sum() == 1000 * np.arange(50).sum()

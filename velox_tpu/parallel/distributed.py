@@ -323,7 +323,12 @@ class DistributedTask:
 
         probe = HashJoinOperator(node)
         probe.set_built_table(table)
-        probe_fn = jax.jit(jax.vmap(lambda b: probe._probe(b, table)))
+        if not probe._unique_build or probe._matched is not None:
+            raise NotImplementedError(
+                "distributed duplicate-key/right joins: expanding probe "
+                "needs per-shard chunk loops (planned)")
+        probe_fn = jax.jit(jax.vmap(
+            lambda b: probe._probe_fast(b, table)[0]))
         for stacked in self._run_node(node.left):
             yield probe_fn(stacked)
 
