@@ -252,6 +252,71 @@ class HashJoinNode(PlanNode):
 
 
 @dataclass(frozen=True)
+class WindowNode(PlanNode):
+    """Parity: core/PlanNode.h:2145 (partition/sort keys + window function
+    calls with ROWS/RANGE frames)."""
+    source: PlanNode = None
+    partition_keys: Tuple[ex.FieldAccess, ...] = ()
+    sort_keys: Tuple[ex.FieldAccess, ...] = ()
+    sort_orders: Tuple["SortOrder", ...] = ()
+    output_names: Tuple[str, ...] = ()
+    functions: tuple = ()  # WindowFunctionCall (exec/window.py)
+
+    @property
+    def sources(self):
+        return (self.source,)
+
+    def output_type(self):
+        st = self.source.output_type()
+        names = list(st.names) + list(self.output_names)
+        types = list(st.children) + [f.result_type for f in self.functions]
+        return T.row(names, types)
+
+
+@dataclass(frozen=True)
+class RowNumberNode(PlanNode):
+    """Parity: core/PlanNode.h:2276 (streaming partitioned row numbers,
+    optional per-partition limit)."""
+    source: PlanNode = None
+    partition_keys: Tuple[ex.FieldAccess, ...] = ()
+    row_number_column: Optional[str] = "row_number"
+    limit: Optional[int] = None
+
+    @property
+    def sources(self):
+        return (self.source,)
+
+    def output_type(self):
+        st = self.source.output_type()
+        if not self.row_number_column:
+            return st
+        return T.row(list(st.names) + [self.row_number_column],
+                     list(st.children) + [T.BIGINT])
+
+
+@dataclass(frozen=True)
+class TopNRowNumberNode(PlanNode):
+    """Parity: core/PlanNode.h:2391 (per-partition top-k by sort keys)."""
+    source: PlanNode = None
+    partition_keys: Tuple[ex.FieldAccess, ...] = ()
+    sort_keys: Tuple[ex.FieldAccess, ...] = ()
+    sort_orders: Tuple["SortOrder", ...] = ()
+    row_number_column: Optional[str] = None
+    limit: int = 1
+
+    @property
+    def sources(self):
+        return (self.source,)
+
+    def output_type(self):
+        st = self.source.output_type()
+        if not self.row_number_column:
+            return st
+        return T.row(list(st.names) + [self.row_number_column],
+                     list(st.children) + [T.BIGINT])
+
+
+@dataclass(frozen=True)
 class LocalPartitionNode(PlanNode):
     """In-process repartition. Parity: core/PlanNode.h:1171. On TPU this is
     a reshard across the chips of one host (mesh sub-axis)."""

@@ -115,6 +115,16 @@ class Task:
             yield from self._drive(node.source, LimitOperator(node))
         elif isinstance(node, P.HashJoinNode):
             yield from self._run_join(node)
+        elif isinstance(node, P.WindowNode):
+            from velox_tpu.exec.window import WindowOperator
+            yield from self._drive(node.source, WindowOperator(node))
+        elif isinstance(node, P.RowNumberNode):
+            from velox_tpu.exec.window import RowNumberOperator
+            yield from self._drive(node.source, RowNumberOperator(node))
+        elif isinstance(node, P.TopNRowNumberNode):
+            from velox_tpu.exec.window import TopNRowNumberOperator
+            yield from self._drive(node.source,
+                                   TopNRowNumberOperator(node))
         elif isinstance(node, P.LocalPartitionNode):
             # single-task serial mode: pass-through (parallel layer handles
             # the sharded form)

@@ -183,6 +183,72 @@ class PlanBuilder:
                                  offset=offset, count=count)
         return self
 
+    # ---- window ----------------------------------------------------------------
+
+    def window(self, partition_keys, sort_keys, functions,
+               frame=None) -> "PlanBuilder":
+        """functions: 'name(args...) as out' strings; frame: WindowFrame
+        applied to all frame-based functions (default RANGE UNBOUNDED
+        PRECEDING -> CURRENT ROW)."""
+        from velox_tpu.exec.window import (
+            DEFAULT_FRAME, WindowFunctionCall,
+        )
+        rt = self._node.output_type()
+        pk = tuple(ex.field(k, rt.field_type(k)) for k in partition_keys)
+        sk, orders = self._parse_orders(sort_keys)
+        names, calls = [], []
+        for i, text in enumerate(functions):
+            m = _AGG_RE.match(text)
+            if not m:
+                raise ValueError(f"cannot parse window function {text!r}")
+            fname, arg_text, out_name = m.groups()
+            fname = fname.lower()
+            args = tuple(
+                parse_expression(a.strip(), rt)
+                for a in _split_args(arg_text.strip()) if a.strip())
+            result_type = self._window_result_type(fname, args)
+            names.append(out_name or f"w{i}")
+            calls.append(WindowFunctionCall(
+                name=fname, inputs=args, result_type=result_type,
+                frame=frame or DEFAULT_FRAME))
+        self._node = P.WindowNode(
+            self._ids.next(), source=self._node, partition_keys=pk,
+            sort_keys=sk, sort_orders=orders, output_names=tuple(names),
+            functions=tuple(calls))
+        return self
+
+    @staticmethod
+    def _window_result_type(fname, args):
+        from velox_tpu.functions.aggregates import resolve_aggregate
+        if fname in ("row_number", "rank", "dense_rank", "ntile"):
+            return T.BIGINT
+        if fname in ("percent_rank", "cume_dist"):
+            return T.DOUBLE
+        if fname in ("lead", "lag", "first_value", "last_value",
+                     "nth_value"):
+            return args[0].dtype
+        return resolve_aggregate(fname, [a.dtype for a in args]).result_type
+
+    def row_number(self, partition_keys, row_number_column="row_number",
+                   limit=None) -> "PlanBuilder":
+        rt = self._node.output_type()
+        pk = tuple(ex.field(k, rt.field_type(k)) for k in partition_keys)
+        self._node = P.RowNumberNode(
+            self._ids.next(), source=self._node, partition_keys=pk,
+            row_number_column=row_number_column, limit=limit)
+        return self
+
+    def top_n_row_number(self, partition_keys, sort_keys, limit,
+                         row_number_column=None) -> "PlanBuilder":
+        rt = self._node.output_type()
+        pk = tuple(ex.field(k, rt.field_type(k)) for k in partition_keys)
+        sk, orders = self._parse_orders(sort_keys)
+        self._node = P.TopNRowNumberNode(
+            self._ids.next(), source=self._node, partition_keys=pk,
+            sort_keys=sk, sort_orders=orders,
+            row_number_column=row_number_column, limit=limit)
+        return self
+
     # ---- joins -----------------------------------------------------------------
 
     def hash_join(self, left_keys, right_keys, build: "PlanBuilder",
