@@ -1,0 +1,160 @@
+"""Scalar + aggregate function tests (datetime arithmetic, misc math,
+variance family, min_by/max_by, bools) vs numpy/pandas oracles."""
+
+import datetime as pydt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from velox_tpu.exec.task import Task
+from velox_tpu.testing.plan_builder import PlanBuilder
+
+
+def run_exprs(df, projections):
+    plan = (PlanBuilder().values([pa.table(df)])
+            .project(projections).plan())
+    return Task(plan).run().to_pandas()
+
+
+def dates_df(n=200, seed=3):
+    rng = np.random.RandomState(seed)
+    days = rng.randint(0, 20000, n)
+    return pd.DataFrame({
+        "d": np.array(days, dtype="datetime64[D]"),
+        "n": rng.randint(-50, 50, n).astype("int64"),
+    })
+
+
+def test_date_parts():
+    df = dates_df()
+    got = run_exprs(df, ["year(d) as y", "month(d) as m", "day(d) as dd",
+                         "quarter(d) as q", "week(d) as w"])
+    ts = pd.DatetimeIndex(df.d)
+    np.testing.assert_array_equal(got.y, ts.year)
+    np.testing.assert_array_equal(got.m, ts.month)
+    np.testing.assert_array_equal(got.dd, ts.day)
+    np.testing.assert_array_equal(got.q, ts.quarter)
+    np.testing.assert_array_equal(got.w, ts.isocalendar().week.to_numpy())
+
+
+def test_date_add_diff():
+    df = dates_df()
+    got = run_exprs(df, [
+        "date_add('day', n, d) as ad",
+        "date_add('month', 2, d) as am",
+        "date_add('year', 1, d) as ay",
+        "date_diff('day', d, date '2000-01-01') as dd",
+    ])
+    base = pd.DatetimeIndex(df.d)
+    np.testing.assert_array_equal(
+        pd.DatetimeIndex(got.ad), base + pd.to_timedelta(df.n, "D"))
+    np.testing.assert_array_equal(
+        pd.DatetimeIndex(got.am), base + pd.DateOffset(months=2))
+    np.testing.assert_array_equal(
+        pd.DatetimeIndex(got.ay), base + pd.DateOffset(years=1))
+    exp_dd = (np.datetime64("2000-01-01") - df.d.to_numpy()) \
+        .astype("timedelta64[D]").astype(int)
+    np.testing.assert_array_equal(got.dd, exp_dd)
+
+
+def test_date_trunc():
+    df = dates_df()
+    got = run_exprs(df, ["date_trunc('month', d) as tm",
+                         "date_trunc('year', d) as ty",
+                         "date_trunc('week', d) as tw"])
+    ts = pd.DatetimeIndex(df.d)
+    np.testing.assert_array_equal(
+        pd.DatetimeIndex(got.tm), ts.to_period("M").to_timestamp())
+    np.testing.assert_array_equal(
+        pd.DatetimeIndex(got.ty), ts.to_period("Y").to_timestamp())
+    np.testing.assert_array_equal(
+        pd.DatetimeIndex(got.tw), ts.to_period("W-SUN").start_time)
+
+
+def test_nullif_and_math():
+    df = pd.DataFrame({"a": [1.0, 2.0, 3.0, 2.0],
+                       "b": [2.0, 2.0, 2.0, 3.0]})
+    got = run_exprs(df, ["nullif(a, b) as nf", "atan2(a, b) as a2",
+                         "log(2.0, a) as lg"])
+    assert got.nf.isna().tolist() == [False, True, False, False]
+    np.testing.assert_allclose(got.a2, np.arctan2(df.a, df.b), rtol=1e-12)
+    np.testing.assert_allclose(got.lg, np.log2(df.a), rtol=1e-12)
+
+
+def test_bitwise():
+    df = pd.DataFrame({"a": np.array([5, -3, 255, 0], "int64"),
+                       "b": np.array([3, 1, 15, 7], "int64")})
+    got = run_exprs(df, ["bitwise_and(a, b) as ba", "bitwise_or(a, b) as bo",
+                         "bitwise_xor(a, b) as bx",
+                         "bitwise_shift_left(a, b) as sl"])
+    np.testing.assert_array_equal(got.ba, df.a & df.b)
+    np.testing.assert_array_equal(got.bo, df.a | df.b)
+    np.testing.assert_array_equal(got.bx, df.a ^ df.b)
+    np.testing.assert_array_equal(
+        got.sl, df.a.to_numpy() << df.b.to_numpy())
+
+
+def agg_df(n=500, seed=9):
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame({
+        "g": rng.randint(0, 8, n).astype("int64"),
+        "x": rng.randn(n) * 10,
+        "i": rng.randint(-100, 100, n).astype("int64"),
+        "b": rng.rand(n) > 0.5,
+    })
+
+
+def run_agg(df, aggregates, keys=("g",)):
+    plan = (PlanBuilder().values([pa.table(df)])
+            .single_aggregation(list(keys), aggregates)
+            .order_by([k for k in keys]).plan())
+    return Task(plan).run().to_pandas()
+
+
+def test_variance_stddev():
+    df = agg_df()
+    got = run_agg(df, ["var_samp(x) as vs", "var_pop(x) as vp",
+                       "stddev(x) as sd", "stddev_pop(x) as sp"])
+    e = df.groupby("g").x.agg(["var", lambda s: s.var(ddof=0), "std",
+                               lambda s: s.std(ddof=0)])
+    np.testing.assert_allclose(got.vs, e.iloc[:, 0], rtol=1e-6)
+    np.testing.assert_allclose(got.vp, e.iloc[:, 1], rtol=1e-6)
+    np.testing.assert_allclose(got.sd, e.iloc[:, 2], rtol=1e-6)
+    np.testing.assert_allclose(got.sp, e.iloc[:, 3], rtol=1e-6)
+
+
+def test_count_if_bool():
+    df = agg_df()
+    got = run_agg(df, ["count_if(b) as ci", "bool_and(b) as ba",
+                       "bool_or(b) as bo"])
+    e = df.groupby("g").b.agg(["sum", "all", "any"])
+    np.testing.assert_array_equal(got.ci, e["sum"])
+    np.testing.assert_array_equal(got.ba, e["all"])
+    np.testing.assert_array_equal(got.bo, e["any"])
+
+
+def test_min_max_by():
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame({
+        "g": rng.randint(0, 6, 300).astype("int64"),
+        "x": rng.randint(-1000, 1000, 300).astype("int32"),
+        "y": rng.permutation(300).astype("int32"),  # unique: deterministic
+    })
+    got = run_agg(df, ["min_by(x, y) as mb", "max_by(x, y) as xb"])
+    e = df.groupby("g").apply(
+        lambda s: pd.Series({
+            "mb": s.x.iloc[s.y.values.argmin()],
+            "xb": s.x.iloc[s.y.values.argmax()],
+        }), include_groups=False)
+    np.testing.assert_array_equal(got.mb, e.mb)
+    np.testing.assert_array_equal(got.xb, e.xb)
+
+
+def test_arbitrary():
+    df = agg_df(100)
+    got = run_agg(df, ["arbitrary(i) as a", "count() as c"])
+    # arbitrary returns *some* value from the group: check membership
+    for g, a in zip(got.g, got.a):
+        assert a in set(df[df.g == g].i)

@@ -202,6 +202,160 @@ class MinMaxAgg(AggregateFunction):
         return out
 
 
+class CountIfAgg(AggregateFunction):
+    """Parity: functions/prestosql/aggregates/CountIfAggregate.cpp."""
+
+    def __init__(self):
+        self.name = "count_if"
+        self.result_type = T.BIGINT
+        self.states = (StateSpec("count", T.BIGINT, "sum"),)
+
+    def map_raw(self, ctx, args, active):
+        (v,) = args
+        keep = _valid_and_active(v, active, ctx.capacity)
+        keep = keep & v.full_data(ctx.capacity).astype(bool)
+        return [keep.astype(np.int64)]
+
+    def extract(self, state_arrays, group_valid):
+        (c,) = state_arrays
+        return EvalValue(jnp.where(group_valid, c, 0), None, T.BIGINT)
+
+
+class BoolAgg(AggregateFunction):
+    """bool_and / bool_or (aka every). Parity: prestosql BoolAnd/OrAggregate."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.result_type = T.BOOLEAN
+        combine = "min" if name == "bool_and" else "max"
+        self.states = (StateSpec("b", T.INTEGER, combine),
+                       StateSpec("count", T.BIGINT, "sum"))
+
+    def map_raw(self, ctx, args, active):
+        (v,) = args
+        keep = _valid_and_active(v, active, ctx.capacity)
+        b = v.full_data(ctx.capacity).astype(jnp.int32)
+        ident = self.states[0].identity()
+        return [_masked(b, keep, ident), keep.astype(np.int64)]
+
+    def extract(self, state_arrays, group_valid):
+        b, c = state_arrays
+        return EvalValue(b.astype(bool), group_valid & (c > 0), T.BOOLEAN)
+
+
+class VarianceAgg(AggregateFunction):
+    """variance/var_samp/var_pop/stddev/stddev_samp/stddev_pop.
+    Parity: functions/prestosql/aggregates/VarianceAggregates.cpp
+    (count/mean/m2 accumulator folded to count/sum/sumsq here)."""
+
+    def __init__(self, name: str, input_type: T.DataType):
+        self.name = name
+        self.input_type = input_type
+        self.result_type = T.DOUBLE
+        self.states = (StateSpec("n", T.BIGINT, "sum"),
+                       StateSpec("sum", T.DOUBLE, "sum"),
+                       StateSpec("sumsq", T.DOUBLE, "sum"))
+
+    def map_raw(self, ctx, args, active):
+        (v,) = args
+        keep = _valid_and_active(v, active, ctx.capacity)
+        data = v.full_data(ctx.capacity)
+        if v.dtype.kind is T.TypeKind.DECIMAL:
+            data = data.astype(np.float64) / (10.0 ** v.dtype.scale)
+        else:
+            data = data.astype(np.float64)
+        data = jnp.where(keep, data, 0.0)
+        return [keep.astype(np.int64), data, data * data]
+
+    def extract(self, state_arrays, group_valid):
+        n, s, ss = state_arrays
+        pop = self.name.endswith("_pop")
+        nf = n.astype(np.float64)
+        m2 = ss - s * s / jnp.maximum(nf, 1.0)
+        denom = nf if pop else (nf - 1.0)
+        out = m2 / jnp.maximum(denom, 1.0)
+        out = jnp.maximum(out, 0.0)  # clamp fp negatives
+        if self.name.startswith("stddev"):
+            out = jnp.sqrt(out)
+        min_n = 1 if pop else 2
+        return EvalValue(out, group_valid & (n >= min_n), T.DOUBLE)
+
+
+_PACKABLE_32 = (T.TypeKind.BOOLEAN, T.TypeKind.TINYINT, T.TypeKind.SMALLINT,
+                T.TypeKind.INTEGER, T.TypeKind.DATE, T.TypeKind.VARCHAR,
+                T.TypeKind.VARBINARY, T.TypeKind.REAL)
+
+
+def _pack32(v: EvalValue, capacity: int):
+    """Order-preserving biased-u32 (as int64) for 32-bit-representable
+    types; None if not packable."""
+    from velox_tpu.exec.sort import value_words
+    if v.dtype.kind not in _PACKABLE_32:
+        return None
+    (w,) = value_words(v, capacity)
+    return w.astype(jnp.int64)  # 0..2^32-1
+
+
+class MinMaxByAgg(AggregateFunction):
+    """min_by(x, y) / max_by(x, y) for 32-bit-packable x and y: the pair
+    (y, x) packs into one int64 so the existing min/max segment combine is
+    an exact argmin/argmax. Parity: prestosql MinMaxByAggregates.cpp."""
+
+    def __init__(self, name: str, x_type: T.DataType, y_type: T.DataType):
+        self.name = name
+        self.x_type, self.y_type = x_type, y_type
+        if x_type.kind not in _PACKABLE_32 \
+                or y_type.kind not in _PACKABLE_32:
+            raise NotImplementedError(
+                f"{name} over ({x_type}, {y_type}): only 32-bit-packable "
+                "types supported (int32 and smaller, date, real, strings)")
+        self.result_type = x_type
+        combine = "min" if name == "min_by" else "max"
+        self.states = (StateSpec("pair", T.BIGINT, combine),
+                       StateSpec("count", T.BIGINT, "sum"))
+
+    def map_raw(self, ctx, args, active):
+        x, y = args
+        cap = ctx.capacity
+        keep = _valid_and_active(y, active, cap)
+        keep = keep & (jnp.ones((cap,), bool) if x.validity is None
+                       else x.full_validity(cap))
+        xp = _pack32(x, cap)
+        yp = _pack32(y, cap)
+        if self.name == "max_by":
+            xp = (1 << 32) - 1 - xp  # tie-break: smaller x on max packs
+        # bias y into [-2^31, 2^31) so the shifted pair spans int64 without
+        # overflow; (hi << 32) | lo is monotone in (hi, lo)
+        pair = ((yp - (1 << 31)) << 32) | xp
+        ident = self.states[0].identity()
+        return [_masked(pair, keep, ident), keep.astype(np.int64)]
+
+    def extract(self, state_arrays, group_valid):
+        from velox_tpu.exec.sort import value_words  # noqa: F401
+        pair, c = state_arrays
+        xp = pair & 0xFFFFFFFF
+        if self.name == "max_by":
+            xp = (1 << 32) - 1 - xp
+        data = _unpack32(xp, self.x_type)
+        return EvalValue(data, group_valid & (c > 0), self.x_type)
+
+
+def _unpack32(u, dtype: T.DataType):
+    """Invert the order-preserving u32 word back to the native value."""
+    import jax
+    u = u.astype(jnp.uint32)
+    if dtype.kind is T.TypeKind.REAL:
+        sign = (u & np.uint32(0x80000000)) != 0
+        bits = jnp.where(sign, u ^ np.uint32(0x80000000), ~u)
+        return jax.lax.bitcast_convert_type(
+            bits.astype(jnp.uint32), jnp.float32)
+    if dtype.kind is T.TypeKind.BOOLEAN:
+        return u.astype(bool)
+    i = jax.lax.bitcast_convert_type(
+        u ^ np.uint32(0x80000000), jnp.int32)
+    return i.astype(dtype.np_dtype())
+
+
 # ---------------------------------------------------------------------------
 
 def resolve_aggregate(name: str, input_types) -> AggregateFunction:
@@ -214,4 +368,21 @@ def resolve_aggregate(name: str, input_types) -> AggregateFunction:
         return AvgAgg(input_types[0])
     if name in ("min", "max"):
         return MinMaxAgg(name, input_types[0])
+    if name == "arbitrary" or name == "any_value":
+        agg = MinMaxAgg("min", input_types[0])
+        agg.name = name
+        return agg
+    if name == "count_if":
+        return CountIfAgg()
+    if name in ("bool_and", "every"):
+        return BoolAgg("bool_and")
+    if name == "bool_or":
+        return BoolAgg("bool_or")
+    if name in ("variance", "var_samp", "var_pop",
+                "stddev", "stddev_samp", "stddev_pop"):
+        canon = {"variance": "var_samp", "stddev": "stddev_samp"}.get(
+            name, name)
+        return VarianceAgg(canon, input_types[0])
+    if name in ("min_by", "max_by"):
+        return MinMaxByAgg(name, input_types[0], input_types[1])
     raise KeyError(f"unknown aggregate function {name!r}")
