@@ -1,0 +1,118 @@
+"""MarkDistinct / AssignUniqueId / EnforceSingleRow / Expand /
+NestedLoopJoin / MergeJoin operator tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from velox_tpu.exec.task import Task
+from velox_tpu.testing.plan_builder import PlanBuilder
+
+
+def run(plan):
+    return Task(plan).run().to_pandas()
+
+
+def test_mark_distinct():
+    rng = np.random.RandomState(0)
+    dfs = [pd.DataFrame({"k": rng.randint(0, 20, 100).astype("int64"),
+                         "v": np.arange(100, dtype="int64")})
+           for _ in range(2)]
+    plan = (PlanBuilder().values([pa.table(d) for d in dfs])
+            .mark_distinct("is_first", ["k"]).plan())
+    got = run(plan)
+    assert len(got) == 200
+    allk = pd.concat(dfs).k
+    # exactly one marker per distinct key, on its first occurrence
+    assert got[got.is_first].k.nunique() == allk.nunique()
+    assert got[got.is_first].k.is_unique
+    first_idx = got.reset_index().groupby("k")["index"].min()
+    marked_idx = got.reset_index()[got.is_first.values].set_index(
+        "k")["index"]
+    assert (first_idx.loc[marked_idx.index] == marked_idx).all()
+
+
+def test_assign_unique_id():
+    dfs = [pd.DataFrame({"v": np.arange(50, dtype="int64")})
+           for _ in range(3)]
+    plan = (PlanBuilder().values([pa.table(d) for d in dfs])
+            .assign_unique_id("uid", task_unique_id=5).plan())
+    got = run(plan)
+    assert len(got) == 150
+    assert got.uid.is_unique
+    assert ((got.uid.to_numpy() >> 40) == 5).all()
+
+
+def test_enforce_single_row():
+    df = pd.DataFrame({"v": np.array([42], "int64")})
+    plan = (PlanBuilder().values([pa.table(df)])
+            .enforce_single_row().plan())
+    got = run(plan)
+    assert len(got) == 1 and got.v[0] == 42
+
+    df2 = pd.DataFrame({"v": np.array([1, 2], "int64")})
+    plan2 = (PlanBuilder().values([pa.table(df2)])
+             .enforce_single_row().plan())
+    with pytest.raises(RuntimeError, match="single row"):
+        run(plan2)
+
+    df3 = pd.DataFrame({"v": np.array([], "int64")})
+    plan3 = (PlanBuilder().values([pa.table(df3)])
+             .enforce_single_row().plan())
+    got3 = Task(plan3).run()
+    assert got3.num_rows == 1 and got3.column("v").null_count == 1
+
+
+def test_expand():
+    df = pd.DataFrame({"a": np.arange(10, dtype="int64"),
+                       "b": np.arange(10, 20, dtype="int64")})
+    plan = (PlanBuilder().values([pa.table(df)])
+            .expand([["a as x", "0 as tag"], ["b as x", "1 as tag"]])
+            .plan())
+    got = run(plan)
+    assert len(got) == 20
+    assert set(got[got.tag == 0].x) == set(df.a)
+    assert set(got[got.tag == 1].x) == set(df.b)
+
+
+def test_nested_loop_cross_join():
+    left = pd.DataFrame({"a": np.arange(30, dtype="int64")})
+    right = pd.DataFrame({"b": np.arange(7, dtype="int64")})
+    b = PlanBuilder()
+    bb = b.new_builder().values([pa.table(right)])
+    plan = b.values([pa.table(left)]).nested_loop_join(bb).plan()
+    got = run(plan)
+    assert len(got) == 210
+    assert got.a.sum() == 7 * left.a.sum()
+    assert got.b.sum() == 30 * right.b.sum()
+
+
+def test_nested_loop_inequality_join():
+    left = pd.DataFrame({"a": np.arange(40, dtype="int64")})
+    right = pd.DataFrame({"b": np.arange(40, dtype="int64")})
+    b = PlanBuilder()
+    bb = b.new_builder().values([pa.table(right)])
+    plan = b.values([pa.table(left)]) \
+        .nested_loop_join(bb, filter="a < b").plan()
+    got = run(plan)
+    exp = left.merge(right, how="cross")
+    exp = exp[exp.a < exp.b]
+    assert len(got) == len(exp)
+    assert got.a.sum() == exp.a.sum() and got.b.sum() == exp.b.sum()
+
+
+def test_merge_join():
+    rng = np.random.RandomState(8)
+    left = pd.DataFrame({"k": np.sort(rng.randint(0, 50, 200)).astype(
+        "int64"), "lv": np.arange(200, dtype="int64")})
+    right = pd.DataFrame({"rk": np.sort(rng.permutation(60)[:30]).astype(
+        "int64"), "rv": np.arange(30, dtype="int64")})
+    b = PlanBuilder()
+    bb = b.new_builder().values([pa.table(right)])
+    plan = b.values([pa.table(left)]) \
+        .merge_join(["k"], ["rk"], bb, output=["k", "lv", "rv"]).plan()
+    got = run(plan)
+    exp = left.merge(right, left_on="k", right_on="rk")
+    assert len(got) == len(exp)
+    assert got.lv.sum() == exp.lv.sum() and got.rv.sum() == exp.rv.sum()

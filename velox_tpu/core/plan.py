@@ -252,6 +252,123 @@ class HashJoinNode(PlanNode):
 
 
 @dataclass(frozen=True)
+class MarkDistinctNode(PlanNode):
+    """Parity: core/PlanNode.h:2341."""
+    source: PlanNode = None
+    marker: str = "marker"
+    distinct_keys: Tuple[ex.FieldAccess, ...] = ()
+
+    @property
+    def sources(self):
+        return (self.source,)
+
+    def output_type(self):
+        st = self.source.output_type()
+        return T.row(list(st.names) + [self.marker],
+                     list(st.children) + [T.BOOLEAN])
+
+
+@dataclass(frozen=True)
+class AssignUniqueIdNode(PlanNode):
+    """Parity: core/PlanNode.h:2089."""
+    source: PlanNode = None
+    id_column: str = "unique"
+    task_unique_id: int = 0
+
+    @property
+    def sources(self):
+        return (self.source,)
+
+    def output_type(self):
+        st = self.source.output_type()
+        return T.row(list(st.names) + [self.id_column],
+                     list(st.children) + [T.BIGINT])
+
+
+@dataclass(frozen=True)
+class EnforceSingleRowNode(PlanNode):
+    """Parity: core/PlanNode.h:2052."""
+    source: PlanNode = None
+
+    @property
+    def sources(self):
+        return (self.source,)
+
+    def output_type(self):
+        return self.source.output_type()
+
+
+@dataclass(frozen=True)
+class ExpandNode(PlanNode):
+    """Emit one copy of the input per projection set (grouping sets /
+    distinct-agg rewrites). Parity: core/PlanNode.h:872."""
+    source: PlanNode = None
+    names: Tuple[str, ...] = ()
+    projection_sets: Tuple[Tuple[ex.TypedExpr, ...], ...] = ()
+
+    @property
+    def sources(self):
+        return (self.source,)
+
+    def output_type(self):
+        return T.row(self.names,
+                     [e.dtype for e in self.projection_sets[0]])
+
+
+@dataclass(frozen=True)
+class NestedLoopJoinNode(PlanNode):
+    """Cross/inequality join. Parity: core/PlanNode.h:1745 (inner/cross)."""
+    left: PlanNode = None
+    right: PlanNode = None
+    join_type: JoinType = None
+    filter: Optional[ex.TypedExpr] = None
+    output_columns: Tuple[str, ...] = ()
+
+    def __post_init__(self):
+        if self.join_type is None:
+            object.__setattr__(self, "join_type", JoinType.INNER)
+
+    @property
+    def sources(self):
+        return (self.left, self.right)
+
+    def output_type(self):
+        lt, rt = self.left.output_type(), self.right.output_type()
+        names = list(lt.names) + list(rt.names)
+        types = list(lt.children) + list(rt.children)
+        if not self.output_columns:
+            return T.row(names, types)
+        idx = dict(zip(names, types))
+        return T.row(self.output_columns,
+                     [idx[n] for n in self.output_columns])
+
+
+@dataclass(frozen=True)
+class MergeJoinNode(PlanNode):
+    """Sorted-input join. Parity: core/PlanNode.h:1709. Currently executed
+    through the hash-join machinery (sortedness is not exploited yet —
+    correct, not optimal)."""
+    left: PlanNode = None
+    right: PlanNode = None
+    join_type: JoinType = None
+    left_keys: Tuple[ex.FieldAccess, ...] = ()
+    right_keys: Tuple[ex.FieldAccess, ...] = ()
+    filter: Optional[ex.TypedExpr] = None
+    output_columns: Tuple[str, ...] = ()
+
+    def __post_init__(self):
+        if self.join_type is None:
+            object.__setattr__(self, "join_type", JoinType.INNER)
+
+    @property
+    def sources(self):
+        return (self.left, self.right)
+
+    def output_type(self):
+        return HashJoinNode.output_type(self)
+
+
+@dataclass(frozen=True)
 class WindowNode(PlanNode):
     """Parity: core/PlanNode.h:2145 (partition/sort keys + window function
     calls with ROWS/RANGE frames)."""

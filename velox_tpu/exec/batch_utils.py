@@ -39,13 +39,21 @@ def concat_batches(batches: List[DeviceBatch]) -> DeviceBatch:
 
 
 def compact(batch: DeviceBatch) -> DeviceBatch:
-    """Move active rows to the front (stable), preserving order."""
+    """Move active rows to the front (stable), preserving order.
+
+    cumsum + scatter (no sort: lax.sort compile cost on TPU is prohibitive,
+    see exec/sort.py)."""
     cap = batch.capacity
-    perm = jnp.argsort(~batch.mask, stable=True)
+    dense = jnp.cumsum(batch.mask.astype(jnp.int32)) - 1
+    target = jnp.where(batch.mask, dense, jnp.int32(cap))
+
+    def scat(a):
+        return jnp.zeros_like(a).at[target].set(a, mode="drop")
+
     cols = {}
     for name, col in batch.columns.items():
-        data = col.data[perm]
-        validity = col.validity[perm] if col.validity is not None else None
+        data = scat(col.data)
+        validity = scat(col.validity) if col.validity is not None else None
         cols[name] = DeviceColumn(data, validity, col.dtype, col.dictionary)
     n = batch.num_active()
     mask = jnp.arange(cap, dtype=jnp.int32) < n

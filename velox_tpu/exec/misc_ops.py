@@ -1,0 +1,268 @@
+"""Smaller relational operators.
+
+Role parity (all under velox/exec/):
+  MarkDistinct.h:24, AssignUniqueId.h:22, EnforceSingleRow.h:21,
+  Expand.h:23, GroupId.h:22, NestedLoopJoinBuild.h:33 /
+  NestedLoopJoinProbe.h:68, MergeJoin.h:45.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from velox_tpu import types as T
+from velox_tpu.core import plan as P
+from velox_tpu.exec.batch_utils import concat_batches
+from velox_tpu.exec.operator import Operator
+from velox_tpu.expression.eval import ExprSet, value_from_column
+from velox_tpu.vector.device import DeviceBatch, DeviceColumn
+
+
+class MarkDistinctOperator(Operator):
+    """Adds a boolean column marking the first row of each distinct key
+    combination (streaming, hash-table backed).
+    Parity: velox/exec/MarkDistinct.h:24."""
+
+    def __init__(self, node: "P.MarkDistinctNode"):
+        super().__init__(node)
+        self._node = node
+        self._table = None
+        self._out = None
+
+    def _step(self, batch: DeviceBatch, table):
+        from velox_tpu.exec import hashtable as H
+        node = self._node
+        cap = batch.capacity
+        keys = [value_from_column(batch.columns[k.name])
+                for k in node.distinct_keys]
+        if table is None:
+            table = H.empty_table(keys, H.table_size_for(cap))
+        table, slots, is_new = H.insert(table, keys, batch.mask, cap)
+        cols = dict(batch.columns)
+        cols[node.marker] = DeviceColumn(is_new, None, T.BOOLEAN, None)
+        return DeviceBatch(cols, batch.mask), table
+
+    def add_input(self, batch):
+        if self._table is None:
+            self._out, self._table = jax.jit(
+                lambda b: self._step(b, None))(batch)
+        else:
+            if not hasattr(self, "_fn"):
+                self._fn = jax.jit(self._step)
+            self._out, self._table = self._fn(batch, self._table)
+
+    def get_output(self):
+        out, self._out = self._out, None
+        return out
+
+    def needs_input(self):
+        return not self._no_more_input and self._out is None
+
+    def is_finished(self):
+        return self._no_more_input and self._out is None
+
+
+class AssignUniqueIdOperator(Operator):
+    """Adds a unique int64 id per row (task id in high bits + running
+    counter). Parity: velox/exec/AssignUniqueId.h:22."""
+
+    def __init__(self, node: "P.AssignUniqueIdNode"):
+        super().__init__(node)
+        self._node = node
+        self._counter = jnp.zeros((), jnp.int64)
+        self._out = None
+
+        def _step(batch: DeviceBatch, counter):
+            cap = batch.capacity
+            ordinal = jnp.cumsum(batch.mask.astype(jnp.int64)) - 1
+            ids = counter + ordinal
+            ids = ids | (jnp.int64(node.task_unique_id) << 40)
+            cols = dict(batch.columns)
+            cols[node.id_column] = DeviceColumn(
+                ids, None, T.BIGINT, None)
+            new_counter = counter + jnp.sum(batch.mask.astype(jnp.int64))
+            return DeviceBatch(cols, batch.mask), new_counter
+
+        self._fn = jax.jit(_step)
+
+    def add_input(self, batch):
+        self._out, self._counter = self._fn(batch, self._counter)
+
+    def get_output(self):
+        out, self._out = self._out, None
+        return out
+
+    def needs_input(self):
+        return not self._no_more_input and self._out is None
+
+    def is_finished(self):
+        return self._no_more_input and self._out is None
+
+
+class EnforceSingleRowOperator(Operator):
+    """Errors unless the input has exactly one row (scalar subqueries);
+    empty input produces a single all-null row.
+    Parity: velox/exec/EnforceSingleRow.h:21."""
+
+    def __init__(self, node: "P.EnforceSingleRowNode"):
+        super().__init__(node)
+        self._node = node
+        self._batches: List[DeviceBatch] = []
+        self._out = None
+
+    def add_input(self, batch):
+        self._batches.append(batch)
+
+    def no_more_input(self):
+        super().no_more_input()
+        merged = concat_batches(self._batches) if self._batches else None
+        self._batches = []
+        if merged is None:
+            raise RuntimeError("EnforceSingleRow: no input batches")
+        n = int(jax.device_get(merged.num_active()))
+        if n > 1:
+            raise RuntimeError(
+                f"Expected single row of input, received {n} rows")
+        if n == 1:
+            from velox_tpu.exec.batch_utils import compact
+            self._out = jax.jit(compact)(merged)
+        else:
+            # single all-null row
+            cols = {
+                name: DeviceColumn(
+                    jnp.zeros((merged.capacity,), c.data.dtype),
+                    jnp.zeros((merged.capacity,), bool), c.dtype,
+                    c.dictionary)
+                for name, c in merged.columns.items()
+            }
+            mask = jnp.zeros((merged.capacity,), bool).at[0].set(True)
+            self._out = DeviceBatch(cols, mask)
+
+    def get_output(self):
+        out, self._out = self._out, None
+        return out
+
+    def is_finished(self):
+        return self._no_more_input and self._out is None
+
+
+class ExpandOperator(Operator):
+    """Emits one copy of the input per projection set (Spark EXPAND:
+    grouping sets / distinct-agg rewrites).
+    Parity: velox/exec/Expand.h:23."""
+
+    def __init__(self, node: "P.ExpandNode"):
+        super().__init__(node)
+        self._node = node
+        self._outs: List[DeviceBatch] = []
+        ot = node.output_type()
+
+        def _one(batch: DeviceBatch, i: int) -> DeviceBatch:
+            exprs = list(node.projection_sets[i])
+            vals = ExprSet(exprs, None).eval_batch(batch)
+            cols = {
+                name: v.to_column(batch.capacity)
+                for name, v in zip(ot.names, vals)
+            }
+            return DeviceBatch(cols, batch.mask)
+
+        self._fns = [jax.jit(lambda b, i=i: _one(b, i))
+                     for i in range(len(node.projection_sets))]
+
+    def add_input(self, batch):
+        for fn in self._fns:
+            self._outs.append(fn(batch))
+
+    def get_output(self):
+        if self._outs:
+            return self._outs.pop(0)
+        return None
+
+    def needs_input(self):
+        return not self._no_more_input and not self._outs
+
+    def is_finished(self):
+        return self._no_more_input and not self._outs
+
+
+class NestedLoopJoinOperator(Operator):
+    """Cross/inequality join: every probe row against every build row,
+    optionally filtered. Two-pass static-shape expansion (chunked).
+    Parity: velox/exec/NestedLoopJoinProbe.h:68 (inner/cross only)."""
+
+    def __init__(self, node: "P.NestedLoopJoinNode"):
+        super().__init__(node)
+        self._node = node
+        self._build: Optional[DeviceBatch] = None
+        self._build_n = 0
+        self._outputs: List[DeviceBatch] = []
+        self._emit_fn = None
+
+    def set_build(self, build: DeviceBatch):
+        from velox_tpu.exec.batch_utils import compact
+        self._build = jax.jit(compact)(build)
+        self._build_n = int(jax.device_get(build.num_active()))
+        self._emit_fn = jax.jit(self._emit)
+
+    def _emit(self, batch: DeviceBatch, build: DeviceBatch, start):
+        """Output rows [start, start+cap) of the probe x build product.
+        Probe rows must be compacted (active prefix)."""
+        node = self._node
+        cap = batch.capacity
+        nb = jnp.maximum(jnp.sum(build.mask.astype(jnp.int64)), 1)
+        npr = jnp.sum(batch.mask.astype(jnp.int64))
+        j = start + jnp.arange(cap, dtype=jnp.int64)
+        valid = j < nb * npr
+        prow = jnp.clip((j // nb).astype(jnp.int32), 0, cap - 1)
+        brow = jnp.clip((j % nb).astype(jnp.int32), 0,
+                        build.capacity - 1)
+        cols: Dict[str, DeviceColumn] = {}
+        for name, col in batch.columns.items():
+            cols[name] = DeviceColumn(
+                col.data[prow],
+                col.validity[prow] if col.validity is not None else None,
+                col.dtype, col.dictionary)
+        for name, col in build.columns.items():
+            cols[name] = DeviceColumn(
+                col.data[brow],
+                col.validity[brow] if col.validity is not None else None,
+                col.dtype, col.dictionary)
+        out = DeviceBatch(cols, valid)
+        if node.filter is not None:
+            f = ExprSet([node.filter], None).eval_batch(out)[0]
+            passed = f.full_data(cap).astype(bool)
+            if f.validity is not None:
+                passed = passed & f.full_validity(cap)
+            out = out.with_mask(out.mask & passed)
+        if node.output_columns:
+            out = DeviceBatch(
+                {n: out.columns[n] for n in node.output_columns}, out.mask)
+        return out
+
+    def add_input(self, batch):
+        assert self._build is not None
+        from velox_tpu.exec.batch_utils import compact
+        batch = jax.jit(compact)(batch)
+        n_probe = int(jax.device_get(batch.num_active()))
+        total = n_probe * self._build_n
+        cap = batch.capacity
+        for start in range(0, max(total, 1), cap):
+            if total == 0:
+                break
+            self._outputs.append(
+                self._emit_fn(batch, self._build, jnp.int64(start)))
+
+    def get_output(self):
+        if self._outputs:
+            return self._outputs.pop(0)
+        return None
+
+    def needs_input(self):
+        return not self._no_more_input and not self._outputs
+
+    def is_finished(self):
+        return self._no_more_input and not self._outputs

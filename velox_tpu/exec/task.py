@@ -115,6 +115,31 @@ class Task:
             yield from self._drive(node.source, LimitOperator(node))
         elif isinstance(node, P.HashJoinNode):
             yield from self._run_join(node)
+        elif isinstance(node, P.MarkDistinctNode):
+            from velox_tpu.exec.misc_ops import MarkDistinctOperator
+            yield from self._drive(node.source, MarkDistinctOperator(node))
+        elif isinstance(node, P.AssignUniqueIdNode):
+            from velox_tpu.exec.misc_ops import AssignUniqueIdOperator
+            yield from self._drive(node.source,
+                                   AssignUniqueIdOperator(node))
+        elif isinstance(node, P.EnforceSingleRowNode):
+            from velox_tpu.exec.misc_ops import EnforceSingleRowOperator
+            yield from self._drive(node.source,
+                                   EnforceSingleRowOperator(node))
+        elif isinstance(node, P.ExpandNode):
+            from velox_tpu.exec.misc_ops import ExpandOperator
+            yield from self._drive(node.source, ExpandOperator(node))
+        elif isinstance(node, P.NestedLoopJoinNode):
+            yield from self._run_nested_loop_join(node)
+        elif isinstance(node, P.MergeJoinNode):
+            # executed via the hash-join machinery (correct; sortedness
+            # not yet exploited)
+            hj = P.HashJoinNode(
+                node.id, left=node.left, right=node.right,
+                join_type=node.join_type, left_keys=node.left_keys,
+                right_keys=node.right_keys, filter=node.filter,
+                output_columns=node.output_columns)
+            yield from self._run_join(hj)
         elif isinstance(node, P.WindowNode):
             from velox_tpu.exec.window import WindowOperator
             yield from self._drive(node.source, WindowOperator(node))
@@ -140,6 +165,16 @@ class Task:
             or conn.default_splits(node.table, self.ctx)
         return TableScanOperator(node, source, splits)
 
+    def _run_nested_loop_join(self, node) -> Iterator[DeviceBatch]:
+        from velox_tpu.exec.batch_utils import concat_batches
+        from velox_tpu.exec.misc_ops import NestedLoopJoinOperator
+        builds = list(self._run_node(node.right))
+        if not builds:
+            raise RuntimeError("empty nested-loop build side")
+        op = NestedLoopJoinOperator(node)
+        op.set_build(concat_batches(builds))
+        yield from self._drive(node.left, op)
+
     def _run_join(self, node: P.HashJoinNode) -> Iterator[DeviceBatch]:
         # Build side: nested pipeline run to completion (JoinBridge parity).
         build = HashBuildStage(node.right_keys)
@@ -148,7 +183,6 @@ class Task:
         table = build.finish()
         probe = HashJoinOperator(node)
         probe.set_built_table(table)
-        self.operators.append(probe)
         yield from self._drive(node.left, probe)
 
     # ---- driver loop (Driver::runInternal parity) ---------------------------

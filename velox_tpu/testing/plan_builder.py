@@ -269,6 +269,71 @@ class PlanBuilder:
             output_columns=tuple(output))
         return self
 
+    def merge_join(self, left_keys, right_keys, build: "PlanBuilder",
+                   output: Sequence[str] = (),
+                   join_type: str = "inner") -> "PlanBuilder":
+        lt = self._node.output_type()
+        rt_ = build._node.output_type()
+        lk = tuple(ex.field(k, lt.field_type(k)) for k in left_keys)
+        rk = tuple(ex.field(k, rt_.field_type(k)) for k in right_keys)
+        self._node = P.MergeJoinNode(
+            self._ids.next(), left=self._node, right=build._node,
+            join_type=P.JoinType(join_type), left_keys=lk, right_keys=rk,
+            output_columns=tuple(output))
+        return self
+
+    def nested_loop_join(self, build: "PlanBuilder",
+                         output: Sequence[str] = (),
+                         filter: Optional[str] = None) -> "PlanBuilder":
+        lt = self._node.output_type()
+        rt_ = build._node.output_type()
+        combined = T.row(list(lt.names) + list(rt_.names),
+                         list(lt.children) + list(rt_.children))
+        fexpr = parse_expression(filter, combined) if filter else None
+        self._node = P.NestedLoopJoinNode(
+            self._ids.next(), left=self._node, right=build._node,
+            filter=fexpr, output_columns=tuple(output))
+        return self
+
+    def mark_distinct(self, marker: str, keys) -> "PlanBuilder":
+        rt = self._node.output_type()
+        dk = tuple(ex.field(k, rt.field_type(k)) for k in keys)
+        self._node = P.MarkDistinctNode(
+            self._ids.next(), source=self._node, marker=marker,
+            distinct_keys=dk)
+        return self
+
+    def assign_unique_id(self, id_column="unique",
+                         task_unique_id=0) -> "PlanBuilder":
+        self._node = P.AssignUniqueIdNode(
+            self._ids.next(), source=self._node, id_column=id_column,
+            task_unique_id=task_unique_id)
+        return self
+
+    def enforce_single_row(self) -> "PlanBuilder":
+        self._node = P.EnforceSingleRowNode(self._ids.next(),
+                                            source=self._node)
+        return self
+
+    def expand(self, projection_sets) -> "PlanBuilder":
+        """projection_sets: list of lists of 'expr [as name]' strings; all
+        sets must produce the same names/types."""
+        rt = self._node.output_type()
+        names, sets = None, []
+        for ps in projection_sets:
+            ns, es = [], []
+            for i, text in enumerate(ps):
+                n, e = _parse_named(text, rt)
+                ns.append(n or f"c{i}")
+                es.append(e)
+            if names is None:
+                names = ns
+            sets.append(tuple(es))
+        self._node = P.ExpandNode(
+            self._ids.next(), source=self._node, names=tuple(names),
+            projection_sets=tuple(sets))
+        return self
+
     # -----------------------------------------------------------------------------
 
     def plan(self) -> P.PlanNode:
