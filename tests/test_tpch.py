@@ -201,3 +201,31 @@ def test_q18_canonical_plan_builds(conn):
     # the canonical 300-threshold plan at least builds and runs
     out = Task(tpch_plan(18)).run()
     assert out.num_rows == 0  # no qualifying orders at SF0.01
+
+
+def test_native_generator_matches_numpy(conn):
+    """The C++ dbgen (native/dbgen.cpp) must be bit-identical to numpy."""
+    from velox_tpu.connectors import tpch, tpch_native
+    if tpch_native._load() is None:
+        pytest.skip("no C++ compiler available")
+    gen = conn.gen
+    li_cols = list(TPCH_SCHEMAS["lineitem"].names)
+    od_cols = list(TPCH_SCHEMAS["orders"].names)
+    nat_li = tpch_native.gen_lineitem(100, 400, li_cols, conn.gen.sf,
+                                      len(tpch._WORDS) ** 2)
+    nat_od = tpch_native.gen_orders(100, 400, od_cols, conn.gen.sf,
+                                    len(tpch._WORDS) ** 2)
+    # numpy path (bypass native hook by calling the body via a fresh gen
+    # with native disabled)
+    import velox_tpu.connectors.tpch_native as tn
+    saved_lib, saved_tried = tn._lib, tn._tried
+    tn._lib, tn._tried = None, True
+    try:
+        np_li = gen.gen_lineitem(100, 400, li_cols)
+        np_od = gen.gen_orders(100, 400, od_cols)
+    finally:
+        tn._lib, tn._tried = saved_lib, saved_tried
+    for c in li_cols:
+        np.testing.assert_array_equal(nat_li[c], np_li[c], err_msg=c)
+    for c in od_cols:
+        np.testing.assert_array_equal(nat_od[c], np_od[c], err_msg=c)

@@ -339,6 +339,10 @@ class TpchTableGen:
         if table == "lineitem":
             # exact: sum of per-order line counts; computed in blocks
             n_orders = int(ORDERS_PER_SF * sf)
+            from velox_tpu.connectors import tpch_native
+            native = tpch_native.lineitem_rows(0, n_orders)
+            if native is not None:
+                return native
             total = 0
             step = 4 << 20
             for lo in range(0, n_orders, step):
@@ -366,6 +370,11 @@ class TpchTableGen:
         """Lineitem rows for orders [order_lo, order_hi) — split by order
         index, matching the reference's order-keyed offsets
         (velox/tpch/gen/TpchGen.h:100-110)."""
+        from velox_tpu.connectors import tpch_native
+        native = tpch_native.gen_lineitem(
+            order_lo, order_hi, columns, self.sf, len(_WORDS) ** 2)
+        if native is not None:
+            return native
         oidx = np.arange(order_lo, order_hi, dtype=np.int64)
         counts = line_count_at(oidx)
         # flatten: row r belongs to order oidx[j], line ln
@@ -423,6 +432,11 @@ class TpchTableGen:
 
     def gen_orders(self, lo: int, hi: int,
                    columns: Sequence[str]) -> Dict[str, np.ndarray]:
+        from velox_tpu.connectors import tpch_native
+        native = tpch_native.gen_orders(lo, hi, columns, self.sf,
+                                        len(_WORDS) ** 2)
+        if native is not None:
+            return native
         oidx = np.arange(lo, hi, dtype=np.int64)
         need_lines = any(c in ("o_totalprice", "o_orderstatus")
                          for c in columns)
