@@ -1,0 +1,69 @@
+"""Per-query configuration.
+
+Role parity: ``velox/core/QueryConfig.h`` — string-keyed session properties
+with typed accessors. Keys are a TPU-relevant subset: batch sizing replaces
+the reference's per-operator byte budgets (static shapes make capacity the
+unit of memory), spill knobs become host-offload knobs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+
+class QueryConfig:
+    """Typed view over a string->value session map."""
+
+    # --- keys (documented; parity noted per key) ---
+    # velox kPreferredOutputBatchRows (QueryConfig.h:164)
+    BATCH_CAPACITY = "batch_capacity"
+    # velox kAbandonPartialAggregationMinRows analogue: fold partial runs
+    AGG_COMPACT_THRESHOLD = "agg_compact_threshold"
+    # velox kMaxSpillLevel family: offload aggregation partials to host RAM
+    AGG_HOST_OFFLOAD = "agg_host_offload"
+    # velox kQueryTraceEnabled / kQueryTraceDir (QueryConfig.h)
+    TRACE_ENABLED = "query_trace_enabled"
+    TRACE_DIR = "query_trace_dir"
+    TRACE_NODE_IDS = "query_trace_node_ids"  # comma list; empty = all
+    # velox kMaxOutputBatchRows
+    MAX_OUTPUT_BATCH_ROWS = "max_output_batch_rows"
+
+    _DEFAULTS: Dict[str, Any] = {
+        AGG_COMPACT_THRESHOLD: 8,
+        AGG_HOST_OFFLOAD: False,
+        TRACE_ENABLED: False,
+        TRACE_DIR: "",
+        TRACE_NODE_IDS: "",
+    }
+
+    def __init__(self, values: Optional[Dict[str, Any]] = None):
+        self._values = dict(values or {})
+
+    def get(self, key: str, default=None):
+        if key in self._values:
+            return self._values[key]
+        if default is not None:
+            return default
+        return self._DEFAULTS.get(key)
+
+    def get_int(self, key: str, default: Optional[int] = None):
+        v = self.get(key, default)
+        return None if v is None else int(v)
+
+    def get_bool(self, key: str, default: Optional[bool] = None) -> bool:
+        v = self.get(key, default)
+        if isinstance(v, str):
+            return v.lower() in ("1", "true", "yes")
+        return bool(v)
+
+    def get_str(self, key: str, default: str = "") -> str:
+        return str(self.get(key, default) or default)
+
+    def set(self, key: str, value) -> "QueryConfig":
+        self._values[key] = value
+        return self
+
+    def as_dict(self) -> Dict[str, Any]:
+        out = dict(self._DEFAULTS)
+        out.update(self._values)
+        return out

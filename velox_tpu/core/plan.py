@@ -252,6 +252,23 @@ class HashJoinNode(PlanNode):
 
 
 @dataclass(frozen=True)
+class TableWriteNode(PlanNode):
+    """Write input rows through a connector DataSink.
+    Parity: core/PlanNode.h:700."""
+    source: PlanNode = None
+    connector_id: str = "hive"
+    target_path: str = ""
+
+    @property
+    def sources(self):
+        return (self.source,)
+
+    def output_type(self):
+        return T.row(["rows", "bytes", "path"],
+                     [T.BIGINT, T.BIGINT, T.VARCHAR])
+
+
+@dataclass(frozen=True)
 class MarkDistinctNode(PlanNode):
     """Parity: core/PlanNode.h:2341."""
     source: PlanNode = None

@@ -33,7 +33,9 @@ class QueryCtx:
     """Per-query context. Parity: velox/core/QueryCtx.h:33."""
 
     def __init__(self, config: Optional[Dict] = None):
+        from velox_tpu.core.config import QueryConfig
         self.config = dict(config or {})
+        self.query_config = QueryConfig(self.config)
 
     def get(self, key, default=None):
         return self.config.get(key, default)
@@ -46,6 +48,36 @@ class Task:
         self.plan = plan
         self.ctx = ctx or QueryCtx()
         self.operators: List[Operator] = []  # for stats
+        self._trace_writers: Dict[str, object] = {}
+        qc = self.ctx.query_config
+        from velox_tpu.core.config import QueryConfig as QC
+        self._trace_enabled = qc.get_bool(QC.TRACE_ENABLED)
+        self._trace_dir = qc.get_str(QC.TRACE_DIR)
+        ids = qc.get_str(QC.TRACE_NODE_IDS)
+        self._trace_ids = set(x for x in ids.split(",") if x) or None
+        if self._trace_enabled and self._trace_dir:
+            from velox_tpu.exec.trace import write_plan
+            write_plan(self._trace_dir, plan)
+
+    def _maybe_trace(self, op: Operator, batch: DeviceBatch):
+        """Record operator inputs for offline replay.
+        Parity: Operator::traceInput (exec/Operator.h:437)."""
+        if not (self._trace_enabled and self._trace_dir):
+            return
+        nid = op.stats.plan_node_id
+        if self._trace_ids is not None and nid not in self._trace_ids:
+            return
+        w = self._trace_writers.get(nid)
+        if w is None:
+            from velox_tpu.exec.trace import TraceWriter
+            w = TraceWriter(self._trace_dir, nid)
+            self._trace_writers[nid] = w
+        w.record(batch)
+
+    def _close_traces(self):
+        for w in self._trace_writers.values():
+            w.close()
+        self._trace_writers = {}
 
     # ---- public API --------------------------------------------------------
 
@@ -57,15 +89,38 @@ class Task:
         import pyarrow as pa
         from velox_tpu.vector.device import to_arrow
         tables = [to_arrow(b) for b in self.batches()]
+        self._close_traces()
         if not tables:
             schema = T.to_arrow(self.plan.output_type())
-            import pyarrow as pa
             return pa.table({n: pa.array([], type=f.type)
                              for n, f in zip(schema.names, schema)})
         return pa.concat_tables(tables)
 
     def stats(self):
         return [op.stats.as_dict() for op in self.operators]
+
+    def print_plan_with_stats(self) -> str:
+        """Plan tree annotated with per-operator stats.
+        Parity: velox printPlanWithStats (exec/tests/utils/
+        QueryAssertions.h, used by TpchBenchmark.cpp:82-103)."""
+        by_node: Dict[str, List] = {}
+        for op in self.operators:
+            by_node.setdefault(op.stats.plan_node_id, []).append(op.stats)
+
+        def fmt(node: P.PlanNode, indent: int) -> List[str]:
+            pad = "  " * indent
+            lines = [f"{pad}- {node.name}[{node.id}]"]
+            for st in by_node.get(node.id, []):
+                ms = (st.add_input_wall_ns + st.get_output_wall_ns
+                      + st.finish_wall_ns) / 1e6
+                lines.append(
+                    f"{pad}    {st.operator_type}: in={st.input_batches} "
+                    f"out={st.output_batches} batches, {ms:.1f} ms")
+            for s in node.sources:
+                lines.extend(fmt(s, indent + 1))
+            return lines
+
+        return "\n".join(fmt(self.plan, 0))
 
     # ---- pipeline construction ----------------------------------------------
 
@@ -115,6 +170,9 @@ class Task:
             yield from self._drive(node.source, LimitOperator(node))
         elif isinstance(node, P.HashJoinNode):
             yield from self._run_join(node)
+        elif isinstance(node, P.TableWriteNode):
+            from velox_tpu.exec.writer import TableWriterOperator
+            yield from self._drive(node.source, TableWriterOperator(node))
         elif isinstance(node, P.MarkDistinctNode):
             from velox_tpu.exec.misc_ops import MarkDistinctOperator
             yield from self._drive(node.source, MarkDistinctOperator(node))
@@ -192,6 +250,7 @@ class Task:
         self.operators.append(op)
         st = op.stats
         for batch in self._run_node(source_node):
+            self._maybe_trace(op, batch)
             t0 = time.perf_counter_ns()
             op.add_input(batch)
             st.add_input_wall_ns += time.perf_counter_ns() - t0

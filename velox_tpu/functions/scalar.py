@@ -85,6 +85,14 @@ def arith_resolver(name):
         if len(arg_types) != 2 or not _all_numeric(arg_types):
             return None
         a, b = arg_types
+        if name in ("plus", "minus", "multiply") and a.is_integral \
+                and b.is_integral:
+            # Integer arithmetic computes and returns BIGINT. Departure
+            # from Presto's width-preserving CHECKED ops (velox
+            # functions/prestosql/Arithmetic.h): per-row overflow errors
+            # would force a host sync per batch under dense masked
+            # execution; 64-bit results avoid silent 32-bit wraparound.
+            return T.BIGINT
         if name == "divide":
             if (a.kind is T.TypeKind.DECIMAL or b.kind is T.TypeKind.DECIMAL):
                 return T.DOUBLE  # simplification: decimal division -> double

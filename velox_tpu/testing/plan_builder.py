@@ -76,6 +76,14 @@ class PlanBuilder:
                                   predicate=e)
         return self
 
+    def project_exprs(self, named_exprs) -> "PlanBuilder":
+        """Project pre-built (name, TypedExpr) pairs (fuzzer/API use)."""
+        names = tuple(n for n, _ in named_exprs)
+        exprs = tuple(e for _, e in named_exprs)
+        self._node = P.ProjectNode(self._ids.next(), source=self._node,
+                                   names=names, expressions=exprs)
+        return self
+
     def project(self, projections: Sequence[str]) -> "PlanBuilder":
         rt = self._node.output_type()
         names, exprs = [], []
@@ -267,6 +275,13 @@ class PlanBuilder:
             self._ids.next(), left=self._node, right=build._node,
             join_type=jt, left_keys=lk, right_keys=rk, filter=fexpr,
             output_columns=tuple(output))
+        return self
+
+    def table_write(self, target_path: str,
+                    connector_id: str = "hive") -> "PlanBuilder":
+        self._node = P.TableWriteNode(
+            self._ids.next(), source=self._node,
+            connector_id=connector_id, target_path=target_path)
         return self
 
     def merge_join(self, left_keys, right_keys, build: "PlanBuilder",
