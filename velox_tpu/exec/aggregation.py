@@ -44,8 +44,11 @@ def _state_col_name(out_name: str, agg, suffix: str) -> str:
 class AggregationOperator(Operator):
     """Group-by aggregation over one or more key columns."""
 
-    def __init__(self, node: P.AggregationNode):
+    def __init__(self, node: P.AggregationNode, pre_fn=None):
         super().__init__(node)
+        # fused upstream Filter/Project chain, applied inside the same
+        # jitted program as the partial step (exec/fuse.py)
+        self._pre_fn = pre_fn
         self._step = node.step
         self._keys = list(node.grouping_keys)
         self._agg_calls = list(node.aggregates)
@@ -105,6 +108,8 @@ class AggregationOperator(Operator):
         return keys, addends, active
 
     def _partial_step(self, batch: DeviceBatch) -> DeviceBatch:
+        if self._pre_fn is not None:
+            batch = self._pre_fn(batch)
         raw = self._step in (P.AggregationStep.PARTIAL,
                              P.AggregationStep.SINGLE)
         keys, addends, active = self._eval_keys_and_addends(batch, raw)
@@ -196,8 +201,9 @@ class AggregationOperator(Operator):
                 from velox_tpu.core import expressions as ex
                 inp = agg_call.inputs[0]
                 if isinstance(inp, ex.FieldAccess):
-                    self._agg_dicts[j] = \
-                        batch.columns[inp.name].dictionary
+                    col = batch.columns.get(inp.name)
+                    if col is not None:
+                        self._agg_dicts[j] = col.dictionary
         if self._keys:
             self._partials.append(self._partial_fn(batch))
             if len(self._partials) >= self._compact_threshold:
@@ -253,6 +259,8 @@ class AggregationOperator(Operator):
     def _accumulate_global(self, batch: DeviceBatch):
         if not hasattr(self, "_global_fn"):
             def _step(batch, state):
+                if self._pre_fn is not None:
+                    batch = self._pre_fn(batch)
                 raw = self._step in (P.AggregationStep.PARTIAL,
                                      P.AggregationStep.SINGLE)
                 _, addends, _ = self._eval_keys_and_addends(batch, raw)

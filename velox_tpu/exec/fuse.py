@@ -1,0 +1,122 @@
+"""Pipeline fusion: collapse Filter/Project chains into one superstep.
+
+Role parity: ``velox/exec/FilterProject`` fusion + the reference's
+LocalPlanner pipeline construction (exec/LocalPlanner.cpp) — but the payoff
+on TPU is different: every operator dispatch costs ~1.4 ms of host/RPC
+latency (measured, see bench.py), and every distinct jitted program costs
+remote AOT compile time, so collapsing a scan-filter -> project -> ...
+chain into ONE traced function both removes dispatches and shrinks the
+compile surface. XLA then fuses the whole superstep into a single pass
+over the batch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from velox_tpu import types as T
+from velox_tpu.core import expressions as ex
+from velox_tpu.core import plan as P
+
+
+def substitute(e: ex.TypedExpr,
+               mapping: Dict[str, ex.TypedExpr]) -> ex.TypedExpr:
+    """Replace FieldAccess nodes by the producing expressions (inlining)."""
+    if isinstance(e, ex.FieldAccess):
+        return mapping.get(e.name, e)
+    if isinstance(e, ex.Call):
+        args = tuple(substitute(a, mapping) for a in e.args)
+        if args == e.args:
+            return e
+        return ex.Call(e.dtype, e.name, args)
+    if isinstance(e, ex.Cast):
+        child = substitute(e.child, mapping)
+        if child is e.child:
+            return e
+        return ex.Cast(e.dtype, child, is_try=e.is_try)
+    return e
+
+
+class FusedChain:
+    """A collapsed Filter/Project chain over a source plan node.
+
+    predicate: conjunction of all filters (rewritten to source columns);
+    names/exprs: final output projections (rewritten to source columns).
+    """
+
+    def __init__(self, source: P.PlanNode,
+                 predicate: Optional[ex.TypedExpr],
+                 names: List[str], exprs: List[ex.TypedExpr]):
+        self.source = source
+        self.predicate = predicate
+        self.names = names
+        self.exprs = exprs
+
+    @property
+    def is_identity(self) -> bool:
+        if self.predicate is not None:
+            return False
+        st = self.source.output_type()
+        return (list(self.names) == list(st.names)
+                and all(isinstance(e, ex.FieldAccess) and e.name == n
+                        for n, e in zip(self.names, self.exprs)))
+
+
+def collapse_chain(node: P.PlanNode) -> FusedChain:
+    """Collapse the longest Filter/Project(/scan-filter) chain ending at
+    `node` into one FusedChain. AND-combined filters are evaluated against
+    the values visible at their own position (correct under inlining
+    because projections are pure)."""
+    if isinstance(node, P.FilterNode):
+        inner = collapse_chain(node.source)
+        mapping = dict(zip(inner.names, inner.exprs))
+        pred = substitute(node.predicate, mapping)
+        if inner.predicate is not None:
+            pred = ex.Call(T.BOOLEAN, "and", (inner.predicate, pred))
+        return FusedChain(inner.source, pred, inner.names, inner.exprs)
+    if isinstance(node, P.ProjectNode):
+        inner = collapse_chain(node.source)
+        mapping = dict(zip(inner.names, inner.exprs))
+        exprs = [substitute(e, mapping) for e in node.expressions]
+        return FusedChain(inner.source, inner.predicate,
+                          list(node.names), exprs)
+    if isinstance(node, P.TableScanNode) and node.filter is not None:
+        st = node.output_type()
+        names = list(st.names)
+        exprs = [ex.field(n, t) for n, t in zip(st.names, st.children)]
+        # strip the filter from the scan node: it is now part of the chain
+        import dataclasses
+        bare = dataclasses.replace(node, filter=None)
+        return FusedChain(bare, node.filter, names, exprs)
+    st = node.output_type()
+    names = list(st.names)
+    exprs = [ex.field(n, t) for n, t in zip(st.names, st.children)]
+    return FusedChain(node, None, names, exprs)
+
+
+def chain_fn(chain: FusedChain):
+    """Pure traced DeviceBatch -> DeviceBatch function for a FusedChain."""
+    import jax.numpy as jnp
+
+    from velox_tpu.expression.eval import ExprSet
+    from velox_tpu.vector.device import DeviceBatch
+
+    def fn(batch: DeviceBatch) -> DeviceBatch:
+        exprs = ([chain.predicate] if chain.predicate is not None else []) \
+            + list(chain.exprs)
+        vals = ExprSet(exprs, None).eval_batch(batch)
+        mask = batch.mask
+        if chain.predicate is not None:
+            f = vals[0]
+            passed = f.full_data(batch.capacity).astype(bool)
+            if f.validity is not None:
+                passed = passed & f.full_validity(batch.capacity)
+            mask = mask & passed
+            vals = vals[1:]
+        cols = {
+            name: v.to_column(batch.capacity)
+            for name, v in zip(chain.names, vals)
+        }
+        return DeviceBatch(cols, mask)
+
+    return fn

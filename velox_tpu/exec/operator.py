@@ -137,6 +137,16 @@ class FilterProjectOperator(Operator):
     projections; XLA fuses everything into a single pass over the batch.
     """
 
+    @classmethod
+    def from_fused(cls, node: P.PlanNode, fused_fn) -> \
+            "FilterProjectOperator":
+        """Wrap a pre-built pure batch function (exec/fuse.py chains)."""
+        op = cls.__new__(cls)
+        Operator.__init__(op, node)
+        op._out = None
+        op._fn = jax.jit(fused_fn)
+        return op
+
     def __init__(self, node: P.PlanNode, filter_expr, names, projections):
         super().__init__(node)
         self._filter = filter_expr

@@ -149,19 +149,19 @@ class Task:
                 yield from _filtered()
             else:
                 yield from self._drive_source(scan)
-        elif isinstance(node, P.FilterNode):
-            ot = node.output_type()
-            identity = [ex.field(n, t)
-                        for n, t in zip(ot.names, ot.children)]
-            op = FilterProjectOperator(node, node.predicate, ot.names,
-                                       identity)
-            yield from self._drive(node.source, op)
-        elif isinstance(node, P.ProjectNode):
-            op = FilterProjectOperator(node, None, node.names,
-                                       list(node.expressions))
-            yield from self._drive(node.source, op)
+        elif isinstance(node, (P.FilterNode, P.ProjectNode)):
+            # collapse the whole Filter/Project chain (incl. a pushed-down
+            # scan filter) into ONE jitted superstep (exec/fuse.py)
+            from velox_tpu.exec.fuse import chain_fn, collapse_chain
+            chain = collapse_chain(node)
+            op = FilterProjectOperator.from_fused(node, chain_fn(chain))
+            yield from self._drive(chain.source, op)
         elif isinstance(node, P.AggregationNode):
-            yield from self._drive(node.source, AggregationOperator(node))
+            from velox_tpu.exec.fuse import chain_fn, collapse_chain
+            chain = collapse_chain(node.source)
+            pre = None if chain.is_identity else chain_fn(chain)
+            yield from self._drive(chain.source,
+                                   AggregationOperator(node, pre_fn=pre))
         elif isinstance(node, P.OrderByNode):
             yield from self._drive(node.source, OrderByOperator(node))
         elif isinstance(node, P.TopNNode):

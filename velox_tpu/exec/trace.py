@@ -75,14 +75,27 @@ def _find_node(plan: P.PlanNode, node_id: str) -> P.PlanNode:
     raise KeyError(node_id)
 
 
+def _replace_chain_bottom(node: P.PlanNode, values: P.PlanNode):
+    """Replace the bottom of `node`'s Filter/Project chain with `values`.
+
+    Fused execution (exec/fuse.py) records inputs at the chain source, so
+    replay must keep the intermediate Filter/Project nodes."""
+    import dataclasses
+    if isinstance(node, (P.FilterNode, P.ProjectNode)):
+        return dataclasses.replace(
+            node, source=_replace_chain_bottom(node.source, values))
+    return values
+
+
 def replay_operator(trace_dir: str, node_id: str):
     """Re-run one traced operator over its recorded inputs.
 
-    Parity: tool/trace/QueryReplayer.cpp — the traced node is re-parented
-    onto a ValuesNode holding the recorded batches and executed by a fresh
-    Task; returns the pyarrow result."""
+    Parity: tool/trace/QueryReplayer.cpp — the traced node (with its fused
+    Filter/Project chain) is re-parented onto a ValuesNode holding the
+    recorded batches and executed by a fresh Task."""
     import dataclasses
 
+    from velox_tpu.exec.fuse import collapse_chain
     from velox_tpu.exec.task import Task
 
     plan = load_plan(trace_dir)
@@ -90,9 +103,11 @@ def replay_operator(trace_dir: str, node_id: str):
     tables = list(read_trace_inputs(trace_dir, node_id))
     if not tables:
         raise RuntimeError(f"no recorded inputs for node {node_id}")
-    src_type = node.sources[0].output_type() if node.sources else None
-    values = P.ValuesNode("replay-src", row_type=src_type,
+    if not node.sources:
+        return Task(node).run()
+    chain_src = collapse_chain(node.sources[0]).source
+    values = P.ValuesNode("replay-src", row_type=chain_src.output_type(),
                           tables=tuple(tables))
-    replayed = dataclasses.replace(node, source=values) \
-        if hasattr(node, "source") else node
+    replayed = dataclasses.replace(
+        node, source=_replace_chain_bottom(node.sources[0], values))
     return Task(replayed).run()
