@@ -117,20 +117,33 @@ def radix_sort_perm(words: List, bits: List[int], capacity: int,
             width = min(bits_per_pass, wb - shift)
             r = 1 << width
             d = (w[perm] >> np.uint32(shift)) & np.uint32(r - 1)
-            if width == 1:
-                d_i = d.astype(jnp.int32)
-                ones_before = jnp.cumsum(d_i) - d_i
-                zeros_before = iota - ones_before
-                num_zero = n - jnp.sum(d_i)
-                pos = jnp.where(d_i == 0, zeros_before,
-                                num_zero + ones_before)
-            else:
-                buckets = jnp.arange(r, dtype=jnp.uint32)
-                oh = (d[None, :] == buckets[:, None])
-                ranks = jnp.cumsum(oh.astype(jnp.int32), axis=1)
-                counts = ranks[:, -1]
-                base = jnp.cumsum(counts) - counts
-                pos = base[d] + ranks[d, iota] - 1
+            pos = None
+            if width == 8:
+                # Pallas kernel keeps the one-hot in VMEM tiles instead of
+                # a (256, N) HBM intermediate (ops/pallas_kernels.py)
+                from velox_tpu.ops import pallas_kernels as PK
+                if PK.should_use(n):
+                    try:
+                        pos = PK.radix_pass_positions(
+                            d.astype(jnp.int32), n)
+                    except Exception:
+                        PK.disable()
+                        pos = None
+            if pos is None:
+                if width == 1:
+                    d_i = d.astype(jnp.int32)
+                    ones_before = jnp.cumsum(d_i) - d_i
+                    zeros_before = iota - ones_before
+                    num_zero = n - jnp.sum(d_i)
+                    pos = jnp.where(d_i == 0, zeros_before,
+                                    num_zero + ones_before)
+                else:
+                    buckets = jnp.arange(r, dtype=jnp.uint32)
+                    oh = (d[None, :] == buckets[:, None])
+                    ranks = jnp.cumsum(oh.astype(jnp.int32), axis=1)
+                    counts = ranks[:, -1]
+                    base = jnp.cumsum(counts) - counts
+                    pos = base[d] + ranks[d, iota] - 1
             perm = jnp.zeros((n,), jnp.int32).at[pos].set(perm)
     return perm
 
