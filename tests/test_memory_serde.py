@@ -1,0 +1,78 @@
+"""Serializer pages + memory pool + aggregation host-offload tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from velox_tpu.core.config import QueryConfig
+from velox_tpu.exec.memory import MemoryPool, batch_nbytes
+from velox_tpu.exec.task import QueryCtx, Task
+from velox_tpu.serializers import PageSerde, deserialize_page, serialize_page
+from velox_tpu.testing.plan_builder import PlanBuilder
+
+
+def test_page_round_trip():
+    df = pd.DataFrame({"a": np.arange(1000, dtype="int64"),
+                       "s": np.random.RandomState(0).choice(
+                           ["x", "y", "z"], 1000)})
+    t = pa.table(df)
+    for codec in ("none", "zlib"):
+        buf = serialize_page(t, codec)
+        back = deserialize_page(buf)
+        assert back.equals(t)
+    # checksum failure detected
+    buf = bytearray(serialize_page(t, "zlib"))
+    buf[40] ^= 0xFF
+    try:
+        deserialize_page(bytes(buf))
+        assert False, "expected checksum error"
+    except IOError:
+        pass
+
+
+def test_page_serde_device_batch():
+    from velox_tpu.vector.device import from_arrow
+    df = pd.DataFrame({"a": np.arange(100, dtype="int64")})
+    serde = PageSerde("zlib")
+    b = from_arrow(pa.table(df))
+    buf = serde.serialize(b)
+    back = serde.deserialize(buf)
+    assert np.array_equal(
+        np.asarray(back.columns["a"].data)[:100], df.a)
+
+
+def test_memory_pool():
+    root = MemoryPool("root")
+    op = MemoryPool("op", cap_bytes=100, parent=root)
+    assert op.reserve(60) and root.used == 60
+    assert not op.reserve(50)  # over cap
+    op.release(60)
+    assert root.used == 0 and op.peak == 60
+
+
+def test_aggregation_host_offload():
+    rng = np.random.RandomState(2)
+    dfs = [pd.DataFrame({
+        "g": rng.randint(0, 50, 500).astype("int64"),
+        "v": rng.randint(0, 100, 500).astype("int64")})
+        for _ in range(6)]
+    tables = [pa.table(d) for d in dfs]
+    plan = (PlanBuilder().values(tables)
+            .single_aggregation(["g"], ["sum(v) as s", "count() as c"])
+            .order_by(["g"]).plan())
+    # offload with a tiny compact threshold: every 2 batches spill to host
+    ctx = QueryCtx({QueryConfig.AGG_HOST_OFFLOAD: True,
+                    QueryConfig.AGG_COMPACT_THRESHOLD: 2})
+    got = Task(plan, ctx).run().to_pandas()
+    base = Task(plan).run().to_pandas()
+    np.testing.assert_array_equal(got.g, base.g)
+    np.testing.assert_array_equal(got.s, base.s)
+    np.testing.assert_array_equal(got.c, base.c)
+    exp = pd.concat(dfs).groupby("g").v.agg(["sum", "size"])
+    np.testing.assert_array_equal(got.s, exp["sum"])
+
+
+def test_batch_nbytes():
+    from velox_tpu.vector.device import from_arrow
+    b = from_arrow(pa.table({"a": np.arange(10, dtype="int64")}))
+    assert batch_nbytes(b) >= 1024 * 8  # padded capacity * 8 bytes

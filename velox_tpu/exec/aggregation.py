@@ -44,11 +44,16 @@ def _state_col_name(out_name: str, agg, suffix: str) -> str:
 class AggregationOperator(Operator):
     """Group-by aggregation over one or more key columns."""
 
-    def __init__(self, node: P.AggregationNode, pre_fn=None):
+    def __init__(self, node: P.AggregationNode, pre_fn=None,
+                 host_offload: bool = False, compact_threshold: int = 8):
         super().__init__(node)
         # fused upstream Filter/Project chain, applied inside the same
         # jitted program as the partial step (exec/fuse.py)
         self._pre_fn = pre_fn
+        # host-RAM offload of compacted partial runs — the spill analogue
+        # (exec/memory.py; parity velox GroupingSet::spill)
+        self._host_offload = host_offload
+        self._host_runs = []
         self._step = node.step
         self._keys = list(node.grouping_keys)
         self._agg_calls = list(node.aggregates)
@@ -63,7 +68,7 @@ class AggregationOperator(Operator):
         self._compact_fn = jax.jit(self._compact_step)
         # Fold accumulated partial runs when this many pile up — the in-HBM
         # analogue of velox's spill-run merging (GroupingSet.cpp:1043).
-        self._compact_threshold = 8
+        self._compact_threshold = compact_threshold
         # string aggregate outputs need the input dictionary carried over
         self._agg_dicts: List = [None] * len(self._aggs)
 
@@ -229,11 +234,20 @@ class AggregationOperator(Operator):
             if tail == 0:
                 merged = jax.jit(
                     slice_batch, static_argnums=(1, 2))(merged, 0, want)
-        self._partials = [merged]
+        if self._host_offload:
+            from velox_tpu.exec.memory import HostBatch
+            self._host_runs.append(HostBatch(merged))
+            self._partials = []
+        else:
+            self._partials = [merged]
 
     def no_more_input(self):
         super().no_more_input()
         if self._keys:
+            if self._host_runs:
+                self._partials = [hb.restore() for hb in self._host_runs] \
+                    + self._partials
+                self._host_runs = []
             if not self._partials:
                 self._outputs = []
             else:

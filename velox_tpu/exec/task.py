@@ -157,11 +157,16 @@ class Task:
             op = FilterProjectOperator.from_fused(node, chain_fn(chain))
             yield from self._drive(chain.source, op)
         elif isinstance(node, P.AggregationNode):
+            from velox_tpu.core.config import QueryConfig as QC
             from velox_tpu.exec.fuse import chain_fn, collapse_chain
             chain = collapse_chain(node.source)
             pre = None if chain.is_identity else chain_fn(chain)
-            yield from self._drive(chain.source,
-                                   AggregationOperator(node, pre_fn=pre))
+            qc = self.ctx.query_config
+            op = AggregationOperator(
+                node, pre_fn=pre,
+                host_offload=qc.get_bool(QC.AGG_HOST_OFFLOAD),
+                compact_threshold=qc.get_int(QC.AGG_COMPACT_THRESHOLD, 8))
+            yield from self._drive(chain.source, op)
         elif isinstance(node, P.OrderByNode):
             yield from self._drive(node.source, OrderByOperator(node))
         elif isinstance(node, P.TopNNode):
