@@ -1,0 +1,232 @@
+"""Multi-fragment exchange: PartitionedOutput -> OutputBuffer -> Exchange.
+
+Role parity: ``velox/exec/PartitionedOutput.h:149`` (Destination buffering),
+``exec/OutputBuffer.h:203`` (partitioned/broadcast/arbitrary kinds),
+``exec/OutputBufferManager.h:22`` (process-wide registry keyed by task id),
+``exec/Exchange.h:38`` / ``ExchangeClient.h:25`` (consumer pulls pages from
+remote tasks), and the pluggable ``ExchangeSource`` transport factory
+(exec/ExchangeSource.h:137) whose in-process implementation mirrors the
+reference's test ``LocalExchangeSource`` (exec/tests/utils/
+LocalExchangeSource.cpp:25).
+
+This is the **host/DCN-boundary** path: pages are framed Arrow IPC
+(serializers/pages.py). Intra-mesh shuffles stay device-native via
+collectives (parallel/exchange.py) — this layer connects independent tasks
+(different hosts/slices) exactly like the reference connects plan
+fragments.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from velox_tpu import types as T
+from velox_tpu.core import plan as P
+from velox_tpu.exec.operator import Operator, SourceOperator
+from velox_tpu.serializers import PageSerde
+from velox_tpu.vector.device import DeviceBatch, default_capacity, from_arrow
+
+
+class OutputBuffer:
+    """Per-task destination-partitioned page queues.
+    Parity: exec/OutputBuffer.h (kinds partitioned/broadcast/arbitrary)."""
+
+    def __init__(self, num_destinations: int, kind: str = "partitioned"):
+        self.kind = kind
+        self._queues: List[List[bytes]] = [[] for _ in
+                                           range(num_destinations)]
+        self._finished = False
+        self._lock = threading.Lock()
+        self._rr = 0
+
+    def enqueue(self, destination: int, page: bytes):
+        with self._lock:
+            if self.kind == "broadcast":
+                for q in self._queues:
+                    q.append(page)
+            elif self.kind == "arbitrary":
+                self._queues[self._rr % len(self._queues)].append(page)
+                self._rr += 1
+            else:
+                self._queues[destination].append(page)
+
+    def no_more_data(self):
+        with self._lock:
+            self._finished = True
+
+    def get(self, destination: int, sequence: int):
+        """Pages from `sequence` on + at_end flag (pull + implicit ack)."""
+        with self._lock:
+            q = self._queues[destination]
+            pages = q[sequence:]
+            return pages, self._finished
+
+    @property
+    def finished(self) -> bool:
+        return self._finished
+
+
+class OutputBufferManager:
+    """Process-wide task-id -> OutputBuffer registry.
+    Parity: exec/OutputBufferManager.h:22."""
+
+    _instance: Optional["OutputBufferManager"] = None
+
+    def __init__(self):
+        self._buffers: Dict[str, OutputBuffer] = {}
+        self._lock = threading.Lock()
+
+    @classmethod
+    def instance(cls) -> "OutputBufferManager":
+        if cls._instance is None:
+            cls._instance = cls()
+        return cls._instance
+
+    def create(self, task_id: str, num_destinations: int,
+               kind: str = "partitioned") -> OutputBuffer:
+        with self._lock:
+            buf = OutputBuffer(num_destinations, kind)
+            self._buffers[task_id] = buf
+            return buf
+
+    def get(self, task_id: str) -> OutputBuffer:
+        return self._buffers[task_id]
+
+    def remove(self, task_id: str):
+        with self._lock:
+            self._buffers.pop(task_id, None)
+
+
+# ---------------------------------------------------------------------------
+# ExchangeSource SPI + the in-process transport.
+# ---------------------------------------------------------------------------
+
+class ExchangeSource:
+    """Pulls pages for one (remote task, destination).
+    Parity: exec/ExchangeSource.h:23."""
+
+    def next(self):
+        """-> (pages: List[bytes], at_end: bool)."""
+        raise NotImplementedError
+
+
+class LocalExchangeSource(ExchangeSource):
+    """In-process transport reading the producer's OutputBufferManager.
+    Parity: exec/tests/utils/LocalExchangeSource.cpp:25."""
+
+    def __init__(self, task_id: str, destination: int):
+        self.task_id = task_id
+        self.destination = destination
+        self._seq = 0
+
+    def next(self):
+        buf = OutputBufferManager.instance().get(self.task_id)
+        pages, at_end = buf.get(self.destination, self._seq)
+        self._seq += len(pages)
+        return pages, at_end
+
+
+_SOURCE_FACTORY: Callable[[str, int], ExchangeSource] = LocalExchangeSource
+
+
+def register_exchange_source_factory(factory):
+    """Swap the transport (parity: ExchangeSource::registerFactory)."""
+    global _SOURCE_FACTORY
+    _SOURCE_FACTORY = factory
+
+
+# ---------------------------------------------------------------------------
+# Operators.
+# ---------------------------------------------------------------------------
+
+class PartitionedOutputOperator(Operator):
+    """Partitions rows by key hash, serializes per-destination pages into
+    this task's OutputBuffer. Parity: exec/PartitionedOutput.cpp:319."""
+
+    def __init__(self, node: "P.PartitionedOutputNode", task_id: str):
+        super().__init__(node)
+        self._node = node
+        self._n = node.num_partitions
+        self._buffer = OutputBufferManager.instance().create(
+            task_id, self._n, node.kind)
+        self._serde = PageSerde()
+        self._key_names = [k.name for k in node.keys]
+
+        def _dest(batch: DeviceBatch):
+            from velox_tpu.expression.eval import value_from_column
+            from velox_tpu.parallel.exchange import partition_ids
+            keys = [value_from_column(batch.columns[k])
+                    for k in self._key_names]
+            return partition_ids(keys, batch.capacity, self._n)
+
+        self._dest_fn = jax.jit(_dest) if self._key_names else None
+
+    def add_input(self, batch: DeviceBatch):
+        from velox_tpu.vector.device import to_arrow
+        if self._node.kind != "partitioned" or not self._key_names:
+            page = self._serde.serialize(batch)
+            self._buffer.enqueue(0, page)
+            return
+        dest = np.asarray(jax.device_get(self._dest_fn(batch)))
+        mask = np.asarray(jax.device_get(batch.mask))
+        table = to_arrow(batch)
+        dest_active = dest[mask]
+        for d in range(self._n):
+            idx = np.nonzero(dest_active == d)[0]
+            if len(idx) == 0:
+                continue
+            self._buffer.enqueue(d, self._serde.serialize_table(
+                table.take(idx)))
+
+    def no_more_input(self):
+        super().no_more_input()
+        self._buffer.no_more_data()
+
+    def get_output(self):
+        return None
+
+    def is_finished(self):
+        return self._no_more_input
+
+
+class ExchangeOperator(SourceOperator):
+    """Consumes pages from remote tasks' output buffers.
+    Parity: exec/Exchange.h:38 + ExchangeClient."""
+
+    def __init__(self, node: "P.ExchangeNode", remote_task_ids: List[str],
+                 destination: int, capacity: Optional[int] = None,
+                 dictionaries=None):
+        super().__init__(node)
+        self._sources = [_SOURCE_FACTORY(t, destination)
+                         for t in remote_task_ids]
+        self._pending: List[bytes] = []
+        self._done = [False] * len(self._sources)
+        self._serde = PageSerde()
+        self._capacity = capacity
+        self._dictionaries = dictionaries or {}
+
+    def _poll(self):
+        for i, s in enumerate(self._sources):
+            if self._done[i]:
+                continue
+            pages, at_end = s.next()
+            self._pending.extend(pages)
+            if at_end:
+                self._done[i] = True
+
+    def get_output(self):
+        if not self._pending:
+            self._poll()
+        if not self._pending:
+            return None
+        page = self._pending.pop(0)
+        return self._serde.deserialize(page, capacity=self._capacity,
+                                       dictionaries=self._dictionaries)
+
+    def is_finished(self):
+        return all(self._done) and not self._pending

@@ -217,6 +217,22 @@ class Task:
             # single-task serial mode: pass-through (parallel layer handles
             # the sharded form)
             yield from self._run_node(node.source)
+        elif isinstance(node, P.PartitionedOutputNode):
+            from velox_tpu.exec.exchange import PartitionedOutputOperator
+            task_id = self.ctx.get("task.id", "task-0")
+            op = PartitionedOutputOperator(node, task_id)
+            # sink: drive to completion, emit nothing
+            for _ in self._drive(node.source, op):
+                pass
+        elif isinstance(node, P.ExchangeNode):
+            from velox_tpu.exec.exchange import ExchangeOperator
+            remotes = self.ctx.get(f"exchange.{node.id}.tasks") or \
+                self.ctx.get("exchange.tasks") or []
+            dest = self.ctx.get("task.destination", 0)
+            cap = self.ctx.get("exchange.batch_capacity")
+            dicts = self.ctx.get(f"exchange.{node.id}.dictionaries")
+            yield from self._drive_source(ExchangeOperator(
+                node, remotes, dest, cap, dicts))
         else:
             raise NotImplementedError(f"no operator for {type(node).__name__}")
 

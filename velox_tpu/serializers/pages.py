@@ -107,6 +107,9 @@ class PageSerde:
         from velox_tpu.vector.device import to_arrow
         return serialize_page(to_arrow(batch), self.codec)
 
+    def serialize_table(self, table) -> bytes:
+        return serialize_page(table, self.codec)
+
     def deserialize(self, buf: bytes, capacity=None, dictionaries=None):
         from velox_tpu.vector.device import from_arrow
         return from_arrow(deserialize_page(buf), capacity=capacity,
