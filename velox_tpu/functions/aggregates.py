@@ -110,8 +110,9 @@ class SumAgg(AggregateFunction):
             from velox_tpu.functions.scalar import _rescale_decimal
             data = _rescale_decimal(
                 data, v.dtype.scale, self.result_type.scale)
-        else:
-            data = data.astype(self.result_type.np_dtype())
+        # widen to the state dtype: decimal columns may be stored narrow
+        # (int32) but sums accumulate in int64
+        data = data.astype(self.result_type.np_dtype())
         return [_masked(data, keep, 0),
                 keep.astype(np.int64)]
 
@@ -162,8 +163,7 @@ class AvgAgg(AggregateFunction):
         if v.dtype.kind is T.TypeKind.DECIMAL:
             from velox_tpu.functions.scalar import _rescale_decimal
             data = _rescale_decimal(data, v.dtype.scale, st.scale)
-        else:
-            data = data.astype(st.np_dtype())
+        data = data.astype(st.np_dtype())
         return [_masked(data, keep, 0), keep.astype(np.int64)]
 
     def extract(self, state_arrays, group_valid):
