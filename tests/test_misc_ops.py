@@ -116,3 +116,38 @@ def test_merge_join():
     exp = left.merge(right, left_on="k", right_on="rk")
     assert len(got) == len(exp)
     assert got.lv.sum() == exp.lv.sum() and got.rv.sum() == exp.rv.sum()
+
+
+def test_group_id():
+    """GROUPING SETS ((a), (b), ()) expansion + aggregation."""
+    from velox_tpu.core import plan as P
+    df = pd.DataFrame({
+        "a": np.array([1, 1, 2, 2, 3], "int64"),
+        "b": np.array([10, 20, 10, 20, 10], "int64"),
+        "v": np.array([1, 2, 3, 4, 5], "int64"),
+    })
+    src = PlanBuilder().values([pa.table(df)]).plan()
+    gid = P.GroupIdNode("gid", source=src,
+                        grouping_sets=(("a",), ("b",), ()),
+                        aggregation_inputs=("v",))
+    agg = P.AggregationNode(
+        "agg", source=gid, step=P.AggregationStep.SINGLE,
+        grouping_keys=tuple(
+            __import__("velox_tpu.core.expressions",
+                       fromlist=["field"]).field(n, t)
+            for n, t in [("a", gid.output_type().field_type("a")),
+                         ("b", gid.output_type().field_type("b")),
+                         ("group_id",
+                          gid.output_type().field_type("group_id"))]),
+        aggregate_names=("s",),
+        aggregates=(P.AggregateCall(
+            "sum", (__import__("velox_tpu.core.expressions",
+                               fromlist=["field"]).field(
+                "v", gid.output_type().field_type("v")),), None),))
+    got = run(agg)
+    # set 0: group by a -> 3 groups; set 1: by b -> 2; set 2: global -> 1
+    assert len(got) == 6
+    g0 = got[got.group_id == 0]
+    assert sorted(g0.a) == [1, 2, 3] and g0.b.isna().all()
+    g2 = got[got.group_id == 2]
+    assert len(g2) == 1 and int(g2.s.iloc[0]) == df.v.sum()

@@ -333,6 +333,37 @@ class ExpandNode(PlanNode):
 
 
 @dataclass(frozen=True)
+class GroupIdNode(PlanNode):
+    """Grouping-sets expansion: one copy of the input per grouping set,
+    with keys outside the set nulled and a group_id column.
+    Parity: core/PlanNode.h:922."""
+    source: PlanNode = None
+    grouping_sets: Tuple[Tuple[str, ...], ...] = ()
+    aggregation_inputs: Tuple[str, ...] = ()
+    group_id_name: str = "group_id"
+
+    @property
+    def sources(self):
+        return (self.source,)
+
+    def all_keys(self):
+        seen, out = set(), []
+        for gs in self.grouping_sets:
+            for k in gs:
+                if k not in seen:
+                    seen.add(k)
+                    out.append(k)
+        return out
+
+    def output_type(self):
+        st = self.source.output_type()
+        names = self.all_keys() + list(self.aggregation_inputs) \
+            + [self.group_id_name]
+        types = [st.field_type(n) for n in names[:-1]] + [T.BIGINT]
+        return T.row(names, types)
+
+
+@dataclass(frozen=True)
 class NestedLoopJoinNode(PlanNode):
     """Cross/inequality join. Parity: core/PlanNode.h:1745 (inner/cross)."""
     left: PlanNode = None

@@ -189,6 +189,53 @@ class ExpandOperator(Operator):
         return self._no_more_input and not self._outs
 
 
+class GroupIdOperator(Operator):
+    """Grouping-sets expansion. Parity: velox/exec/GroupId.h:22."""
+
+    def __init__(self, node: "P.GroupIdNode"):
+        super().__init__(node)
+        self._node = node
+        self._outs: List[DeviceBatch] = []
+        all_keys = node.all_keys()
+
+        def _one(batch: DeviceBatch, i: int) -> DeviceBatch:
+            gs = set(node.grouping_sets[i])
+            cols: Dict[str, DeviceColumn] = {}
+            for k in all_keys:
+                col = batch.columns[k]
+                if k in gs:
+                    cols[k] = col
+                else:  # nulled-out key for this grouping set
+                    cols[k] = DeviceColumn(
+                        jnp.zeros_like(col.data),
+                        jnp.zeros((batch.capacity,), bool),
+                        col.dtype, col.dictionary)
+            for a in node.aggregation_inputs:
+                cols[a] = batch.columns[a]
+            cols[node.group_id_name] = DeviceColumn(
+                jnp.full((batch.capacity,), i, jnp.int64), None,
+                T.BIGINT, None)
+            return DeviceBatch(cols, batch.mask)
+
+        self._fns = [jax.jit(lambda b, i=i: _one(b, i))
+                     for i in range(len(node.grouping_sets))]
+
+    def add_input(self, batch):
+        for fn in self._fns:
+            self._outs.append(fn(batch))
+
+    def get_output(self):
+        if self._outs:
+            return self._outs.pop(0)
+        return None
+
+    def needs_input(self):
+        return not self._no_more_input and not self._outs
+
+    def is_finished(self):
+        return self._no_more_input and not self._outs
+
+
 class NestedLoopJoinOperator(Operator):
     """Cross/inequality join: every probe row against every build row,
     optionally filtered. Two-pass static-shape expansion (chunked).
