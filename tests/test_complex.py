@@ -1,0 +1,110 @@
+"""Complex-type (ARRAY/MAP) tests: arrow round trip, array functions,
+Unnest operator."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from velox_tpu.exec.task import Task
+from velox_tpu.testing.plan_builder import PlanBuilder
+from velox_tpu.vector.device import from_arrow, to_arrow
+
+
+def make_list_table(n=200, seed=6, with_nulls=True):
+    rng = np.random.RandomState(seed)
+    lists, ids = [], []
+    for i in range(n):
+        if with_nulls and rng.rand() < 0.1:
+            lists.append(None)
+        else:
+            ln = rng.randint(0, 6)
+            lists.append(rng.randint(0, 100, ln).tolist())
+        ids.append(i)
+    return pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "arr": pa.array(lists, pa.list_(pa.int64())),
+    })
+
+
+def test_array_round_trip():
+    t = make_list_table()
+    back = to_arrow(from_arrow(t))
+    assert back.column("arr").to_pylist() == t.column("arr").to_pylist()
+    assert back.column("id").to_pylist() == t.column("id").to_pylist()
+
+
+def test_map_round_trip():
+    t = pa.table({
+        "m": pa.array([{"a": 1, "b": 2}, {}, {"c": 3}],
+                      pa.map_(pa.string(), pa.int64())),
+    })
+    back = to_arrow(from_arrow(t))
+    assert back.column("m").to_pylist() == t.column("m").to_pylist()
+
+
+def test_cardinality_element_at_contains():
+    t = make_list_table(with_nulls=False)
+    plan = (PlanBuilder().values([t])
+            .project(["id", "cardinality(arr) as n",
+                      "element_at(arr, 1) as first",
+                      "element_at(arr, -1) as last",
+                      "contains(arr, 7) as has7"])
+            .plan())
+    got = Task(plan).run().to_pandas()
+    pl = t.column("arr").to_pylist()
+    np.testing.assert_array_equal(got.n, [len(x) for x in pl])
+    for i, x in enumerate(pl):
+        if len(x) == 0:
+            assert pd.isna(got["first"][i]) and pd.isna(got["last"][i])
+        else:
+            assert got["first"][i] == x[0] and got["last"][i] == x[-1]
+        assert got.has7[i] == (7 in x)
+
+
+def test_unnest():
+    t = make_list_table()
+    plan = (PlanBuilder().values([t])
+            .unnest("arr", element_name="e", ordinality="ord")
+            .plan())
+    got = Task(plan).run().to_pandas()
+    exp_rows = []
+    for i, x in zip(t.column("id").to_pylist(),
+                    t.column("arr").to_pylist()):
+        if x:
+            for k, e in enumerate(x):
+                exp_rows.append((i, e, k + 1))
+    exp = pd.DataFrame(exp_rows, columns=["id", "e", "ord"])
+    assert len(got) == len(exp)
+    g = got.sort_values(["id", "ord"]).reset_index(drop=True)
+    e = exp.sort_values(["id", "ord"]).reset_index(drop=True)
+    np.testing.assert_array_equal(g.id, e.id)
+    np.testing.assert_array_equal(g.e, e.e)
+    np.testing.assert_array_equal(g.ord, e.ord)
+
+
+def test_unnest_map():
+    t = pa.table({
+        "id": pa.array([0, 1], pa.int64()),
+        "m": pa.array([{"a": 1, "b": 2}, {"c": 3}],
+                      pa.map_(pa.string(), pa.int64())),
+    })
+    plan = (PlanBuilder().values([t])
+            .unnest("m", element_name="k", value_name="v")
+            .plan())
+    got = Task(plan).run().to_pandas().sort_values(["id", "k"]) \
+        .reset_index(drop=True)
+    assert got.k.tolist() == ["a", "b", "c"]
+    assert got.v.tolist() == [1, 2, 3]
+    assert got.id.tolist() == [0, 0, 1]
+
+
+def test_unnest_then_aggregate():
+    t = make_list_table(with_nulls=False)
+    plan = (PlanBuilder().values([t])
+            .unnest("arr", element_name="e")
+            .single_aggregation([], ["sum(e) as s", "count() as c"])
+            .plan())
+    got = Task(plan).run().to_pandas()
+    flat = [e for x in t.column("arr").to_pylist() for e in x]
+    assert got.s[0] == sum(flat) and got.c[0] == len(flat)

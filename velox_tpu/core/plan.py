@@ -333,6 +333,41 @@ class ExpandNode(PlanNode):
 
 
 @dataclass(frozen=True)
+class UnnestNode(PlanNode):
+    """Expand an ARRAY (or MAP) column into one row per element, other
+    columns replicated. Parity: core/PlanNode.h:1988."""
+    source: PlanNode = None
+    unnest_column: str = ""
+    element_name: str = "element"
+    value_name: str = "value"  # MAP only (element_name holds keys)
+    ordinality_name: Optional[str] = None
+
+    @property
+    def sources(self):
+        return (self.source,)
+
+    def output_type(self):
+        st = self.source.output_type()
+        names, types = [], []
+        for n, t in zip(st.names, st.children):
+            if n == self.unnest_column:
+                continue
+            names.append(n)
+            types.append(t)
+        ut = st.field_type(self.unnest_column)
+        if ut.kind is T.TypeKind.MAP:
+            names += [self.element_name, self.value_name]
+            types += [ut.children[0], ut.children[1]]
+        else:
+            names.append(self.element_name)
+            types.append(ut.children[0])
+        if self.ordinality_name:
+            names.append(self.ordinality_name)
+            types.append(T.BIGINT)
+        return T.row(names, types)
+
+
+@dataclass(frozen=True)
 class GroupIdNode(PlanNode):
     """Grouping-sets expansion: one copy of the input per grouping set,
     with keys outside the set nulled and a group_id column.

@@ -189,6 +189,86 @@ class ExpandOperator(Operator):
         return self._no_more_input and not self._outs
 
 
+class UnnestOperator(Operator):
+    """One row per array/map element; other columns replicated. The output
+    capacity is the unnested column's element capacity, so expansion needs
+    NO host synchronization (the flattened elements already exist on
+    device). Parity: velox/exec/Unnest.h:20."""
+
+    def __init__(self, node: "P.UnnestNode"):
+        super().__init__(node)
+        self._node = node
+        st = node.source.output_type()
+        ut = st.field_type(node.unnest_column)
+        for n, t in zip(st.names, st.children):
+            if n != node.unnest_column and t.is_complex:
+                raise NotImplementedError(
+                    "replicating complex columns through Unnest")
+        if any(c.is_complex for c in ut.children):
+            raise NotImplementedError("nested complex unnest")
+        self._out = None
+        self._fn = jax.jit(self._run)
+
+    def _run(self, batch: DeviceBatch) -> DeviceBatch:
+        node = self._node
+        cap = batch.capacity
+        col = batch.columns[node.unnest_column]
+        is_map = col.dtype.kind is T.TypeKind.MAP
+        child = col.children[0]
+        ecap = child.capacity
+        valid = batch.mask
+        if col.validity is not None:
+            valid = valid & col.validity
+        lens = jnp.where(valid, col.data.astype(jnp.int32), 0)
+        orig_starts = col.offsets()
+        cum = jnp.cumsum(lens)
+        total = cum[cap - 1]
+        j = jnp.arange(ecap, dtype=jnp.int32)
+        row = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+        row_c = jnp.clip(row, 0, cap - 1)
+        within = j - (cum[row_c] - lens[row_c])
+        src = jnp.clip(orig_starts[row_c] + within, 0, ecap - 1)
+        out_mask = j < total
+
+        cols: Dict[str, DeviceColumn] = {}
+        for name, c in batch.columns.items():
+            if name == node.unnest_column:
+                continue
+            cols[name] = DeviceColumn(
+                c.data[row_c],
+                c.validity[row_c] if c.validity is not None else None,
+                c.dtype, c.dictionary, c.children)
+
+        def gather_child(ch):
+            return DeviceColumn(
+                ch.data[src],
+                ch.validity[src] if ch.validity is not None else None,
+                ch.dtype, ch.dictionary, ch.children)
+
+        if is_map:
+            cols[node.element_name] = gather_child(col.children[0])
+            cols[node.value_name] = gather_child(col.children[1])
+        else:
+            cols[node.element_name] = gather_child(child)
+        if node.ordinality_name:
+            cols[node.ordinality_name] = DeviceColumn(
+                (within + 1).astype(jnp.int64), None, T.BIGINT, None)
+        return DeviceBatch(cols, out_mask)
+
+    def add_input(self, batch):
+        self._out = self._fn(batch)
+
+    def get_output(self):
+        out, self._out = self._out, None
+        return out
+
+    def needs_input(self):
+        return not self._no_more_input and self._out is None
+
+    def is_finished(self):
+        return self._no_more_input and self._out is None
+
+
 class GroupIdOperator(Operator):
     """Grouping-sets expansion. Parity: velox/exec/GroupId.h:22."""
 

@@ -195,6 +195,9 @@ class Task:
         elif isinstance(node, P.GroupIdNode):
             from velox_tpu.exec.misc_ops import GroupIdOperator
             yield from self._drive(node.source, GroupIdOperator(node))
+        elif isinstance(node, P.UnnestNode):
+            from velox_tpu.exec.misc_ops import UnnestOperator
+            yield from self._drive(node.source, UnnestOperator(node))
         elif isinstance(node, P.NestedLoopJoinNode):
             yield from self._run_nested_loop_join(node)
         elif isinstance(node, P.MergeJoinNode):

@@ -49,6 +49,7 @@ class EvalValue:
     dtype: T.DataType
     dictionary: Optional[Dictionary] = None
     py_value: Any = None
+    children: tuple = ()  # complex types: flattened element columns
 
     @property
     def is_scalar(self) -> bool:
@@ -75,11 +76,12 @@ class EvalValue:
         if v is not None and v.ndim == 0:
             v = jnp.broadcast_to(v, (capacity,))
         return DeviceColumn(self.full_data(capacity), v, self.dtype,
-                            self.dictionary)
+                            self.dictionary, self.children)
 
 
 def value_from_column(col: DeviceColumn) -> EvalValue:
-    return EvalValue(col.data, col.validity, col.dtype, col.dictionary)
+    return EvalValue(col.data, col.validity, col.dtype, col.dictionary,
+                     children=col.children)
 
 
 def merge_validity(*vals: EvalValue):

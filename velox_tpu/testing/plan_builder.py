@@ -310,6 +310,14 @@ class PlanBuilder:
             filter=fexpr, output_columns=tuple(output))
         return self
 
+    def unnest(self, column: str, element_name="element",
+               value_name="value", ordinality=None) -> "PlanBuilder":
+        self._node = P.UnnestNode(
+            self._ids.next(), source=self._node, unnest_column=column,
+            element_name=element_name, value_name=value_name,
+            ordinality_name=ordinality)
+        return self
+
     def mark_distinct(self, marker: str, keys) -> "PlanBuilder":
         rt = self._node.output_type()
         dk = tuple(ex.field(k, rt.field_type(k)) for k in keys)

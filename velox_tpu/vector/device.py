@@ -81,36 +81,53 @@ class DeviceColumn:
 
     data.shape == (capacity,) for scalars; strings are int32 dictionary ids
     into ``dictionary``. ``validity is None`` means no nulls (fast path).
+
+    Complex types (ARRAY/MAP — parity velox/vector/ComplexVector.h) keep
+    Arrow's offsets+values layout split for static shapes: ``data`` holds
+    per-row element *lengths* (int32; starts are a cumsum away) and
+    ``children`` holds the flattened element columns with their own
+    (element) capacity: [values] for ARRAY, [keys, values] for MAP.
     """
 
     def __init__(self, data, validity=None, dtype: T.DataType = T.BIGINT,
-                 dictionary: Optional[Dictionary] = None):
+                 dictionary: Optional[Dictionary] = None,
+                 children: Optional[tuple] = None):
         self.data = data
         self.validity = validity
         self.dtype = dtype
         self.dictionary = dictionary
+        self.children = tuple(children) if children else ()
 
     def tree_flatten(self):
-        if self.validity is None:
-            return (self.data,), (False, self.dtype, self.dictionary)
-        return (self.data, self.validity), (True, self.dtype, self.dictionary)
+        leaves = (self.data,) + ((self.validity,)
+                                 if self.validity is not None else ())
+        return leaves + self.children, \
+            (self.validity is not None, self.dtype, self.dictionary,
+             len(self.children))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        has_validity, dtype, dictionary = aux
-        if has_validity:
-            data, validity = children
-        else:
-            (data,), validity = children, None
-        return cls(data, validity, dtype, dictionary)
+        has_validity, dtype, dictionary, n_children = aux
+        it = list(children)
+        data = it[0]
+        validity = it[1] if has_validity else None
+        kids = tuple(it[1 + int(has_validity):])
+        return cls(data, validity, dtype, dictionary, kids)
 
     @property
     def capacity(self) -> int:
         return self.data.shape[0]
 
+    def offsets(self):
+        """Exclusive start offsets for complex columns (from lengths)."""
+        import jax.numpy as jnp
+        lens = self.data.astype(jnp.int32)
+        return jnp.cumsum(lens) - lens
+
     def __repr__(self):
         return (f"DeviceColumn({self.dtype}, cap={self.capacity}, "
-                f"nulls={'y' if self.validity is not None else 'n'})")
+                f"nulls={'y' if self.validity is not None else 'n'}"
+                f"{', children=%d' % len(self.children) if self.children else ''})")
 
 
 @jax.tree_util.register_pytree_node_class
@@ -193,6 +210,32 @@ def column_from_arrow(
     validity_np = None
     if arr.null_count:
         validity_np = np.asarray(pc.is_valid(arr))
+
+    if dtype.kind is T.TypeKind.ARRAY:
+        lengths = np.asarray(pc.list_value_length(arr).fill_null(0),
+                             dtype=np.int32)
+        values = arr.flatten()
+        elem_cap = default_capacity(len(values))
+        child = column_from_arrow(values, elem_cap)
+        data = jnp.asarray(_pad_np(lengths, capacity))
+        validity = (jnp.asarray(_pad_np(validity_np, capacity, False))
+                    if validity_np is not None else None)
+        return DeviceColumn(data, validity, dtype, None, (child,))
+
+    if dtype.kind is T.TypeKind.MAP:
+        offs = np.asarray(arr.offsets, dtype=np.int64)
+        lengths = np.diff(offs).astype(np.int32)
+        if validity_np is not None:
+            lengths = np.where(validity_np, lengths, 0).astype(np.int32)
+        keys = arr.keys
+        items = arr.items
+        elem_cap = default_capacity(len(keys))
+        kchild = column_from_arrow(keys, elem_cap)
+        vchild = column_from_arrow(items, elem_cap)
+        data = jnp.asarray(_pad_np(lengths, capacity))
+        validity = (jnp.asarray(_pad_np(validity_np, capacity, False))
+                    if validity_np is not None else None)
+        return DeviceColumn(data, validity, dtype, None, (kchild, vchild))
 
     if dtype.is_string:
         if pa.types.is_dictionary(arr.type):
@@ -298,12 +341,63 @@ def to_arrow(batch: DeviceBatch):
     mask = np.asarray(jax.device_get(batch.mask))
     arrays, names = [], []
     for name, col in batch.columns.items():
-        data, validity = column_to_numpy(col)
-        data = data[mask]
-        valid = validity[mask] if validity is not None else None
-        arrays.append(_np_to_arrow(data, valid, col))
+        if col.dtype.is_complex:
+            arrays.append(_complex_to_arrow(col, mask))
+        else:
+            data, validity = column_to_numpy(col)
+            data = data[mask]
+            valid = validity[mask] if validity is not None else None
+            arrays.append(_np_to_arrow(data, valid, col))
         names.append(name)
     return pa.table(arrays, names=names)
+
+
+def _complex_to_arrow(col: DeviceColumn, mask: np.ndarray):
+    """ARRAY/MAP column -> pyarrow, gathering each active row's element
+    slice from the flattened children."""
+    import pyarrow as pa
+
+    lengths = np.asarray(jax.device_get(col.data)).astype(np.int64)
+    validity = (np.asarray(jax.device_get(col.validity))
+                if col.validity is not None else None)
+    starts = np.cumsum(lengths) - lengths
+    act_len = lengths[mask]
+    act_start = starts[mask]
+    idx = np.concatenate([np.arange(s, s + l) for s, l in
+                          zip(act_start, act_len)]) \
+        if len(act_len) else np.zeros(0, np.int64)
+    offsets = np.concatenate([[0], np.cumsum(act_len)]).astype(np.int32)
+    pa_valid = None if validity is None else validity[mask]
+
+    def child_values(child: DeviceColumn):
+        if child.dtype.is_complex:
+            m = np.zeros(child.capacity, bool)
+            m[idx] = True
+            # preserve order: _complex_to_arrow gathers in mask order ==
+            # ascending index order == idx order (idx is sorted per row)
+            return _complex_to_arrow(child, m)
+        data, valid = column_to_numpy(child)
+        return _np_to_arrow(data[idx],
+                            valid[idx] if valid is not None else None,
+                            child)
+
+    if col.dtype.kind is T.TypeKind.ARRAY:
+        values = child_values(col.children[0])
+        out = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                       values)
+    else:  # MAP
+        keys = child_values(col.children[0])
+        items = child_values(col.children[1])
+        out = pa.MapArray.from_arrays(pa.array(offsets, pa.int32()),
+                                      keys, items)
+    if pa_valid is not None and not pa_valid.all():
+        # re-wrap with the null bitmap (pyarrow from_arrays lacks mask arg)
+        indices = pa.array(
+            np.where(pa_valid, np.arange(len(pa_valid)), -1),
+            pa.int32(),
+            mask=~pa_valid)
+        out = out.take(indices)
+    return out
 
 
 def _np_to_arrow(data: np.ndarray, validity: Optional[np.ndarray],
