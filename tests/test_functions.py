@@ -158,3 +158,26 @@ def test_arbitrary():
     # arbitrary returns *some* value from the group: check membership
     for g, a in zip(got.g, got.a):
         assert a in set(df[df.g == g].i)
+
+
+def test_approx_distinct():
+    rng = np.random.RandomState(11)
+    n = 4000
+    df = pd.DataFrame({
+        "g": rng.randint(0, 4, n).astype("int64"),
+        "x": rng.randint(0, 700, n).astype("int64"),
+    })
+    got = run_agg(df, ["approx_distinct(x) as ad", "count() as c"])
+    exp = df.groupby("g").x.nunique()
+    # 512 registers -> ~4.6% standard error; allow 4 sigma
+    rel = np.abs(got.ad.to_numpy() - exp.to_numpy()) / exp.to_numpy()
+    assert (rel < 0.20).all(), (got.ad.tolist(), exp.tolist())
+
+
+def test_approx_distinct_global_and_small():
+    df = pd.DataFrame({"x": np.arange(37, dtype="int64")})
+    plan = (PlanBuilder().values([pa.table(df)])
+            .single_aggregation([], ["approx_distinct(x) as ad"]).plan())
+    got = Task(plan).run().to_pandas()
+    # linear-counting range: should be near-exact for tiny cardinalities
+    assert abs(int(got.ad[0]) - 37) <= 3

@@ -232,3 +232,34 @@ def test_expanding_join_multiple_chunks():
     assert len(got) == 1000 * 50
     assert got.pv.sum() == 50 * np.arange(1000).sum()
     assert got.bv.sum() == 1000 * np.arange(50).sum()
+
+
+def test_dynamic_filter_pushdown():
+    """Build-side key range becomes a probe-side filter (still correct,
+    and the plan gains a dynamic FilterNode)."""
+    from velox_tpu.core import plan as P
+    from velox_tpu.exec.task import Task as TaskCls
+    probe = pd.DataFrame({"pk": np.arange(1000, dtype="int64"),
+                          "pv": np.arange(1000, dtype="int64")})
+    build = pd.DataFrame({"bk": np.arange(400, 450, dtype="int64"),
+                          "bv": np.arange(50, dtype="int64")})
+    plan = build_join_plan(probe, build, "inner", ["pk", "pv", "bv"])
+    task = TaskCls(plan)
+    got = task.run().to_pandas()
+    exp = probe.merge(build, left_on="pk", right_on="bk")
+    assert len(got) == len(exp) == 50
+    np.testing.assert_array_equal(
+        np.sort(got.pk), np.sort(exp.pk))
+    # the dynamic filter node was injected
+    fp_ops = [o for o in task.operators
+              if o.stats.plan_node_id.endswith("-dynfilter")]
+    assert fp_ops, [o.stats.plan_node_id for o in task.operators]
+
+    # disabled via config -> same result, no filter node
+    from velox_tpu.core.config import QueryConfig
+    from velox_tpu.exec.task import QueryCtx
+    t2 = TaskCls(plan, QueryCtx({QueryConfig.DYNAMIC_FILTERS: False}))
+    got2 = t2.run().to_pandas()
+    assert len(got2) == 50
+    assert not any(o.stats.plan_node_id.endswith("-dynfilter")
+                   for o in t2.operators)

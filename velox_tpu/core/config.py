@@ -27,6 +27,8 @@ class QueryConfig:
     TRACE_NODE_IDS = "query_trace_node_ids"  # comma list; empty = all
     # velox kMaxOutputBatchRows
     MAX_OUTPUT_BATCH_ROWS = "max_output_batch_rows"
+    # join build -> probe scan min/max pushdown (Driver::pushdownFilters)
+    DYNAMIC_FILTERS = "dynamic_filters_enabled"
 
     _DEFAULTS: Dict[str, Any] = {
         AGG_COMPACT_THRESHOLD: 8,

@@ -108,6 +108,8 @@ class AggregationOperator(Operator):
                     keep = active
                     if col.validity is not None:
                         keep = keep & col.full_validity(cap)
+                    if data.ndim > 1:  # vector-width state (e.g. HLL)
+                        keep = keep[:, None]
                     data = jnp.where(keep, data, ident)
                     addends.append((data, st.combine))
         return keys, addends, active
@@ -156,7 +158,8 @@ class AggregationOperator(Operator):
             for st in agg.states:
                 cname = _state_col_name(out_name, agg, st.suffix)
                 data = cols[cname].full_data(cap)
-                data = jnp.where(active, data, st.identity())
+                keep = active[:, None] if data.ndim > 1 else active
+                data = jnp.where(keep, data, st.identity())
                 addends.append((data, st.combine))
         domain = G.array_mode_domain(keys) if keys else None
         if keys and domain is not None and domain <= cap:
@@ -281,19 +284,24 @@ class AggregationOperator(Operator):
                 new_state = []
                 for (data, combine), s in zip(addends, state):
                     if combine == "sum":
-                        new_state.append(s + jnp.sum(data))
+                        new_state.append(s + jnp.sum(data, axis=0))
                     elif combine == "min":
-                        new_state.append(jnp.minimum(s, jnp.min(data)))
+                        new_state.append(jnp.minimum(
+                            s, jnp.min(data, axis=0)))
                     else:
-                        new_state.append(jnp.maximum(s, jnp.max(data)))
+                        new_state.append(jnp.maximum(
+                            s, jnp.max(data, axis=0)))
                 return new_state
             self._global_fn = jax.jit(_step)
         if self._global_state is None:
             self._global_state = []
             for agg in self._aggs:
                 for st in agg.states:
-                    self._global_state.append(
-                        jnp.asarray(st.identity(), st.dtype.np_dtype()))
+                    ident = jnp.asarray(st.identity(),
+                                        st.dtype.np_dtype())
+                    if st.width > 1:
+                        ident = jnp.full((st.width,), ident)
+                    self._global_state.append(ident)
         self._global_state = self._global_fn(batch, self._global_state)
 
     def _extract_global(self) -> DeviceBatch:
@@ -309,13 +317,13 @@ class AggregationOperator(Operator):
                 for st in agg.states:
                     cname = _state_col_name(out_name, agg, st.suffix)
                     out_cols[cname] = DeviceColumn(
-                        state[i].reshape(1), None, st.dtype, None)
+                        state[i][None], None, st.dtype, None)
                     i += 1
             return DeviceBatch(out_cols, one)
         for out_name, agg, d in zip(self._agg_names, self._aggs,
                                     self._agg_dicts):
             n_states = len(agg.states)
-            arrays = [s.reshape(1) for s in state[i:i + n_states]]
+            arrays = [s[None] for s in state[i:i + n_states]]
             res = agg.extract(arrays, one)
             i += n_states
             col = res.to_column(1)

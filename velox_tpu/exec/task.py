@@ -268,7 +268,53 @@ class Task:
         table = build.finish()
         probe = HashJoinOperator(node)
         probe.set_built_table(table)
-        yield from self._drive(node.left, probe)
+        left = self._maybe_push_dynamic_filter(node, table)
+        yield from self._drive(left, probe)
+
+    def _maybe_push_dynamic_filter(self, node: P.HashJoinNode, table
+                                   ) -> P.PlanNode:
+        """Dynamic filter pushdown: after the build completes, derive
+        [min, max] ranges of the build keys and prepend them as probe-side
+        filters, which the fusion pass folds into the probe scan superstep.
+        Parity: HashProbe dynamic filters (exec/HashProbe.cpp:393) +
+        Driver::pushdownFilters (exec/Driver.cpp:613).
+
+        Only for joins where non-matching probe rows are dropped
+        (inner/left-semi) and integral/date/dict-string keys."""
+        import jax
+        import numpy as np
+        from velox_tpu.core.config import QueryConfig as QC
+        if not self.ctx.query_config.get_bool(QC.DYNAMIC_FILTERS, True):
+            return node.left
+        if node.join_type not in (P.JoinType.INNER,
+                                  P.JoinType.LEFT_SEMI_FILTER):
+            return node.left
+        left = node.left
+        lt = left.output_type()
+        preds = []
+        for lk, col, cval in zip(node.left_keys, table.table.key_cols,
+                                 table.table.key_valid):
+            dt = lk.dtype
+            if not (dt.is_integral or dt.kind in (
+                    T.TypeKind.DATE, T.TypeKind.DECIMAL)):
+                continue
+            occ = table.table.occupied
+            data = np.asarray(jax.device_get(col))
+            occ_np = np.asarray(jax.device_get(occ))
+            if not occ_np.any():
+                continue
+            lo = int(data[occ_np].min())
+            hi = int(data[occ_np].max())
+            f = ex.field(lk.name, lt.field_type(lk.name))
+            preds.append(ex.Call(T.BOOLEAN, "between", (
+                f, ex.Constant(dt, lo), ex.Constant(dt, hi))))
+        if not preds:
+            return left
+        pred = preds[0]
+        for p in preds[1:]:
+            pred = ex.Call(T.BOOLEAN, "and", (pred, p))
+        return P.FilterNode(f"{node.id}-dynfilter", source=left,
+                            predicate=pred)
 
     # ---- driver loop (Driver::runInternal parity) ---------------------------
 

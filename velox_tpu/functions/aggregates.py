@@ -34,6 +34,7 @@ class StateSpec:
     suffix: str           # physical column suffix, e.g. "sum", "count"
     dtype: T.DataType     # device dtype of the state column
     combine: str          # 'sum' | 'min' | 'max'
+    width: int = 1        # >1: per-group state VECTOR (e.g. HLL registers)
 
     def identity(self):
         """Identity element for masked-out rows."""
@@ -356,6 +357,62 @@ def _unpack32(u, dtype: T.DataType):
     return i.astype(dtype.np_dtype())
 
 
+class ApproxDistinctAgg(AggregateFunction):
+    """approx_distinct via HyperLogLog register vectors.
+
+    Parity: functions/prestosql/aggregates (HLL over common/hyperloglog).
+    TPU-first: the per-group state is a WIDTH-register int32 vector state
+    column combined with segment_max; per-row addends are the one-hot
+    (row, register) rho contributions, fused by XLA into the segment
+    reduce. Default 512 registers (~4.6% standard error); a second
+    argument sets the target max standard error like Presto's
+    approx_distinct(x, e) (registers = (1.04/e)^2 rounded to a power of
+    two, capped at 4096)."""
+
+    def __init__(self, input_type: T.DataType, max_error: float = 0.046):
+        self.name = "approx_distinct"
+        self.input_type = input_type
+        self.result_type = T.BIGINT
+        m = int((1.04 / max_error) ** 2)
+        m = max(16, min(4096, 1 << (m - 1).bit_length()))
+        self.m = m
+        self.p = m.bit_length() - 1
+        self.states = (StateSpec("hll", T.INTEGER, "max", width=m),)
+
+    def map_raw(self, ctx, args, active):
+        (v,) = args
+        keep = _valid_and_active(v, active, ctx.capacity)
+        from velox_tpu.exec.hashtable import hash_rows
+        h = hash_rows([v], ctx.capacity)  # uint32
+        reg = (h & np.uint32(self.m - 1)).astype(jnp.int32)
+        w = (h >> np.uint32(self.p)).astype(jnp.int32)
+        # rho = leading zeros of w within (32-p) bits, + 1
+        bits = 32 - self.p
+        wl = jnp.where(w > 0,
+                       jnp.floor(jnp.log2(jnp.maximum(
+                           w, 1).astype(jnp.float32))).astype(jnp.int32)
+                       + 1, 0)
+        rho = bits - wl + 1
+        onehot = (jnp.arange(self.m, dtype=jnp.int32)[None, :]
+                  == reg[:, None])
+        addend = jnp.where(onehot & keep[:, None], rho[:, None], 0) \
+            .astype(jnp.int32)
+        return [addend]
+
+    def extract(self, state_arrays, group_valid):
+        (regs,) = state_arrays  # (groups, m) int32
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        rf = regs.astype(jnp.float64)
+        est = alpha * m * m / jnp.sum(jnp.exp2(-rf), axis=1)
+        zeros = jnp.sum((regs == 0).astype(jnp.float64), axis=1)
+        # linear counting small-range correction
+        lin = m * jnp.log(m / jnp.maximum(zeros, 1.0))
+        out = jnp.where((est <= 2.5 * m) & (zeros > 0), lin, est)
+        return EvalValue(jnp.round(out).astype(jnp.int64), group_valid,
+                         T.BIGINT)
+
+
 # ---------------------------------------------------------------------------
 
 def resolve_aggregate(name: str, input_types) -> AggregateFunction:
@@ -385,4 +442,6 @@ def resolve_aggregate(name: str, input_types) -> AggregateFunction:
         return VarianceAgg(canon, input_types[0])
     if name in ("min_by", "max_by"):
         return MinMaxByAgg(name, input_types[0], input_types[1])
+    if name == "approx_distinct":
+        return ApproxDistinctAgg(input_types[0])
     raise KeyError(f"unknown aggregate function {name!r}")
