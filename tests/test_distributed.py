@@ -1,0 +1,60 @@
+"""DistributedTask tests on the virtual CPU mesh (8 devices)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from velox_tpu.connectors.connector import register_connector
+from velox_tpu.connectors.tpch import TpchConnector
+from velox_tpu.exec.task import Task
+from velox_tpu.parallel import DistributedTask, make_mesh
+from velox_tpu.testing.plan_builder import PlanBuilder
+
+
+@pytest.fixture(scope="module")
+def conn():
+    c = TpchConnector("tpch-dist", scale_factor=0.002, rows_per_split=1024)
+    register_connector(c)
+    return c
+
+
+def test_distributed_q1_style(conn):
+    plan = (PlanBuilder()
+            .table_scan("lineitem",
+                        ["l_returnflag", "l_linestatus", "l_quantity"],
+                        connector_id="tpch-dist")
+            .single_aggregation(["l_returnflag", "l_linestatus"],
+                                ["sum(l_quantity) as sq", "count() as c"])
+            .plan())
+    dist = DistributedTask(plan, make_mesh(8)).run().to_pandas()
+    serial = Task(plan).run().to_pandas()
+    d = dist.sort_values(["l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True)
+    s = serial.sort_values(["l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True)
+    assert len(d) == len(s)
+    np.testing.assert_array_equal(d.c, s.c)
+    np.testing.assert_array_equal(
+        [float(x) for x in d.sq], [float(x) for x in s.sq])
+
+
+def test_distributed_dup_key_join():
+    rng = np.random.RandomState(9)
+    probe_tables = [pa.table(pd.DataFrame({
+        "pk": rng.randint(0, 30, 400).astype("int64"),
+        "pv": np.arange(i * 400, (i + 1) * 400, dtype="int64")}))
+        for i in range(10)]
+    build = pd.DataFrame({"bk": rng.randint(0, 25, 80).astype("int64"),
+                          "bv": np.arange(80, dtype="int64")})
+    b = PlanBuilder()
+    bb = b.new_builder().values([pa.table(build)])
+    plan = (b.values(probe_tables)
+            .hash_join(["pk"], ["bk"], bb, output=["pk", "pv", "bv"])
+            .plan())
+    dist = DistributedTask(plan, make_mesh(8)).run().to_pandas()
+    all_probe = pd.concat([t.to_pandas() for t in probe_tables])
+    exp = all_probe.merge(build, left_on="pk", right_on="bk")
+    assert len(dist) == len(exp)
+    assert dist.pv.sum() == exp.pv.sum()
+    assert dist.bv.sum() == exp.bv.sum()

@@ -76,3 +76,33 @@ def test_batch_nbytes():
     from velox_tpu.vector.device import from_arrow
     b = from_arrow(pa.table({"a": np.arange(10, dtype="int64")}))
     assert batch_nbytes(b) >= 1024 * 8  # padded capacity * 8 bytes
+
+
+def test_unsaferow_round_trip():
+    from velox_tpu import types as T
+    from velox_tpu.serializers.unsaferow import (
+        deserialize_rows, serialize_rows,
+    )
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "a": rng.randint(-1000, 1000, 50).astype("int64"),
+        "b": rng.randn(50),
+        "s": rng.choice(["hello", "world", "x", ""], 50),
+        "f": rng.rand(50) > 0.5,
+    })
+    df.loc[rng.rand(50) < 0.2, "a"] = None
+    df["a"] = df["a"].astype("Int64")
+    t = pa.table(df)
+    rt = T.row(t.schema.names, [T.from_arrow(f.type) for f in t.schema])
+    buf = serialize_rows(t)
+    back = deserialize_rows(buf, rt)
+    assert back.num_rows == 50
+    for c in t.schema.names:
+        av, bv = t.column(c).to_pylist(), back.column(c).to_pylist()
+        for x, y in zip(av, bv):
+            if x is None:
+                assert y is None
+            elif isinstance(x, float):
+                assert abs(x - y) < 1e-12
+            else:
+                assert x == y

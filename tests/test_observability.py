@@ -1,0 +1,71 @@
+"""Metrics registry, TestValue injection, faulty connector tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from velox_tpu.common import metrics as M
+from velox_tpu.common import testvalue as TV
+from velox_tpu.exec.task import Task
+from velox_tpu.testing.plan_builder import PlanBuilder
+
+
+def test_metrics_recorded():
+    rep = M.InMemoryReporter()
+    M.set_reporter(rep)
+    try:
+        df = pd.DataFrame({"v": np.arange(100, dtype="int64")})
+        Task(PlanBuilder().values([pa.table(df)])
+             .filter("v > 10").plan()).run()
+        snap = rep.snapshot()
+        assert snap["counters"][M.K_TASK_QUERIES] == 1
+        assert snap["counters"][M.K_TASK_BATCHES] >= 1
+        assert snap["histograms"][M.K_QUERY_WALL_MS]["count"] == 1
+    finally:
+        M.set_reporter(M.InMemoryReporter())
+
+
+def test_testvalue_injection():
+    seen = []
+    TV.enable()
+    try:
+        TV.set_callback("Task::drive::addInput",
+                        lambda payload: seen.append(payload[0]))
+        df = pd.DataFrame({"v": np.arange(50, dtype="int64")})
+        Task(PlanBuilder().values([pa.table(df)])
+             .filter("v > 5").plan()).run()
+        assert len(seen) >= 1
+
+        # fault injection: raise at the injection point
+        def boom(payload):
+            raise RuntimeError("injected failure")
+        TV.set_callback("Task::drive::addInput", boom)
+        with pytest.raises(RuntimeError, match="injected failure"):
+            Task(PlanBuilder().values([pa.table(df)])
+                 .filter("v > 5").plan()).run()
+    finally:
+        TV.disable()
+
+
+def test_faulty_connector():
+    from velox_tpu.connectors.connector import register_connector
+    from velox_tpu.connectors.faulty import FaultyConnector, error_hook
+    from velox_tpu.connectors.tpch import TpchConnector
+
+    inner = TpchConnector("tpch-f-inner", scale_factor=0.001,
+                          rows_per_split=2048)
+    faulty = FaultyConnector(inner, "tpch-faulty")
+    register_connector(faulty)
+
+    plan = (PlanBuilder()
+            .table_scan("nation", ["n_nationkey", "n_name"],
+                        connector_id="tpch-faulty")
+            .plan())
+    assert Task(plan).run().num_rows == 25  # no fault: works
+
+    faulty.set_fault_hook(error_hook(IOError("disk on fire")))
+    with pytest.raises(IOError, match="disk on fire"):
+        Task(plan).run()
+    faulty.clear_fault_hook()
+    assert Task(plan).run().num_rows == 25

@@ -1,0 +1,82 @@
+"""Process-wide metrics registry.
+
+Role parity: ``velox/common/base/StatsReporter.h:86-202`` (macro-registered
+counters/histograms recorded into a pluggable BaseStatsReporter) +
+``RuntimeMetrics.h``. Operators record named metrics; a reporter hook can
+export them (the default reporter just accumulates in memory).
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import defaultdict
+from typing import Callable, Dict, List, Optional
+
+
+class StatsReporter:
+    """Pluggable sink. Parity: BaseStatsReporter."""
+
+    def add_counter(self, name: str, value: float):
+        raise NotImplementedError
+
+    def add_histogram(self, name: str, value: float):
+        raise NotImplementedError
+
+
+class InMemoryReporter(StatsReporter):
+    def __init__(self):
+        self.counters: Dict[str, float] = defaultdict(float)
+        self.histograms: Dict[str, List[float]] = defaultdict(list)
+        self._lock = threading.Lock()
+
+    def add_counter(self, name, value):
+        with self._lock:
+            self.counters[name] += value
+
+    def add_histogram(self, name, value):
+        with self._lock:
+            self.histograms[name].append(value)
+
+    def snapshot(self) -> Dict:
+        with self._lock:
+            return {
+                "counters": dict(self.counters),
+                "histograms": {k: {
+                    "count": len(v),
+                    "sum": sum(v),
+                    "max": max(v) if v else None,
+                } for k, v in self.histograms.items()},
+            }
+
+
+_reporter: StatsReporter = InMemoryReporter()
+
+
+def set_reporter(r: StatsReporter):
+    global _reporter
+    _reporter = r
+
+
+def reporter() -> StatsReporter:
+    return _reporter
+
+
+def record_counter(name: str, value: float = 1):
+    """Parity: RECORD_METRIC_VALUE."""
+    _reporter.add_counter(name, value)
+
+
+def record_histogram(name: str, value: float):
+    _reporter.add_histogram(name, value)
+
+
+# predefined metric keys (parity: common/base/Counters.h)
+K_TASK_BATCHES = "velox_tpu.task.batches_processed"
+K_TASK_QUERIES = "velox_tpu.task.queries"
+K_JOIN_DYN_FILTERS = "velox_tpu.join.dynamic_filters_pushed"
+K_AGG_HOST_OFFLOADS = "velox_tpu.agg.host_offload_runs"
+K_EXCHANGE_PAGES = "velox_tpu.exchange.pages"
+K_EXCHANGE_BYTES = "velox_tpu.exchange.bytes"
+K_TRACE_BATCHES = "velox_tpu.trace.batches_recorded"
+K_COMPILED_PROGRAMS = "velox_tpu.jit.programs"
+K_QUERY_WALL_MS = "velox_tpu.task.wall_ms"

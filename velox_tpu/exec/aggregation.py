@@ -238,7 +238,9 @@ class AggregationOperator(Operator):
                 merged = jax.jit(
                     slice_batch, static_argnums=(1, 2))(merged, 0, want)
         if self._host_offload:
+            from velox_tpu.common import metrics as M
             from velox_tpu.exec.memory import HostBatch
+            M.record_counter(M.K_AGG_HOST_OFFLOADS)
             self._host_runs.append(HostBatch(merged))
             self._partials = []
         else:

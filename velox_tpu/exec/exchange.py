@@ -45,6 +45,9 @@ class OutputBuffer:
         self._rr = 0
 
     def enqueue(self, destination: int, page: bytes):
+        from velox_tpu.common import metrics as M
+        M.record_counter(M.K_EXCHANGE_PAGES)
+        M.record_counter(M.K_EXCHANGE_BYTES, len(page))
         with self._lock:
             if self.kind == "broadcast":
                 for q in self._queues:

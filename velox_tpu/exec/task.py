@@ -87,9 +87,14 @@ class Task:
     def run(self):
         """Execute to completion; return a pyarrow Table."""
         import pyarrow as pa
+        from velox_tpu.common import metrics as M
         from velox_tpu.vector.device import to_arrow
+        t0 = time.perf_counter()
         tables = [to_arrow(b) for b in self.batches()]
         self._close_traces()
+        M.record_counter(M.K_TASK_QUERIES)
+        M.record_histogram(M.K_QUERY_WALL_MS,
+                           (time.perf_counter() - t0) * 1e3)
         if not tables:
             schema = T.to_arrow(self.plan.output_type())
             return pa.table({n: pa.array([], type=f.type)
@@ -313,6 +318,8 @@ class Task:
         pred = preds[0]
         for p in preds[1:]:
             pred = ex.Call(T.BOOLEAN, "and", (pred, p))
+        from velox_tpu.common import metrics as M
+        M.record_counter(M.K_JOIN_DYN_FILTERS)
         return P.FilterNode(f"{node.id}-dynfilter", source=left,
                             predicate=pred)
 
@@ -323,6 +330,10 @@ class Task:
         self.operators.append(op)
         st = op.stats
         for batch in self._run_node(source_node):
+            from velox_tpu.common import metrics as M
+            from velox_tpu.common import testvalue as TV
+            M.record_counter(M.K_TASK_BATCHES)
+            TV.adjust("Task::drive::addInput", (op, batch))
             self._maybe_trace(op, batch)
             t0 = time.perf_counter_ns()
             op.add_input(batch)

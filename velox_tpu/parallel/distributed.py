@@ -323,14 +323,35 @@ class DistributedTask:
 
         probe = HashJoinOperator(node)
         probe.set_built_table(table)
-        if not probe._unique_build or probe._matched is not None:
+        if probe._matched is not None:
             raise NotImplementedError(
-                "distributed duplicate-key/right joins: expanding probe "
-                "needs per-shard chunk loops (planned)")
-        probe_fn = jax.jit(jax.vmap(
-            lambda b: probe._probe_fast(b, table)[0]))
+                "distributed right/full/right-semi joins: matched-flag "
+                "merging across shards (planned)")
+        jt = node.join_type
+        needs_expand = (not probe._unique_build) and jt in (
+            Pn.JoinType.INNER, Pn.JoinType.LEFT)
+        if not needs_expand:
+            probe_fn = jax.jit(jax.vmap(
+                lambda b: probe._probe_fast(b, table)[0]))
+            for stacked in self._run_node(node.left):
+                yield probe_fn(stacked)
+            return
+        # duplicate-key expanding probe: vmapped count phase, then emit
+        # chunks sized by the worst shard (one host sync per wave)
+        count_fn = jax.jit(jax.vmap(
+            lambda b: probe._probe_counts(b, table)[1:4]))
+        emit_fn = jax.jit(jax.vmap(
+            lambda b, slots, hit, cum, start: probe._emit_chunk(
+                b, table, slots, hit, cum, start),
+            in_axes=(0, 0, 0, 0, None)))
         for stacked in self._run_node(node.left):
-            yield probe_fn(stacked)
+            (slots, hit), cum, total = count_fn(stacked)
+            n_total = int(jax.device_get(jnp.max(total)))
+            cap = stacked.mask.shape[1]
+            for start in range(0, max(n_total, 1), cap):
+                if n_total == 0:
+                    break
+                yield emit_fn(stacked, slots, hit, cum, jnp.int64(start))
 
     # -- topN ----------------------------------------------------------------------
 
