@@ -41,6 +41,10 @@ def _state_col_name(out_name: str, agg, suffix: str) -> str:
     return f"{out_name}${suffix}"
 
 
+# (plan node) -> (partial_fn, merge_fn, compact_fn); see __init__
+_AGG_JIT_CACHE: Dict = {}
+
+
 class AggregationOperator(Operator):
     """Group-by aggregation over one or more key columns."""
 
@@ -63,9 +67,21 @@ class AggregationOperator(Operator):
         self._partials: List[DeviceBatch] = []
         self._outputs: List[DeviceBatch] = []
         self._finished = False
-        self._partial_fn = jax.jit(self._partial_step)
-        self._merge_fn = jax.jit(self._merge_step)
-        self._compact_fn = jax.jit(self._compact_step)
+        # cache the jitted programs across Task instances by plan node
+        # (everything the traced steps read derives from the node) —
+        # except string aggregates, whose extraction bakes in the first
+        # task's dictionaries at trace time
+        cacheable = not any(
+            a.inputs and a.inputs[0].dtype.is_string
+            for a in self._agg_calls)
+        cached = _AGG_JIT_CACHE.get(node) if cacheable else None
+        if cached is None:
+            cached = (jax.jit(self._partial_step),
+                      jax.jit(self._merge_step),
+                      jax.jit(self._compact_step))
+            if cacheable:
+                _AGG_JIT_CACHE[node] = cached
+        self._partial_fn, self._merge_fn, self._compact_fn = cached
         # Fold accumulated partial runs when this many pile up — the in-HBM
         # analogue of velox's spill-run merging (GroupingSet.cpp:1043).
         self._compact_threshold = compact_threshold

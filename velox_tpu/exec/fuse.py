@@ -94,6 +94,29 @@ def collapse_chain(node: P.PlanNode) -> FusedChain:
     return FusedChain(node, None, names, exprs)
 
 
+_FN_CACHE: Dict[P.PlanNode, object] = {}
+
+
+def cached_chain(node: P.PlanNode):
+    """(FusedChain, jitted fn) with the fn cached by plan node — plan nodes
+    are frozen dataclasses, so structurally identical (sub)plans across
+    Task instances share ONE compiled program instead of re-jitting per
+    operator instance.
+
+    The CHAIN is always collapsed fresh: ValuesNode equality deliberately
+    ignores its data payload (tables, hash=False), so a cached
+    chain.source could point at another plan's data. The traced program
+    itself is payload-independent (pure structure), so caching the fn by
+    node equality is sound."""
+    import jax
+    chain = collapse_chain(node)
+    fn = _FN_CACHE.get(node)
+    if fn is None:
+        fn = jax.jit(chain_fn(chain))
+        _FN_CACHE[node] = fn
+    return chain, fn
+
+
 def chain_fn(chain: FusedChain):
     """Pure traced DeviceBatch -> DeviceBatch function for a FusedChain."""
     import jax.numpy as jnp

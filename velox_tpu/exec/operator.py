@@ -138,13 +138,13 @@ class FilterProjectOperator(Operator):
     """
 
     @classmethod
-    def from_fused(cls, node: P.PlanNode, fused_fn) -> \
-            "FilterProjectOperator":
+    def from_fused(cls, node: P.PlanNode, fused_fn,
+                   prejitted: bool = False) -> "FilterProjectOperator":
         """Wrap a pre-built pure batch function (exec/fuse.py chains)."""
         op = cls.__new__(cls)
         Operator.__init__(op, node)
         op._out = None
-        op._fn = jax.jit(fused_fn)
+        op._fn = fused_fn if prejitted else jax.jit(fused_fn)
         return op
 
     def __init__(self, node: P.PlanNode, filter_expr, names, projections):

@@ -156,10 +156,12 @@ class Task:
                 yield from self._drive_source(scan)
         elif isinstance(node, (P.FilterNode, P.ProjectNode)):
             # collapse the whole Filter/Project chain (incl. a pushed-down
-            # scan filter) into ONE jitted superstep (exec/fuse.py)
-            from velox_tpu.exec.fuse import chain_fn, collapse_chain
-            chain = collapse_chain(node)
-            op = FilterProjectOperator.from_fused(node, chain_fn(chain))
+            # scan filter) into ONE jitted superstep, cached across Task
+            # instances by plan node (exec/fuse.py)
+            from velox_tpu.exec.fuse import cached_chain
+            chain, fn = cached_chain(node)
+            op = FilterProjectOperator.from_fused(node, fn,
+                                                  prejitted=True)
             yield from self._drive(chain.source, op)
         elif isinstance(node, P.AggregationNode):
             from velox_tpu.core.config import QueryConfig as QC
