@@ -181,3 +181,35 @@ def test_approx_distinct_global_and_small():
     got = Task(plan).run().to_pandas()
     # linear-counting range: should be near-exact for tiny cardinalities
     assert abs(int(got.ad[0]) - 37) <= 3
+
+
+def test_sparksql_package():
+    df = pd.DataFrame({
+        "a": np.array([7, -7, 5], "int64"),
+        "b": np.array([3, 3, 0], "int64"),
+        "d": np.array(["2020-01-31", "2020-03-15", "2019-12-01"],
+                      dtype="datetime64[D]"),
+        "e": np.array(["2020-02-10", "2020-03-10", "2020-01-01"],
+                      dtype="datetime64[D]"),
+    })
+    got = run_exprs(df, ["pmod(a, b) as pm", "nvl(a, 0) as nv",
+                         "datediff(e, d) as dd",
+                         "add_months(d, 1) as am",
+                         "shiftleft(a, 2) as sl"])
+    np.testing.assert_array_equal(got.pm[:2], [1, 2])  # pmod(-7,3)=2
+    assert pd.isna(got.pm[2])  # div by zero -> null
+    np.testing.assert_array_equal(
+        got.dd, (df.e.to_numpy() - df.d.to_numpy())
+        .astype("timedelta64[D]").astype(int))
+    np.testing.assert_array_equal(
+        pd.DatetimeIndex(got.am),
+        pd.DatetimeIndex(df.d) + pd.DateOffset(months=1))
+    np.testing.assert_array_equal(got.sl, df.a.to_numpy() << 2)
+
+
+def test_spark_size():
+    t = pa.table({"arr": pa.array([[1, 2], [], [5, 6, 7]],
+                                  pa.list_(pa.int64()))})
+    plan = (PlanBuilder().values([t]).project(["size(arr) as n"]).plan())
+    got = Task(plan).run().to_pandas()
+    np.testing.assert_array_equal(got.n, [2, 0, 3])

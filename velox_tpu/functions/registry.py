@@ -62,9 +62,9 @@ def resolve_return_type(name: str, arg_types) -> T.DataType:
             return rt
     # Special forms resolved here too (they bypass the registry at eval).
     if name in ("and", "or", "not", "is_null", "is_not_null", "in",
-                "between"):
+                "between", "isnull", "isnotnull"):
         return T.BOOLEAN
-    if name in ("if", "coalesce", "switch", "try"):
+    if name in ("if", "coalesce", "switch", "try", "nvl", "ifnull"):
         for a in arg_types[1:] if name == "if" else arg_types:
             if a.kind is not T.TypeKind.UNKNOWN:
                 return a
