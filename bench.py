@@ -32,12 +32,19 @@ def main():
     from velox_tpu.parse.parser import parse_expression
 
     sf = 1.0
-    rows_per_split = 512 * 1024
     conn = TpchConnector("tpch-bench", scale_factor=sf,
-                         rows_per_split=rows_per_split)
+                         rows_per_split=64 * 1024 * 1024)
     cols = ["l_shipdate", "l_extendedprice", "l_quantity", "l_discount"]
-    source = conn.create_data_source("lineitem", cols, None)
+    # one exact-capacity split: measure compute, not padding (the lineitem
+    # capacity formula otherwise assumes the worst-case 7 lines/order)
+    from velox_tpu.connectors.tpch import TpchDataSource
+    from velox_tpu.vector.device import default_capacity
+    n_orders = conn.num_index_rows("lineitem")
+    exact_rows = conn.gen.num_rows("lineitem")
+    source = TpchDataSource(conn.gen, "lineitem", cols,
+                            capacity=default_capacity(exact_rows))
     splits = conn.default_splits("lineitem")
+    assert len(splits) == 1
 
     # stage all batches in HBM
     batches = []
