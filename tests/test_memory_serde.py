@@ -106,3 +106,38 @@ def test_unsaferow_round_trip():
                 assert abs(x - y) < 1e-12
             else:
                 assert x == y
+
+
+def test_compactrow_round_trip():
+    from velox_tpu import types as T
+    from velox_tpu.serializers.compactrow import (
+        deserialize_rows, serialize_rows,
+    )
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "a": rng.randint(-100, 100, 40).astype("int32"),
+        "b": rng.randn(40),
+        "s": rng.choice(["aa", "", "zzz"], 40),
+    })
+    df.loc[rng.rand(40) < 0.25, "s"] = None
+    t = pa.table(df)
+    rt = T.row(t.schema.names, [T.from_arrow(f.type) for f in t.schema])
+    buf = serialize_rows(t)
+    back = deserialize_rows(buf, rt)
+    assert back.num_rows == 40
+    for c in t.schema.names:
+        assert back.column(c).to_pylist() == t.column(c).to_pylist()
+    # compact layout beats UnsafeRow on size
+    from velox_tpu.serializers.unsaferow import serialize_rows as us
+    assert len(buf) < len(us(t))
+
+
+def test_try_expression():
+    from velox_tpu.exec.task import Task
+    from velox_tpu.testing.plan_builder import PlanBuilder
+    df = pd.DataFrame({"a": np.array([10, 20, 30], "int64"),
+                       "b": np.array([2, 0, 5], "int64")})
+    got = Task(PlanBuilder().values([pa.table(df)])
+               .project(["try(a / b) as q"]).plan()).run()
+    vals = got.column("q").to_pylist()
+    assert vals[0] == 5 and vals[1] is None and vals[2] == 6

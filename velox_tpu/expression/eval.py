@@ -305,6 +305,16 @@ def _coalesce(expr, ctx, cache):
     return out
 
 
+@special_form("try")
+def _try(expr, ctx, cache):
+    """TRY(expr): suppress row-level errors -> NULL. In dense masked
+    execution, error-producing operations (div-by-zero, overflowing casts)
+    already surface as NULL validity rather than exceptions (parity with
+    the *observable* semantics of velox TryExpr, expression/TryExpr.h),
+    so TRY is the identity on the value with its validity preserved."""
+    return _eval(expr.args[0], ctx, cache)
+
+
 @special_form("is_null")
 def _is_null(expr, ctx, cache):
     v = _eval(expr.args[0], ctx, cache)
