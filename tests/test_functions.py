@@ -213,3 +213,43 @@ def test_spark_size():
     plan = (PlanBuilder().values([t]).project(["size(arr) as n"]).plan())
     got = Task(plan).run().to_pandas()
     np.testing.assert_array_equal(got.n, [2, 0, 3])
+
+
+def test_partial_aggregation_abandonment():
+    """High-cardinality partial agg abandons grouping and stays correct."""
+    from velox_tpu.core import plan as P
+    rng = np.random.RandomState(2)
+    # nearly all-distinct keys across several batches
+    dfs = [pd.DataFrame({
+        "k": np.arange(i * 3000, (i + 1) * 3000, dtype="int64"),
+        "v": rng.randint(0, 10, 3000).astype("int64")})
+        for i in range(4)]
+    plan = (PlanBuilder().values([pa.table(d) for d in dfs])
+            .partial_aggregation(["k"], ["sum(v) as s"])
+            .final_aggregation()
+            .single_aggregation([], ["sum(s) as total", "count() as n"])
+            .plan())
+    got = Task(plan).run().to_pandas()
+    allv = pd.concat(dfs)
+    assert got.total[0] == allv.v.sum()
+    assert got.n[0] == 12000  # every key distinct -> 12000 groups
+
+    # with tiny thresholds the partial operator actually abandons
+    import velox_tpu.exec.aggregation as agg_mod
+    orig_init = agg_mod.AggregationOperator.__init__
+    def patched(self, *a, **kw):
+        orig_init(self, *a, **kw)
+        self._abandon_min_rows = 1000
+        self._compact_threshold = 2
+    agg_mod.AggregationOperator.__init__ = patched
+    try:
+        t3 = Task(plan)
+        got3 = t3.run().to_pandas()
+        assert got3.total[0] == allv.v.sum()
+        assert got3.n[0] == 12000
+        partials = [o for o in t3.operators
+                    if isinstance(o, agg_mod.AggregationOperator)
+                    and o._step.name == "PARTIAL"]
+        assert any(o._abandoned for o in partials)
+    finally:
+        agg_mod.AggregationOperator.__init__ = orig_init

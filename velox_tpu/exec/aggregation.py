@@ -78,15 +78,33 @@ class AggregationOperator(Operator):
         if cached is None:
             cached = (jax.jit(self._partial_step),
                       jax.jit(self._merge_step),
-                      jax.jit(self._compact_step))
+                      jax.jit(self._compact_step),
+                      jax.jit(self._passthrough_step))
             if cacheable:
                 _AGG_JIT_CACHE[node] = cached
-        self._partial_fn, self._merge_fn, self._compact_fn = cached
+        (self._partial_fn, self._merge_fn, self._compact_fn,
+         self._passthrough_fn) = cached
         # Fold accumulated partial runs when this many pile up — the in-HBM
         # analogue of velox's spill-run merging (GroupingSet.cpp:1043).
         self._compact_threshold = compact_threshold
         # string aggregate outputs need the input dictionary carried over
         self._agg_dicts: List = [None] * len(self._aggs)
+        # adaptive partial-agg abandonment (parity: velox
+        # kAbandonPartialAggregationMinRows/Pct, QueryConfig.h:137-141):
+        # when grouping barely reduces cardinality, PARTIAL stops grouping
+        # and passes raw per-row states through to the final stage
+        self._abandoned = False
+        self._abandon_min_rows = 100_000
+        self._abandon_min_pct = 0.8
+        self._in_rows = []  # device scalars; synced at compact time
+
+    def _passthrough_step(self, batch: DeviceBatch) -> DeviceBatch:
+        """Abandoned partial: emit per-row states without grouping."""
+        if self._pre_fn is not None:
+            batch = self._pre_fn(batch)
+        keys, addends, active = self._eval_keys_and_addends(batch, True)
+        return self._make_state_batch(
+            keys, [a for a, _ in addends], active, batch.capacity)
 
     # ---- traced programs ---------------------------------------------------
 
@@ -229,6 +247,11 @@ class AggregationOperator(Operator):
                     if col is not None:
                         self._agg_dicts[j] = col.dictionary
         if self._keys:
+            if self._abandoned:
+                self._outputs.append(self._passthrough_fn(batch))
+                return
+            if self._step is P.AggregationStep.PARTIAL:
+                self._in_rows.append(batch.num_active())
             self._partials.append(self._partial_fn(batch))
             if len(self._partials) >= self._compact_threshold:
                 self._compact_partials()
@@ -244,6 +267,17 @@ class AggregationOperator(Operator):
         from velox_tpu.exec.batch_utils import slice_batch
         merged = self._compact_fn(concat_batches(self._partials))
         num_groups = int(jax.device_get(merged.num_active()))
+        if self._step is P.AggregationStep.PARTIAL and not self._abandoned \
+                and self._in_rows:
+            rows = int(jax.device_get(sum(self._in_rows)))
+            if rows >= self._abandon_min_rows \
+                    and num_groups >= self._abandon_min_pct * rows:
+                # grouping is not reducing cardinality: emit the compacted
+                # run and switch to passthrough (velox partial-agg abandon)
+                self._abandoned = True
+                self._outputs.append(merged)
+                self._partials = []
+                return
         cap = merged.capacity
         want = max(1024, 1 << (max(1, num_groups - 1)).bit_length())
         if want < cap:
@@ -269,12 +303,10 @@ class AggregationOperator(Operator):
                 self._partials = [hb.restore() for hb in self._host_runs] \
                     + self._partials
                 self._host_runs = []
-            if not self._partials:
-                self._outputs = []
-            else:
+            if self._partials:
                 merged = concat_batches(self._partials)
                 self._partials = []
-                self._outputs = [self._merge_fn(merged)]
+                self._outputs.append(self._merge_fn(merged))
         else:
             self._outputs = [self._extract_global()]
         self._finished_inputs = True
