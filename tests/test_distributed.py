@@ -58,3 +58,31 @@ def test_distributed_dup_key_join():
     assert len(dist) == len(exp)
     assert dist.pv.sum() == exp.pv.sum()
     assert dist.bv.sum() == exp.bv.sum()
+
+
+@pytest.mark.parametrize("jtype", ["right", "full", "right_semi_filter"])
+def test_distributed_right_joins(jtype):
+    rng = np.random.RandomState(13)
+    probe_tables = [pa.table(pd.DataFrame({
+        "pk": rng.randint(0, 40, 300).astype("int64"),
+        "pv": np.arange(i * 300, (i + 1) * 300, dtype="int64")}))
+        for i in range(6)]
+    build = pd.DataFrame({"bk": np.arange(20, 60, dtype="int64"),
+                          "bv": np.arange(40, dtype="int64")})
+    out_cols = {"right": ["pv", "bk", "bv"],
+                "full": ["pk", "pv", "bk", "bv"],
+                "right_semi_filter": ["bk", "bv"]}[jtype]
+    b = PlanBuilder()
+    bb = b.new_builder().values([pa.table(build)])
+    plan = (b.values(probe_tables)
+            .hash_join(["pk"], ["bk"], bb, output=out_cols,
+                       join_type=jtype)
+            .plan())
+    dist = DistributedTask(plan, make_mesh(8)).run().to_pandas()
+    serial = Task(plan).run().to_pandas()
+    assert len(dist) == len(serial)
+    for c in out_cols:
+        a = np.sort(dist[c].to_numpy(dtype="float64", na_value=np.nan))
+        e = np.sort(serial[c].to_numpy(dtype="float64", na_value=np.nan))
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(e))
+        np.testing.assert_array_equal(a[~np.isnan(a)], e[~np.isnan(e)])

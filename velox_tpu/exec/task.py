@@ -310,9 +310,14 @@ class Task:
             occ_np = np.asarray(jax.device_get(occ))
             if not occ_np.any():
                 continue
-            lo = int(data[occ_np].min())
-            hi = int(data[occ_np].max())
             f = ex.field(lk.name, lt.field_type(lk.name))
+            vals = np.unique(data[occ_np])
+            if len(vals) <= 64:
+                # small build key set: exact IN-set filter
+                preds.append(ex.Call(T.BOOLEAN, "in", (f,) + tuple(
+                    ex.Constant(dt, int(v)) for v in vals)))
+                continue
+            lo, hi = int(vals[0]), int(vals[-1])
             preds.append(ex.Call(T.BOOLEAN, "between", (
                 f, ex.Constant(dt, lo), ex.Constant(dt, hi))))
         if not preds:

@@ -323,35 +323,59 @@ class DistributedTask:
 
         probe = HashJoinOperator(node)
         probe.set_built_table(table)
-        if probe._matched is not None:
-            raise NotImplementedError(
-                "distributed right/full/right-semi joins: matched-flag "
-                "merging across shards (planned)")
         jt = node.join_type
+        track = probe._matched is not None  # right/full/right-semi
+        matched = None  # (n_shards, build_cap) bool, ORed across waves
+
+        def _acc(m, nm):
+            return nm if m is None else (m | nm)
+
         needs_expand = (not probe._unique_build) and jt in (
-            Pn.JoinType.INNER, Pn.JoinType.LEFT)
+            Pn.JoinType.INNER, Pn.JoinType.LEFT, Pn.JoinType.RIGHT,
+            Pn.JoinType.FULL, Pn.JoinType.RIGHT_SEMI_FILTER)
         if not needs_expand:
             probe_fn = jax.jit(jax.vmap(
-                lambda b: probe._probe_fast(b, table)[0]))
+                lambda b: probe._probe_fast(b, table)))
             for stacked in self._run_node(node.left):
-                yield probe_fn(stacked)
-            return
-        # duplicate-key expanding probe: vmapped count phase, then emit
-        # chunks sized by the worst shard (one host sync per wave)
-        count_fn = jax.jit(jax.vmap(
-            lambda b: probe._probe_counts(b, table)[1:4]))
-        emit_fn = jax.jit(jax.vmap(
-            lambda b, slots, hit, cum, start: probe._emit_chunk(
-                b, table, slots, hit, cum, start),
-            in_axes=(0, 0, 0, 0, None)))
-        for stacked in self._run_node(node.left):
-            (slots, hit), cum, total = count_fn(stacked)
-            n_total = int(jax.device_get(jnp.max(total)))
-            cap = stacked.mask.shape[1]
-            for start in range(0, max(n_total, 1), cap):
-                if n_total == 0:
-                    break
-                yield emit_fn(stacked, slots, hit, cum, jnp.int64(start))
+                out, nm = probe_fn(stacked)
+                if track:
+                    matched = _acc(matched, nm)
+                if out is not None:
+                    yield out
+        else:
+            # duplicate-key expanding probe: vmapped count phase, then
+            # emit chunks sized by the worst shard (one sync per wave)
+            count_fn = jax.jit(jax.vmap(
+                lambda b: probe._probe_counts(b, table)))
+            emit_fn = jax.jit(jax.vmap(
+                lambda b, slots, hit, cum, start: probe._emit_chunk(
+                    b, table, slots, hit, cum, start),
+                in_axes=(0, 0, 0, 0, None)))
+            for stacked in self._run_node(node.left):
+                out, slot_hit, cum, total, nm = count_fn(stacked)
+                if track:
+                    matched = _acc(matched, nm)
+                if slot_hit is None:
+                    if out is not None:
+                        yield out
+                    continue
+                slots, hit = slot_hit
+                n_total = int(jax.device_get(jnp.max(total)))
+                cap = stacked.mask.shape[1]
+                for start in range(0, max(n_total, 1), cap):
+                    if n_total == 0:
+                        break
+                    yield emit_fn(stacked, slots, hit, cum,
+                                  jnp.int64(start))
+        if track:
+            # merge matched flags across shards (build is replicated) and
+            # emit the right phase once
+            probe._matched = jnp.any(matched, axis=0) if matched is not None \
+                else jnp.zeros((table.batch.capacity,), bool)
+            right = probe._emit_right_phase()
+            empties = [right.with_mask(jnp.zeros_like(right.mask))
+                       for _ in range(self.n - 1)]
+            yield _stack_batches([right] + empties, self.mesh)
 
     # -- topN ----------------------------------------------------------------------
 
