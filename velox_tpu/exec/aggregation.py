@@ -278,15 +278,7 @@ class AggregationOperator(Operator):
                 self._outputs.append(merged)
                 self._partials = []
                 return
-        cap = merged.capacity
-        want = max(1024, 1 << (max(1, num_groups - 1)).bit_length())
-        if want < cap:
-            # Safe only when groups are a dense prefix (sort mode); array
-            # mode scatters groups over the domain — verify before cutting.
-            tail = int(jax.device_get(jnp.sum(merged.mask[want:])))
-            if tail == 0:
-                merged = jax.jit(
-                    slice_batch, static_argnums=(1, 2))(merged, 0, want)
+        merged = self._shrink(merged, num_groups)
         if self._host_offload:
             from velox_tpu.common import metrics as M
             from velox_tpu.exec.memory import HostBatch
@@ -296,6 +288,24 @@ class AggregationOperator(Operator):
         else:
             self._partials = [merged]
 
+    def _shrink(self, merged: DeviceBatch,
+                num_groups: Optional[int] = None) -> DeviceBatch:
+        """Cut a compacted run down to a pow2 capacity near its group count
+        (one host sync; the analogue of HashTable::decideHashMode resize)."""
+        from velox_tpu.exec.batch_utils import slice_batch
+        if num_groups is None:
+            num_groups = int(jax.device_get(merged.num_active()))
+        cap = merged.capacity
+        want = max(1024, 1 << (max(1, num_groups - 1)).bit_length())
+        if want < cap:
+            # Safe only when groups are a dense prefix (hash mode); array
+            # mode scatters groups over the domain — verify before cutting.
+            tail = int(jax.device_get(jnp.sum(merged.mask[want:])))
+            if tail == 0:
+                merged = jax.jit(
+                    slice_batch, static_argnums=(1, 2))(merged, 0, want)
+        return merged
+
     def no_more_input(self):
         super().no_more_input()
         if self._keys:
@@ -304,9 +314,19 @@ class AggregationOperator(Operator):
                     + self._partials
                 self._host_runs = []
             if self._partials:
-                merged = concat_batches(self._partials)
+                # hierarchical run merge: fold runs k at a time so peak HBM
+                # is bounded by k runs + one table, instead of one giant
+                # concat of every run (a 2M-row-split Q3 SF1 needed 22.6G
+                # that way). Parity: velox's multi-level spill merge
+                # (kMaxSpillLevel recursion).
+                k = 4
+                runs = self._partials
                 self._partials = []
-                self._outputs.append(self._merge_fn(merged))
+                while len(runs) > 1:
+                    head, runs = runs[:k], runs[k:]
+                    folded = self._compact_fn(concat_batches(head))
+                    runs.append(self._shrink(folded))
+                self._outputs.append(self._merge_fn(runs[0]))
         else:
             self._outputs = [self._extract_global()]
         self._finished_inputs = True
