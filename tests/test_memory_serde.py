@@ -141,3 +141,23 @@ def test_try_expression():
                .project(["try(a / b) as q"]).plan()).run()
     vals = got.column("q").to_pylist()
     assert vals[0] == 5 and vals[1] is None and vals[2] == 6
+
+
+def test_scan_cache():
+    from velox_tpu.connectors.cache import DataCache
+    from velox_tpu.connectors.tpch import TpchConnector, TpchDataSource
+    cache = DataCache.instance()
+    cache.clear()
+    h0, m0 = cache.hits, cache.misses
+    conn = TpchConnector("tpch-cache-test", scale_factor=0.001,
+                         rows_per_split=2048)
+    src = conn.create_data_source("orders", ["o_orderkey"], None)
+    splits = conn.default_splits("orders")
+    b1 = src.next(splits[0])
+    src2 = conn.create_data_source("orders", ["o_orderkey"], None)
+    b2 = src2.next(splits[0])
+    assert cache.hits == h0 + 1 and b2 is b1  # second scan served cached
+    # eviction under a tiny budget
+    small = DataCache(budget_bytes=1)
+    small.put(("k",), b1)  # larger than budget: not cached
+    assert small.stats()["entries"] == 0

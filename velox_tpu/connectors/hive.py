@@ -122,12 +122,21 @@ class HiveDataSource(DataSource):
         if key in self._done:
             return None
         self._done.add(key)
+        from velox_tpu.connectors.cache import DataCache
+        mtime = os.path.getmtime(split.path)  # invalidate on rewrite
+        ckey = ("hive", split.path, mtime, split.row_group_lo,
+                split.row_group_hi, tuple(self._columns), self._capacity)
+        cached = DataCache.instance().get(ckey)
+        if cached is not None:
+            return cached
         pf = pq.ParquetFile(split.path)
         t = pf.read_row_groups(
             list(range(split.row_group_lo, split.row_group_hi)),
             columns=self._columns)
-        return from_arrow(t, capacity=self._capacity,
-                          dictionaries=self.dictionaries())
+        batch = from_arrow(t, capacity=self._capacity,
+                           dictionaries=self.dictionaries())
+        DataCache.instance().put(ckey, batch)
+        return batch
 
 
 class HiveDataSink(DataSink):

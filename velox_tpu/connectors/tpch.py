@@ -746,8 +746,18 @@ class TpchDataSource(DataSource):
         # generate in one go per split (splits are sized by the connector)
         lo, hi = pos, split.hi
         self._pending = (split, hi)
+        # device-resident scan cache (AsyncDataCache analogue): repeated
+        # scans of the same split skip generation + upload
+        from velox_tpu.connectors.cache import DataCache
+        key = ("tpch", self._gen.sf, self._table, tuple(self._columns),
+               lo, hi, self._capacity)
+        cached = DataCache.instance().get(key)
+        if cached is not None:
+            return cached
         arrays = self._gen.generate(self._table, lo, hi, self._columns)
-        return self._to_batch(arrays)
+        batch = self._to_batch(arrays)
+        DataCache.instance().put(key, batch)
+        return batch
 
     def _to_batch(self, arrays: Dict[str, np.ndarray]) -> DeviceBatch:
         import jax.numpy as jnp
