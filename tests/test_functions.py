@@ -253,3 +253,51 @@ def test_partial_aggregation_abandonment():
         assert any(o._abandoned for o in partials)
     finally:
         agg_mod.AggregationOperator.__init__ = orig_init
+
+
+def test_date_diff_complete_units():
+    """Presto semantics: month/quarter/year count COMPLETE elapsed units
+    (reference DateTimeImpl.h diffTimestamp); week truncates toward zero."""
+    df = pd.DataFrame({
+        "a": np.array(["2020-01-31", "2020-02-01", "2020-03-01",
+                       "2020-01-09", "2020-01-01"], dtype="datetime64[D]"),
+        "b": np.array(["2020-02-01", "2020-01-31", "2021-02-28",
+                       "2020-01-01", "2020-01-09"], dtype="datetime64[D]"),
+    })
+    got = run_exprs(df, ["date_diff('month', a, b) as m",
+                         "date_diff('year', a, b) as y",
+                         "date_diff('quarter', a, b) as q",
+                         "date_diff('week', a, b) as w"])
+    # 2020-01-31 -> 2020-02-01: not a complete month
+    np.testing.assert_array_equal(got.m, [0, 0, 11, 0, 0])
+    np.testing.assert_array_equal(got.y, [0, 0, 0, 0, 0])
+    np.testing.assert_array_equal(got.q, [0, 0, 3, 0, 0])
+    # -8 days -> -1 complete week (not floor's -2); +8 days -> 1
+    np.testing.assert_array_equal(got.w, [0, 0, 52, -1, 1])
+
+
+def test_pmod_negative_divisor():
+    """Spark Pmod with Java truncating %: pmod(10,-3)=1, pmod(-10,-3)=-1."""
+    df = pd.DataFrame({
+        "a": np.array([10, -10, -7, 7], "int64"),
+        "b": np.array([-3, -3, 3, 3], "int64"),
+    })
+    got = run_exprs(df, ["pmod(a, b) as pm"])
+    np.testing.assert_array_equal(got.pm, [1, -1, 2, 1])
+
+
+def test_agg_jit_cache_pre_chain_key():
+    """Regression: the aggregation jit cache must not serve a program traced
+    WITHOUT a fused pre-chain (pre_fn=None, as DistributedTask builds it) to
+    a local Task whose value-equal node fuses a Filter chain in."""
+    from velox_tpu.exec.aggregation import AggregationOperator
+    df = pd.DataFrame({"k": np.array([1, 1, 2, 2], "int64"),
+                       "v": np.array([10, 20, 30, 40], "int64")})
+    plan = (PlanBuilder().values([pa.table(df)])
+            .filter("v >= 25")
+            .single_aggregation(["k"], ["sum(v) as s"]).plan())
+    # simulate the distributed path first: same node, no pre-chain
+    AggregationOperator(plan)
+    got = Task(plan).run().to_pandas().sort_values("k")
+    np.testing.assert_array_equal(got.k, [2])
+    np.testing.assert_array_equal(got.s, [70])

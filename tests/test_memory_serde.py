@@ -161,3 +161,29 @@ def test_scan_cache():
     small = DataCache(budget_bytes=1)
     small.put(("k",), b1)  # larger than budget: not cached
     assert small.stats()["entries"] == 0
+
+
+def test_unsaferow_golden_bytes():
+    """Spark/Gluten wire layout (UnsafeRowFast.cpp:354): string slot packs
+    (offset << 32) | size; REAL is a 4-byte float in the slot's low word."""
+    import struct
+
+    from velox_tpu import types as T
+    from velox_tpu.serializers.unsaferow import serialize_rows
+    t = pa.table({
+        "a": pa.array([7], pa.int64()),
+        "s": pa.array(["hi"], pa.string()),
+        "r": pa.array([1.5], pa.float32()),
+    })
+    buf = serialize_rows(t)
+    # frame: 4B big-endian row size
+    row_size = 8 + 3 * 8 + 8  # nulls + 3 slots + padded "hi"
+    assert buf[:4] == struct.pack(">i", row_size)
+    row = buf[4:]
+    assert row[0:8] == b"\0" * 8                      # no nulls
+    assert row[8:16] == struct.pack("<q", 7)          # bigint inline
+    off, size = 8 + 3 * 8, 2                          # var region start
+    assert row[16:24] == struct.pack("<q", (off << 32) | size)
+    assert row[24:28] == struct.pack("<f", 1.5)       # float32 low word
+    assert row[28:32] == b"\0" * 4
+    assert row[32:34] == b"hi"

@@ -41,7 +41,13 @@ def _state_col_name(out_name: str, agg, suffix: str) -> str:
     return f"{out_name}${suffix}"
 
 
-# (plan node) -> (partial_fn, merge_fn, compact_fn); see __init__
+# (plan node, has_pre_chain) -> (partial_fn, merge_fn, compact_fn, ...).
+# The pre-chain flag is part of the key: the jitted partial step bakes in
+# self._pre_fn at trace time, and a DistributedTask constructs the same
+# value-equal node WITHOUT a fused pre-chain (parallel/distributed.py) while
+# a local Task fuses the upstream Filter/Project chain in. The chain itself
+# is derived deterministically from node.source (part of node equality), so
+# (node, pre_fn is None) fully determines the traced programs.
 _AGG_JIT_CACHE: Dict = {}
 
 
@@ -74,14 +80,15 @@ class AggregationOperator(Operator):
         cacheable = not any(
             a.inputs and a.inputs[0].dtype.is_string
             for a in self._agg_calls)
-        cached = _AGG_JIT_CACHE.get(node) if cacheable else None
+        cache_key = (node, pre_fn is None)
+        cached = _AGG_JIT_CACHE.get(cache_key) if cacheable else None
         if cached is None:
             cached = (jax.jit(self._partial_step),
                       jax.jit(self._merge_step),
                       jax.jit(self._compact_step),
                       jax.jit(self._passthrough_step))
             if cacheable:
-                _AGG_JIT_CACHE[node] = cached
+                _AGG_JIT_CACHE[cache_key] = cached
         (self._partial_fn, self._merge_fn, self._compact_fn,
          self._passthrough_fn) = cached
         # Fold accumulated partial runs when this many pile up — the in-HBM

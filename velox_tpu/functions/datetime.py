@@ -100,34 +100,57 @@ def _date_add_resolver(ts):
 register("date_add", _date_add_resolver, _date_add_eval)
 
 
+def _trunc_div(x, n: int):
+    """Integer division truncating toward zero (complete elapsed units —
+    Presto/reference semantics, velox DateTimeImpl.h diffTimestamp)."""
+    s = jnp.sign(x)
+    return s * (jnp.abs(x) // n)
+
+
+def _complete_months(da, rema, db, remb):
+    """Complete calendar months elapsed from (da, rema) to (db, remb),
+    where da/db are epoch days and rema/remb sub-day micros. Matches the
+    reference: the partial month at the end does not count."""
+    ya, ma, daya = _civil_from_days(da)
+    yb, mb, dayb = _civil_from_days(db)
+    months = (yb * 12 + mb) - (ya * 12 + ma)
+    # tie-break on (day-of-month, time-of-day): a positive span loses one
+    # month if the end's day/time is earlier than the start's (and the
+    # mirror image for negative spans)
+    end_lt = (dayb < daya) | ((dayb == daya) & (remb < rema))
+    end_gt = (dayb > daya) | ((dayb == daya) & (remb > rema))
+    months = jnp.where((months > 0) & end_lt, months - 1, months)
+    months = jnp.where((months < 0) & end_gt, months + 1, months)
+    return months
+
+
 def _date_diff_eval(ctx, out_dtype, args):
     unit, a, b = args
     u = _unit_of(unit)
     validity = merge_validity(a, b)
-    if a.dtype.kind is T.TypeKind.DATE and b.dtype.kind is T.TypeKind.DATE:
-        da = a.full_data(ctx.capacity).astype(jnp.int64)
-        db = b.full_data(ctx.capacity).astype(jnp.int64)
-        if u == "day":
-            out = db - da
-        elif u == "week":
-            out = (db - da) // 7
-        elif u in ("month", "quarter", "year"):
-            ya, ma, _ = _civil_from_days(da)
-            yb, mb, _ = _civil_from_days(db)
-            months = (yb * 12 + mb) - (ya * 12 + ma)
-            out = months // {"month": 1, "quarter": 3, "year": 12}[u]
-        else:
-            raise ValueError(f"date_diff: unit {u!r} invalid for DATE")
-        return EvalValue(out, validity, T.BIGINT)
+    both_dates = (a.dtype.kind is T.TypeKind.DATE
+                  and b.dtype.kind is T.TypeKind.DATE)
     ua = a.full_data(ctx.capacity).astype(jnp.int64)
     ub = b.full_data(ctx.capacity).astype(jnp.int64)
     if a.dtype.kind is T.TypeKind.DATE:
         ua = ua * 86_400_000_000
     if b.dtype.kind is T.TypeKind.DATE:
         ub = ub * 86_400_000_000
-    if u not in _US_PER:
-        raise ValueError(f"date_diff: unknown unit {u!r} for TIMESTAMP")
-    return EvalValue((ub - ua) // _US_PER[u], validity, T.BIGINT)
+    if u in _US_PER:
+        out = ((ub - ua) // _US_PER[u] if both_dates and u == "day"
+               else _trunc_div(ub - ua, _US_PER[u]))
+        return EvalValue(out, validity, T.BIGINT)
+    if u == "week":
+        return EvalValue(_trunc_div(ub - ua, 7 * 86_400_000_000),
+                         validity, T.BIGINT)
+    if u in ("month", "quarter", "year"):
+        da = jnp.floor_divide(ua, 86_400_000_000)
+        db = jnp.floor_divide(ub, 86_400_000_000)
+        months = _complete_months(da, ua - da * 86_400_000_000,
+                                  db, ub - db * 86_400_000_000)
+        out = _trunc_div(months, {"month": 1, "quarter": 3, "year": 12}[u])
+        return EvalValue(out, validity, T.BIGINT)
+    raise ValueError(f"date_diff: unknown unit {u!r}")
 
 
 def _date_diff_resolver(ts):

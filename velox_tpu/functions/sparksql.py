@@ -50,7 +50,13 @@ def _pmod_eval(ctx, out_dtype, args):
     a, b = args
     da = _numeric_data(a, out_dtype, ctx)
     db = _numeric_data(b, out_dtype, ctx)
-    r = da % db  # python/jax % already yields sign-of-divisor
+    # Spark's Pmod is `r = a javamod b; if (r < 0) (r + b) javamod b`
+    # with Java's truncating %. That reduces to: the floored (python/jax)
+    # remainder when b > 0, and the Java truncated remainder when b < 0 —
+    # so pmod(10, -3) == 1 and pmod(-10, -3) == -1 (Spark-checked cases).
+    floored = da % db
+    trunc = jnp.sign(da) * (jnp.abs(da) % jnp.abs(db))
+    r = jnp.where(db > 0, floored, trunc).astype(floored.dtype)
     validity = merge_validity(a, b)
     zero = db == 0
     validity = (~zero if validity is None else validity & ~zero)

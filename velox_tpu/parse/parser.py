@@ -247,6 +247,12 @@ class Parser:
                 if p <= 18:
                     return ex.Constant(T.decimal(p, s),
                                        int((int_part + frac) or "0"))
+                # long decimals (int128 backing) are unsupported; degrading
+                # to DOUBLE silently would lose exactness — make it loud
+                import warnings
+                warnings.warn(
+                    f"decimal literal {txt!r} exceeds DECIMAL(18) precision;"
+                    " evaluating as DOUBLE (inexact)", stacklevel=2)
                 return ex.lit(float(txt))
             val = int(txt)
             dtype = T.INTEGER if -2**31 <= val < 2**31 else T.BIGINT

@@ -4,8 +4,10 @@ Role parity: ``velox/row/UnsafeRowFast.h:23`` + ``serializers/
 UnsafeRowSerializer.h:22`` (Gluten/Spark shuffle format). Layout per row:
 
   [null bitset: ceil(nfields/64) x 8B little-endian words]
-  [8B per field: fixed-width value inline; strings as (size<<32 | offset)
-   pointing into the trailing variable-length region, 8B-aligned]
+  [8B per field: fixed-width value inline; strings as (offset<<32 | size)
+   pointing into the trailing variable-length region, 8B-aligned
+   (UnsafeRowFast.cpp:354, UnsafeRowDeserializers.h:50); REAL is a 4-byte
+   float in the low word of its 8-byte slot]
 
 The stream format frames each row with a 4-byte big-endian size, matching
 the reference's UnsafeRowVectorSerializer.
@@ -29,7 +31,8 @@ def _fixed_bytes(value, dt: T.DataType) -> bytes:
                                T.TypeKind.DECIMAL):
         return struct.pack("<q", int(value))
     if k is T.TypeKind.REAL:
-        return struct.pack("<d", float(value))  # widened to 8B slot
+        # 4-byte float in the low word of the 8-byte slot (Spark layout)
+        return struct.pack("<f", float(np.float32(value))) + b"\0" * 4
     if k is T.TypeKind.DOUBLE:
         return struct.pack("<d", float(value))
     raise TypeError(f"unsupported UnsafeRow type {dt}")
@@ -55,7 +58,7 @@ def serialize_rows(table) -> bytes:
             elif types[f].is_string:
                 b = v.encode() if isinstance(v, str) else bytes(v)
                 off = base + len(var)
-                fixed += struct.pack("<q", (len(b) << 32) | off)
+                fixed += struct.pack("<q", (off << 32) | len(b))
                 var += b
                 if len(var) % 8:
                     var += b"\0" * (8 - len(var) % 8)
@@ -99,14 +102,18 @@ def deserialize_rows(buf: bytes, row_type: T.DataType):
                 continue
             (slot,) = struct.unpack_from("<q", row, 8 * null_words + 8 * f)
             if dt.is_string:
-                ln = (slot >> 32) & 0xFFFFFFFF
-                off = slot & 0xFFFFFFFF
+                off = (slot >> 32) & 0xFFFFFFFF
+                ln = slot & 0xFFFFFFFF
                 b = row[off:off + ln]
                 cols[f].append(b.decode() if dt.kind is
                                T.TypeKind.VARCHAR else b)
-            elif dt.kind is T.TypeKind.DOUBLE or dt.kind is T.TypeKind.REAL:
+            elif dt.kind is T.TypeKind.DOUBLE:
                 (x,) = struct.unpack_from(
                     "<d", row, 8 * null_words + 8 * f)
+                cols[f].append(x)
+            elif dt.kind is T.TypeKind.REAL:
+                (x,) = struct.unpack_from(
+                    "<f", row, 8 * null_words + 8 * f)
                 cols[f].append(x)
             elif dt.kind is T.TypeKind.BOOLEAN:
                 cols[f].append(bool(slot))
