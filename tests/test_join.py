@@ -263,3 +263,112 @@ def test_dynamic_filter_pushdown():
     assert len(got2) == 50
     assert not any(o.stats.plan_node_id.endswith("-dynfilter")
                    for o in t2.operators)
+
+
+def build_filtered_join_plan(probe, build, join_type, output, filt):
+    b = PlanBuilder()
+    bb = b.new_builder().values([to_arrow(build)])
+    return (
+        b.values([to_arrow(probe)])
+        .hash_join(["pk"], ["bk"], bb, output=output, join_type=join_type,
+                   filter=filt)
+        .plan()
+    )
+
+
+@pytest.mark.parametrize("dup", [False, True])
+def test_left_join_with_filter(dup):
+    """velox HashProbe filter semantics: a LEFT probe row whose matches all
+    fail the filter still emits one row with a null build side."""
+    probe, build = make_tables(dup, False)
+    plan = build_filtered_join_plan(
+        probe, build, "left", ["pk", "pv", "bk", "bv"], "pv + bv < 1000")
+    got = run_plan(plan)
+    m = probe.merge(build, left_on="pk", right_on="bk", how="inner")
+    m = m[m.pv + m.bv < 1000]
+    unmatched = probe[~probe.pk.isin(m.pk)].copy() if len(m) else probe.copy()
+    # pandas oracle: left rows with >=1 passing match, else null build
+    passing = set(zip(m.pk, m.pv))
+    no_pass = probe[[
+        (pk, pv) not in passing for pk, pv in zip(probe.pk, probe.pv)]]
+    exp_rows = len(m) + len(no_pass)
+    assert len(got) == exp_rows
+    # null build side exactly on the no-pass rows
+    got_null = got[got.bv.isna()]
+    assert len(got_null) == len(no_pass)
+    g = _sorted(got.dropna(subset=["bv"]), ["pk", "pv", "bk", "bv"])
+    e = _sorted(m[["pk", "pv", "bk", "bv"]], ["pk", "pv", "bk", "bv"])
+    for c in ["pk", "pv", "bk", "bv"]:
+        np.testing.assert_array_equal(g[c].to_numpy("float64"),
+                                      e[c].to_numpy("float64"))
+
+
+@pytest.mark.parametrize("jt", ["left_semi_filter", "anti"])
+def test_semi_anti_join_with_filter(jt):
+    probe, build = make_tables(True, False)
+    plan = build_filtered_join_plan(
+        probe, build, jt, ["pk", "pv"], "pv + bv < 1000")
+    got = run_plan(plan)
+    m = probe.merge(build, left_on="pk", right_on="bk", how="inner")
+    m = m[m.pv + m.bv < 1000]
+    passing = set(zip(m.pk, m.pv))
+    is_pass = np.array([(pk, pv) in passing
+                        for pk, pv in zip(probe.pk, probe.pv)])
+    exp = probe[is_pass] if jt == "left_semi_filter" else probe[~is_pass]
+    g = _sorted(got, ["pk", "pv"])
+    e = _sorted(exp[["pk", "pv"]], ["pk", "pv"])
+    assert len(g) == len(e)
+    for c in ["pk", "pv"]:
+        np.testing.assert_array_equal(g[c].to_numpy("float64"),
+                                      e[c].to_numpy("float64"))
+
+
+def test_right_join_with_filter():
+    """RIGHT join with filter: matched = filter-passing; unmatched build
+    rows come out null-probed in the right phase."""
+    probe, build = make_tables(True, False)
+    plan = build_filtered_join_plan(
+        probe, build, "right", ["pk", "pv", "bk", "bv"], "pv + bv < 1000")
+    got = run_plan(plan)
+    m = probe.merge(build, left_on="pk", right_on="bk", how="inner")
+    m = m[m.pv + m.bv < 1000]
+    matched_b = set(zip(m.bk, m.bv))
+    un = build[[(bk, bv) not in matched_b
+                for bk, bv in zip(build.bk, build.bv)]]
+    assert len(got) == len(m) + len(un)
+    got_null = got[got.pv.isna()]
+    assert len(got_null) == len(un)
+    g = _sorted(got.dropna(subset=["pv"]), ["pk", "pv", "bk", "bv"])
+    e = _sorted(m[["pk", "pv", "bk", "bv"]], ["pk", "pv", "bk", "bv"])
+    for c in ["pk", "pv", "bk", "bv"]:
+        np.testing.assert_array_equal(g[c].to_numpy("float64"),
+                                      e[c].to_numpy("float64"))
+
+
+def test_wide_key_fallback_join():
+    """Two BIGINT keys exceed one packed u64 -> scatter-probe fallback."""
+    rng = np.random.RandomState(11)
+    probe = pd.DataFrame({
+        "pk": rng.randint(0, 20, 300).astype("int64"),
+        "pk2": rng.randint(0, 5, 300).astype("int64"),
+        "pv": rng.randint(0, 100, 300).astype("int64"),
+    })
+    build = pd.DataFrame({
+        "bk": rng.randint(0, 20, 80).astype("int64"),
+        "bk2": rng.randint(0, 5, 80).astype("int64"),
+        "bv": rng.randint(0, 100, 80).astype("int64"),
+    })
+    b = PlanBuilder()
+    bb = b.new_builder().values([to_arrow(build)])
+    plan = (b.values([to_arrow(probe)])
+            .hash_join(["pk", "pk2"], ["bk", "bk2"], bb,
+                       output=["pk", "pk2", "pv", "bv"]).plan())
+    got = run_plan(plan)
+    exp = probe.merge(build, left_on=["pk", "pk2"],
+                      right_on=["bk", "bk2"])
+    cols = ["pk", "pk2", "pv", "bv"]
+    g, e = _sorted(got, cols), _sorted(exp[cols], cols)
+    assert len(g) == len(e)
+    for c in cols:
+        np.testing.assert_array_equal(g[c].to_numpy("int64"),
+                                      e[c].to_numpy("int64"))

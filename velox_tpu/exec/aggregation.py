@@ -168,7 +168,7 @@ class AggregationOperator(Operator):
                 keys, addends, active, cap, domain)
             out_cap = domain
         else:
-            gk, gs, gmask = G.reduce_hash_mode(keys, addends, active, cap)
+            gk, gs, gmask = G.reduce_sort_mode(keys, addends, active, cap)
             out_cap = cap
         return self._make_state_batch(gk, gs, gmask, out_cap)
 
@@ -208,7 +208,7 @@ class AggregationOperator(Operator):
                 keys, addends, active, cap, domain)
             out_cap = domain
         else:
-            gk, gs, gmask = G.reduce_hash_mode(keys, addends, active, cap)
+            gk, gs, gmask = G.reduce_sort_mode(keys, addends, active, cap)
             out_cap = cap
         return gk, gs, gmask, out_cap
 

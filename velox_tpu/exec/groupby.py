@@ -120,6 +120,93 @@ def reduce_array_mode(
     return out_keys, out_states, occupied
 
 
+def sorted_group_info(keys: Sequence[EvalValue], active, capacity: int):
+    """Radix-sort rows by key words and segment equal-key runs.
+
+    The TPU-first replacement for probing (parity: velox kNormalizedKey —
+    normalized binary-comparable keys, exec/prefixsort/PrefixSortEncoder.h —
+    but *sorted* instead of probed: a counting radix sort is a handful of
+    dense HBM passes, while scatter-probe rounds are many random
+    gather/scatter passes; measured 37.8s of Q3 SF1 spent in insert rounds).
+
+    Returns (perm, gid, boundary, active_sorted, num_groups):
+      perm[i]        = original row at sorted position i (active first)
+      gid[i]         = dense group id of sorted position i (grows with i)
+      boundary[i]    = True iff sorted position i starts a new key run
+      active_sorted  = active mask permuted
+      num_groups     = traced count of active groups (gids 0..n-1)
+    """
+    from velox_tpu.exec.sort import radix_sort_perm, sort_words
+
+    words, bits = sort_words(keys, None, capacity, active)
+    perm = radix_sort_perm(words, bits, capacity)
+    ws = [w[perm] for w in words]
+    neq = jnp.zeros((capacity,), bool)
+    for w in ws:
+        prev = jnp.concatenate([w[:1], w[:-1]])
+        neq = neq | (w != prev)
+    boundary = neq.at[0].set(True)
+    gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    active_sorted = jnp.asarray(active)[perm]
+    num_groups = jnp.sum((boundary & active_sorted).astype(jnp.int32))
+    return perm, gid, boundary, active_sorted, num_groups
+
+
+def row_group_ids(keys: Sequence[EvalValue], active, capacity: int):
+    """Per-row dense group ids in ORIGINAL row order.
+
+    Returns (ids, is_first, num_groups): ids[r] in [0, num_groups) for
+    active rows (undefined for inactive), is_first[r] marks the first
+    (sorted-order) row of each group. Used by window partitioning and
+    MarkDistinct in place of hash-table slots.
+    """
+    perm, gid, boundary, active_sorted, num_groups = sorted_group_info(
+        keys, active, capacity)
+    ids = jnp.zeros((capacity,), jnp.int32).at[perm].set(gid)
+    first = jnp.zeros((capacity,), bool).at[perm].set(boundary)
+    return ids, first & jnp.asarray(active), num_groups
+
+
+def reduce_sort_mode(
+    keys: List[EvalValue],
+    addends: List[Tuple[jnp.ndarray, str]],
+    active,
+    capacity: int,
+):
+    """Generic grouping: radix sort by key words + segment reduce.
+
+    Same output contract as reduce_hash_mode: (group_keys, group_states,
+    group_mask) with groups as a dense prefix of length `capacity` — but
+    groups come out in key-sorted order and states land dense directly
+    (no compaction scatter).
+    """
+    perm, gid, boundary, active_sorted, num_groups = sorted_group_info(
+        keys, active, capacity)
+    seg = jnp.where(active_sorted, gid, jnp.int32(capacity))
+    out_states = []
+    for data, combine in addends:
+        red = _SEGMENT_OPS[combine](data[perm], seg,
+                                    num_segments=capacity + 1)
+        out_states.append(red[:capacity])
+    group_mask = jnp.arange(capacity, dtype=jnp.int32) < num_groups
+    # group keys = key values at each group's first sorted row
+    target = jnp.where(boundary & active_sorted, gid, jnp.int32(capacity))
+    out_keys = []
+    for v in keys:
+        ks = v.full_data(capacity)[perm]
+        gd = jnp.zeros((capacity,) + ks.shape[1:], ks.dtype) \
+            .at[target].set(ks, mode="drop")
+        if v.validity is not None:
+            vs = v.full_validity(capacity)[perm]
+            validity = jnp.zeros((capacity,), bool) \
+                .at[target].set(vs, mode="drop")
+            validity = validity | ~group_mask  # padding rows: non-null
+        else:
+            validity = None
+        out_keys.append(EvalValue(gd, validity, v.dtype, v.dictionary))
+    return out_keys, out_states, group_mask
+
+
 def reduce_hash_mode(
     keys: List[EvalValue],
     addends: List[Tuple[jnp.ndarray, str]],

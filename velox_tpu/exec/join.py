@@ -3,24 +3,34 @@
 Role parity: ``velox/exec/HashBuild.h:38`` / ``HashProbe.h:28`` /
 ``HashJoinBridge.h`` — all join types over a shared build-side table.
 
-TPU-first redesign: the build side goes into the scatter-probe device hash
-table (exec/hashtable.py — the analogue of the reference's SIMD tagged
-table, HashTable.h:377), keyed on the native-dtype join columns (multi-key
-supported). Probes are vectorized ``lookup``s: slot -> build row index ->
-gathers of build payload columns.
+TPU-first redesign (round 2): the default "table" is a **sorted key array**
+— the build side is radix-sorted by its packed order-preserving key word
+(exec/sort.py pack_key_u64), and a probe is two ``searchsorted`` binary
+searches giving the run [lo, hi) of equal build keys. That replaces the
+reference's SIMD tagged-bucket probe (HashTable.h:377) with the operation
+TPUs do best: log2(N) dense vectorized gathers, no scatter-probe rounds.
+Duplicate keys need no CSR side structure — the sorted run IS the duplicate
+list, and ``perm`` maps sorted positions back to build rows.
+
+Key tuples whose order-preserving words exceed one u64 (e.g. two BIGINT
+keys) fall back to the scatter-probe hash table (exec/hashtable.py), which
+remains the streaming-state structure for RowNumber/MarkDistinct.
 
 * **Unique-key builds** emit one output row per probe row — a single jitted
   program per batch, no host synchronization.
-* **Duplicate-key builds** use a CSR expansion: build rows are radix-
-  partitioned by slot (slot -> [row...] lists), and the probe is two-pass
-  count+emit (parity: HashProbe::listJoinResults, HashProbe.cpp:1054):
-  a counts program computes per-probe-row match counts and their prefix sum,
-  the host reads the total (one sync), and a fixed-capacity emit program
-  materializes output chunks — the static-shape answer to unknown join
-  cardinality (SURVEY.md §7.3).
+* **Duplicate-key builds** are two-pass count+emit (parity:
+  HashProbe::listJoinResults, HashProbe.cpp:1054): a counts program
+  computes per-probe-row match counts and their prefix sum, the host reads
+  the total (one sync), and a fixed-capacity emit program materializes
+  output chunks — the static-shape answer to unknown join cardinality
+  (SURVEY.md §7.3).
 * **Right/full/right-semi** joins track matched build rows in a device flag
   array updated per probe batch; unmatched build rows are emitted after the
   last probe batch (parity: HashProbe's "right side results" phase).
+* **Join filters on outer joins** (velox HashProbe.cpp filter handling):
+  the filter runs on expanded candidate rows; LEFT/FULL probe rows whose
+  candidates ALL fail the filter still emit one row with a null build side,
+  and semi/anti matches count only filter-passing candidates.
 """
 
 from __future__ import annotations
@@ -36,23 +46,39 @@ from velox_tpu.core import plan as P
 from velox_tpu.exec import hashtable as H
 from velox_tpu.exec.batch_utils import concat_batches
 from velox_tpu.exec.operator import Operator
-from velox_tpu.exec.sort import radix_sort_perm
+from velox_tpu.exec.sort import (
+    pack_key_u64, packable_words, radix_sort_perm, sort_words,
+)
 from velox_tpu.expression.eval import (
     EvalValue, ExprSet, value_from_column,
 )
 from velox_tpu.vector.device import DeviceBatch, DeviceColumn
 
 
-class BuiltTable(NamedTuple):
-    """The HashJoinBridge payload."""
-    table: H.HashTable
-    batch: DeviceBatch       # build-side rows (unpermuted)
-    slot_count: jnp.ndarray  # int32[S]: rows per slot
-    slot_offset: jnp.ndarray  # int32[S]: CSR offset into csr_rows
-    csr_rows: jnp.ndarray    # int32[cap]: build row ids grouped by slot
-    num_rows: jnp.ndarray    # device scalar
+class SortedBuild(NamedTuple):
+    """The HashJoinBridge payload (sorted-key mode)."""
+    sorted_key: jnp.ndarray   # uint64[cap]; tail past n_usable = MAX
+    perm: jnp.ndarray         # int32[cap]: sorted position -> build row
+    n_usable: jnp.ndarray     # int32 scalar: rows with non-null keys
+    batch: DeviceBatch        # build-side rows (unpermuted)
+    num_rows: jnp.ndarray     # device scalar
     has_null_key: jnp.ndarray  # device scalar bool (null-aware anti joins)
     has_dup_keys: jnp.ndarray  # device scalar bool
+
+
+class BuiltTable(NamedTuple):
+    """The HashJoinBridge payload (scatter-probe fallback mode)."""
+    table: H.HashTable
+    batch: DeviceBatch
+    slot_count: jnp.ndarray
+    slot_offset: jnp.ndarray
+    csr_rows: jnp.ndarray
+    num_rows: jnp.ndarray
+    has_null_key: jnp.ndarray
+    has_dup_keys: jnp.ndarray
+
+
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def _key_values(batch: DeviceBatch, key_fields) -> List[EvalValue]:
@@ -69,22 +95,52 @@ def _usable(batch: DeviceBatch, keys: List[EvalValue]):
 
 
 class HashBuildStage:
-    """Consumes build-side batches and produces a BuiltTable."""
+    """Consumes build-side batches and produces a SortedBuild (or the
+    BuiltTable fallback for key tuples wider than one packed u64)."""
 
     def __init__(self, key_fields):
         self._key_fields = list(key_fields)
         self._batches: List[DeviceBatch] = []
+        self._packable = packable_words([k.dtype for k in key_fields])
 
     def add_input(self, batch: DeviceBatch):
         self._batches.append(batch)
 
-    def finish(self) -> BuiltTable:
+    def finish(self):
         merged = concat_batches(self._batches) if self._batches else None
         if merged is None:
             raise RuntimeError("empty build side requires at least one "
                                "(possibly empty) batch")
         self._batches = []
+        if self._packable:
+            return self._finish_sorted(merged)
+        return self._finish_hash(merged)
 
+    def _finish_sorted(self, merged: DeviceBatch) -> SortedBuild:
+        @jax.jit
+        def _build(b: DeviceBatch):
+            cap = b.capacity
+            keys = _key_values(b, self._key_fields)
+            usable = _usable(b, keys)
+            # sort usable rows first, ordered by key words (stable)
+            words, bits = sort_words(keys, None, cap, usable)
+            perm = radix_sort_perm(words, bits, cap)
+            n = jnp.sum(usable.astype(jnp.int32))
+            packed = pack_key_u64(keys, cap)[perm]
+            # force the non-usable tail to MAX so the array is globally
+            # sorted for searchsorted (tail key words are arbitrary)
+            in_prefix = jnp.arange(cap, dtype=jnp.int32) < n
+            packed = jnp.where(in_prefix, packed, _U64_MAX)
+            dup = (packed[1:] == packed[:-1]) & in_prefix[1:]
+            has_dups = jnp.any(dup)
+            has_null_key = jnp.any(b.mask & ~usable)
+            return packed, perm, n, has_null_key, has_dups
+
+        packed, perm, n, has_null, has_dups = _build(merged)
+        return SortedBuild(packed, perm, n, merged,
+                           n.astype(jnp.int64), has_null, has_dups)
+
+    def _finish_hash(self, merged: DeviceBatch) -> BuiltTable:
         @jax.jit
         def _build(b: DeviceBatch):
             cap = b.capacity
@@ -97,8 +153,6 @@ class HashBuildStage:
             slot_count = jax.ops.segment_sum(
                 jnp.ones((cap,), jnp.int32), seg, num_segments=S + 1)[:S]
             slot_offset = jnp.cumsum(slot_count) - slot_count
-            # CSR: build row ids grouped by slot (radix partition by slot;
-            # bits must cover the inactive sentinel value S itself)
             slot_bits = max(1, S.bit_length())
             perm = radix_sort_perm([seg.astype(jnp.uint32)], [slot_bits],
                                    cap)
@@ -119,51 +173,108 @@ _NEEDS_RIGHT_PHASE = (P.JoinType.RIGHT, P.JoinType.FULL,
 
 
 class HashJoinOperator(Operator):
-    """Probe-side operator; the Task feeds it a BuiltTable first."""
+    """Probe-side operator; the Task feeds it a SortedBuild/BuiltTable
+    first."""
 
     def __init__(self, node: P.HashJoinNode):
         super().__init__(node)
         self._node = node
-        self._bt: Optional[BuiltTable] = None
+        self._bt = None
         self._outputs: List[DeviceBatch] = []
         self._unique_build = True
         self._matched = None  # bool[build_cap] for right/full joins
         self._right_done = False
 
-    def set_built_table(self, bt: BuiltTable):
+    def set_built_table(self, bt):
         jt = self._node.join_type
         self._bt = bt
         self._unique_build = not bool(jax.device_get(bt.has_dup_keys))
         if jt in _NEEDS_RIGHT_PHASE:
             self._matched = jnp.zeros((bt.batch.capacity,), bool)
-        if self._node.filter is not None and jt not in (
-                P.JoinType.INNER,):
-            raise NotImplementedError("join filter on non-inner joins")
         self._fast_fn = jax.jit(self._probe_fast)
         self._count_fn = jax.jit(self._probe_counts)
         self._emit_fn = jax.jit(self._emit_chunk)
 
-    # ---- shared probe pieces -------------------------------------------------
+    # ---- table access (sorted vs scatter-probe) ------------------------------
 
-    def _lookup(self, batch: DeviceBatch, bt: BuiltTable):
+    def _lookup(self, batch: DeviceBatch, bt):
+        """Returns (probe_ok, loc, counts, hit).
+
+        ``loc`` locates row matches: for SortedBuild it is the sorted-run
+        start lo (match m of row r is build row perm[lo[r] + m]); for the
+        hash fallback it is the slot. ``counts`` is matches per probe row.
+        """
         keys = _key_values(batch, self._node.left_keys)
         probe_ok = _usable(batch, keys)
-        slots, found = H.lookup(bt.table, keys, probe_ok, batch.capacity)
-        return probe_ok, jnp.clip(slots, 0, bt.table.size - 1), \
-            probe_ok & found
+        cap = batch.capacity
+        if isinstance(bt, SortedBuild):
+            pk = pack_key_u64(keys, cap)
+            lo = jnp.searchsorted(bt.sorted_key, pk, side="left") \
+                .astype(jnp.int32)
+            hi = jnp.searchsorted(bt.sorted_key, pk, side="right") \
+                .astype(jnp.int32)
+            hi = jnp.minimum(hi, bt.n_usable)
+            counts = jnp.maximum(hi - lo, 0)
+            hit = probe_ok & (counts > 0)
+            counts = jnp.where(hit, counts, 0)
+            return probe_ok, jnp.clip(lo, 0, bt.perm.shape[0] - 1), \
+                counts, hit
+        slots, found = H.lookup(bt.table, keys, probe_ok, cap)
+        slots = jnp.clip(slots, 0, bt.table.size - 1)
+        hit = probe_ok & found
+        counts = jnp.where(hit, bt.slot_count[slots], 0)
+        return probe_ok, slots, counts, hit
 
-    def _apply_filter_and_project(self, out: DeviceBatch, cap: int
-                                  ) -> DeviceBatch:
-        node = self._node
-        if node.filter is not None:
-            f = ExprSet([node.filter], None).eval_batch(out)[0]
-            passed = f.full_data(cap).astype(bool)
-            if f.validity is not None:
-                passed = passed & f.full_validity(cap)
-            out = out.with_mask(out.mask & passed)
-        if node.output_columns:
+    def _build_row_at(self, bt, loc, within):
+        """Build row id of match ``within`` at locator ``loc``."""
+        if isinstance(bt, SortedBuild):
+            idx = jnp.clip(loc + within, 0, bt.perm.shape[0] - 1)
+            return bt.perm[idx]
+        idx = jnp.clip(bt.slot_offset[loc] + within, 0,
+                       bt.csr_rows.shape[0] - 1)
+        return bt.csr_rows[idx]
+
+    def _first_build_row(self, bt, loc):
+        if isinstance(bt, SortedBuild):
+            return bt.perm[loc]
+        return bt.table.slot_row[loc]
+
+    def _mark_matched(self, bt, loc, counts, hit):
+        """bool[build_cap]: build rows matched by this probe batch."""
+        bcap = bt.batch.capacity
+        if isinstance(bt, SortedBuild):
+            # difference array over sorted positions: +1 at lo, -1 at hi
+            lo_w = jnp.where(hit, loc, jnp.int32(bcap))
+            hi_w = jnp.where(hit, loc + counts, jnp.int32(bcap))
+            diff = jnp.zeros((bcap + 1,), jnp.int32) \
+                .at[lo_w].add(1, mode="drop") \
+                .at[hi_w].add(-1, mode="drop")
+            covered = jnp.cumsum(diff[:bcap]) > 0
+            return jnp.zeros((bcap,), bool).at[bt.perm].set(covered)
+        S = bt.table.size
+        seg = jnp.where(hit, loc, jnp.int32(S))
+        hits_per_slot = jax.ops.segment_max(
+            hit.astype(jnp.int32), seg, num_segments=S + 1)[:S] > 0
+        bkeys = _key_values(bt.batch, self._node.right_keys)
+        busable = _usable(bt.batch, bkeys)
+        bslots, bfound = H.lookup(bt.table, bkeys, busable,
+                                  bt.batch.capacity)
+        return busable & hits_per_slot[jnp.clip(bslots, 0, S - 1)]
+
+    # ---- shared probe pieces -------------------------------------------------
+
+    def _eval_filter(self, out: DeviceBatch, cap: int):
+        f = ExprSet([self._node.filter], None).eval_batch(out)[0]
+        passed = f.full_data(cap).astype(bool)
+        if f.validity is not None:
+            passed = passed & f.full_validity(cap)
+        return passed
+
+    def _project(self, out: DeviceBatch) -> DeviceBatch:
+        if self._node.output_columns:
             out = DeviceBatch(
-                {n: out.columns[n] for n in node.output_columns}, out.mask)
+                {n: out.columns[n] for n in self._node.output_columns},
+                out.mask)
         return out
 
     def _gather_build_cols(self, build: DeviceBatch, build_row,
@@ -185,11 +296,12 @@ class HashJoinOperator(Operator):
 
     # ---- unique-build fast path (one program, no host sync) ------------------
 
-    def _probe_fast(self, batch: DeviceBatch, bt: BuiltTable):
+    def _probe_fast(self, batch: DeviceBatch, bt):
+        """Unique build keys AND no filter: emit directly."""
         node = self._node
         cap = batch.capacity
-        probe_ok, slots, hit = self._lookup(batch, bt)
-        build_row = bt.table.slot_row[slots]
+        probe_ok, loc, counts, hit = self._lookup(batch, bt)
+        build_row = self._first_build_row(bt, loc)
         jt = node.join_type
 
         new_matched = None
@@ -222,54 +334,51 @@ class HashJoinOperator(Operator):
             out = batch.with_mask(miss)
         else:
             raise NotImplementedError(f"join type {jt}")
-        return self._apply_filter_and_project(out, cap), new_matched
+        return self._project(out), new_matched
 
-    # ---- duplicate-build expanding probe (count + emit chunks) ---------------
+    # ---- expanding probe (count + emit chunks) -------------------------------
 
-    def _probe_counts(self, batch: DeviceBatch, bt: BuiltTable):
+    def _probe_counts(self, batch: DeviceBatch, bt):
+        """First pass of the general path (duplicate keys and/or filter):
+        per-probe-row candidate counts + matched-build flags."""
         node = self._node
-        probe_ok, slots, hit = self._lookup(batch, bt)
+        probe_ok, loc, counts, hit = self._lookup(batch, bt)
         jt = node.join_type
-        if jt in (P.JoinType.INNER, P.JoinType.RIGHT):
-            counts = jnp.where(hit, bt.slot_count[slots], 0)
-        elif jt in (P.JoinType.LEFT, P.JoinType.FULL):
-            counts = jnp.where(hit, bt.slot_count[slots],
-                               batch.mask.astype(jnp.int32))
-        elif jt is P.JoinType.LEFT_SEMI_FILTER:
-            counts = None  # no expansion
-        elif jt is P.JoinType.RIGHT_SEMI_FILTER:
-            counts = None
-        elif jt is P.JoinType.ANTI:
-            counts = None
-        else:
-            raise NotImplementedError(f"join type {jt}")
+        has_filter = node.filter is not None
+
+        expand = jt in (P.JoinType.INNER, P.JoinType.RIGHT,
+                        P.JoinType.LEFT, P.JoinType.FULL)
+        # semi/anti with a filter need candidate expansion to evaluate it
+        if has_filter and jt in (P.JoinType.LEFT_SEMI_FILTER,
+                                 P.JoinType.RIGHT_SEMI_FILTER,
+                                 P.JoinType.ANTI):
+            expand = True
 
         new_matched = None
-        if self._matched is not None:
-            # mark every build row in each hit slot's CSR range
-            S = bt.table.size
-            seg = jnp.where(hit, slots, jnp.int32(S))
-            hits_per_slot = jax.ops.segment_max(
-                hit.astype(jnp.int32), seg, num_segments=S + 1)[:S] > 0
-            # build row r (usable) is matched iff its slot was hit
-            bkeys = _key_values(bt.batch, self._node.right_keys)
-            busable = _usable(bt.batch, bkeys)
-            bslots, bfound = H.lookup(bt.table, bkeys, busable,
-                                      bt.batch.capacity)
-            new_matched = busable & hits_per_slot[bslots]
+        if self._matched is not None and not has_filter:
+            new_matched = self._mark_matched(bt, loc, counts, hit)
 
-        if counts is None:
-            out, _ = self._probe_fast(batch, bt)
-            return out, None, None, None, new_matched
-        cum = jnp.cumsum(counts.astype(jnp.int64))
+        if not expand:
+            out, nm = self._probe_fast(batch, bt)
+            return out, None, None, None, (new_matched if new_matched
+                                           is not None else nm)
+        exp_counts = counts
+        if jt in (P.JoinType.LEFT, P.JoinType.FULL) and not has_filter:
+            exp_counts = jnp.where(hit, counts, batch.mask.astype(jnp.int32))
+        cum = jnp.cumsum(exp_counts.astype(jnp.int64))
         total = cum[-1]
-        return None, (slots, hit), cum, total, new_matched
+        return None, (loc, hit), cum, total, new_matched
 
-    def _emit_chunk(self, batch: DeviceBatch, bt: BuiltTable, slots, hit,
-                    cum, start):
-        """Materialize output rows [start, start+cap) of the expansion."""
+    def _emit_chunk(self, batch: DeviceBatch, bt, loc, hit, cum, start):
+        """Materialize candidate rows [start, start+cap) of the expansion.
+
+        Returns (out_batch, probe_row, build_row, passed, valid): when a
+        filter is present the caller combines chunk results for outer/semi
+        semantics; without one, out_batch is final (INNER/LEFT/FULL direct).
+        """
         node = self._node
         cap = batch.capacity
+        has_filter = node.filter is not None
         j = start + jnp.arange(cap, dtype=jnp.int64)
         total = cum[-1]
         valid = j < total
@@ -279,11 +388,9 @@ class HashJoinOperator(Operator):
         prev = cum[jnp.clip(row_c - 1, 0, None)]
         counts_r = cum[row_c] - jnp.where(row_c > 0, prev, 0)
         within = (j - (cum[row_c] - counts_r)).astype(jnp.int32)
-        s = slots[row_c]
         row_hit = hit[row_c]
         build_row = jnp.where(
-            row_hit, bt.csr_rows[jnp.clip(bt.slot_offset[s] + within,
-                                          0, bt.csr_rows.shape[0] - 1)],
+            row_hit, self._build_row_at(bt, loc[row_c], within),
             jnp.int32(-1))
         # gather probe columns at row_c, build columns at build_row
         out_cols = {}
@@ -299,7 +406,88 @@ class HashJoinOperator(Operator):
         out_cols.update(self._gather_build_cols(bt.batch, build_row,
                                                 null_out))
         out = DeviceBatch(out_cols, valid)
-        return self._apply_filter_and_project(out, cap)
+        if not has_filter:
+            return self._project(out), row_c, build_row, valid, valid
+        passed = self._eval_filter(out, cap) & valid & row_hit
+        out = out.with_mask(out.mask & passed)
+        return self._project(out), row_c, build_row, passed, valid
+
+    # ---- filtered-join orchestration (host side) ------------------------------
+
+    def _probe_filtered(self, batch: DeviceBatch, bt, loc, hit, cum,
+                        n_total: int):
+        """Run the emit chunks, track per-probe-row / per-build-row filter
+        passes, and emit join-type-correct output (velox HashProbe.cpp
+        filter semantics for outer/semi/anti joins)."""
+        node, jt = self._node, self._node.join_type
+        cap = batch.capacity
+        chunks = []
+        row_pass = jnp.zeros((cap,), bool)   # probe rows w/ passing match
+        bcap = bt.batch.capacity
+        bld_pass = jnp.zeros((bcap,), bool)  # build rows w/ passing match
+
+        if not hasattr(self, "_pass_fn"):
+            @jax.jit
+            def _acc(row_pass, bld_pass, row_c, build_row, passed):
+                # sentinels derive from the argument shapes, not closed-over
+                # capacities: probe batch capacity may vary between batches
+                rp = row_pass.at[jnp.where(passed, row_c,
+                                           row_pass.shape[0])] \
+                    .max(True, mode="drop")
+                bp = bld_pass.at[jnp.where(passed,
+                                           jnp.clip(build_row, 0, None),
+                                           bld_pass.shape[0])] \
+                    .max(True, mode="drop")
+                return rp, bp
+            self._pass_fn = _acc
+
+        for start in range(0, max(n_total, 1), cap):
+            if n_total == 0:
+                break
+            out, row_c, build_row, passed, valid = self._emit_fn(
+                batch, bt, loc, hit, cum, jnp.int64(start))
+            row_pass, bld_pass = self._pass_fn(
+                row_pass, bld_pass, row_c, build_row, passed)
+            if jt in (P.JoinType.INNER, P.JoinType.LEFT, P.JoinType.FULL,
+                      P.JoinType.RIGHT):
+                chunks.append(out)
+
+        if self._matched is not None:
+            self._matched = self._matched | bld_pass
+
+        if jt in (P.JoinType.INNER, P.JoinType.RIGHT):
+            self._outputs.extend(chunks)
+            return
+        if jt in (P.JoinType.LEFT, P.JoinType.FULL):
+            self._outputs.extend(chunks)
+            # probe rows with no passing candidate: one null-build row each
+            if not hasattr(self, "_leftover_fn"):
+                @jax.jit
+                def _leftover(batch, bt, row_pass):
+                    out_cols = dict(batch.columns)
+                    fake = jnp.full((batch.capacity,), -1, jnp.int32)
+                    out_cols.update(self._gather_build_cols(
+                        bt.batch, fake,
+                        jnp.ones((batch.capacity,), bool)))
+                    return self._project(DeviceBatch(
+                        out_cols, batch.mask & ~row_pass))
+                self._leftover_fn = _leftover
+            self._outputs.append(self._leftover_fn(batch, bt, row_pass))
+            return
+        if jt is P.JoinType.LEFT_SEMI_FILTER:
+            self._outputs.append(self._project(
+                batch.with_mask(batch.mask & row_pass)))
+            return
+        if jt is P.JoinType.RIGHT_SEMI_FILTER:
+            return  # right phase emits self._matched rows
+        if jt is P.JoinType.ANTI:
+            if node.null_aware:
+                raise NotImplementedError(
+                    "filter on null-aware anti join")
+            self._outputs.append(self._project(
+                batch.with_mask(batch.mask & ~row_pass)))
+            return
+        raise NotImplementedError(f"filtered join type {jt}")
 
     # ---- right phase (unmatched / matched build rows) -------------------------
 
@@ -309,7 +497,7 @@ class HashJoinOperator(Operator):
         bkeys = _key_values(bt.batch, node.right_keys)
 
         @jax.jit
-        def _emit(bt: BuiltTable, matched):
+        def _emit(bt, matched):
             cap = bt.batch.capacity
             busable = _usable(bt.batch, bkeys)
             if jt is P.JoinType.RIGHT_SEMI_FILTER:
@@ -339,9 +527,10 @@ class HashJoinOperator(Operator):
         assert self._bt is not None, "build side not finished"
         bt = self._bt
         jt = self._node.join_type
-        needs_count_path = (not self._unique_build) and jt in (
+        has_filter = self._node.filter is not None
+        needs_count_path = has_filter or ((not self._unique_build) and jt in (
             P.JoinType.INNER, P.JoinType.LEFT, P.JoinType.RIGHT,
-            P.JoinType.FULL, P.JoinType.RIGHT_SEMI_FILTER)
+            P.JoinType.FULL, P.JoinType.RIGHT_SEMI_FILTER))
         if not needs_count_path and self._matched is None:
             out, _ = self._fast_fn(batch, bt)
             self._outputs.append(out)
@@ -353,21 +542,25 @@ class HashJoinOperator(Operator):
             if out is not None:
                 self._outputs.append(out)
             return
-        out, slot_hit, cum, total, new_matched = self._count_fn(batch, bt)
+        out, loc_hit, cum, total, new_matched = self._count_fn(batch, bt)
         if new_matched is not None:
             self._matched = self._matched | new_matched
-        if slot_hit is None:
+        if loc_hit is None:
             if out is not None:
                 self._outputs.append(out)
             return
-        slots, hit = slot_hit
+        loc, hit = loc_hit
         n_total = int(jax.device_get(total))
         cap = batch.capacity
+        if has_filter:
+            self._probe_filtered(batch, bt, loc, hit, cum, n_total)
+            return
         for start in range(0, max(n_total, 1), cap):
             if n_total == 0:
                 break
-            self._outputs.append(self._emit_fn(
-                batch, bt, slots, hit, cum, jnp.int64(start)))
+            out, _, _, _, _ = self._emit_fn(
+                batch, bt, loc, hit, cum, jnp.int64(start))
+            self._outputs.append(out)
 
     def no_more_input(self):
         super().no_more_input()

@@ -152,3 +152,45 @@ def sort_permutation(keys, orders, capacity, active):
     """Permutation putting active rows first, ordered by keys (stable)."""
     words, bits = sort_words(keys, orders, capacity, active)
     return radix_sort_perm(words, bits, capacity)
+
+
+def num_value_words(dt: T.DataType) -> int:
+    """Static word count of value_words() over a column stored at the
+    type's CANONICAL dtype (np_dtype); pack_key_u64 casts to it first so
+    both join sides pack identically even if one is storage-narrowed."""
+    if dt.kind is T.TypeKind.DOUBLE:
+        return 3
+    if dt.kind in (T.TypeKind.REAL, T.TypeKind.BOOLEAN):
+        return 1
+    if dt.is_string or dt.is_complex:
+        return 1
+    return 2 if dt.np_dtype() == np.int64 else 1
+
+
+def packable_words(dtypes: Sequence[T.DataType]) -> bool:
+    """True if the key tuple's order-preserving words fit in one uint64 —
+    the precondition for the sorted-join searchsorted path (exec/join.py)."""
+    return sum(num_value_words(dt) for dt in dtypes) <= 2
+
+
+def pack_key_u64(keys: Sequence[EvalValue], capacity: int):
+    """One order-preserving uint64 per row from <=2 total value words.
+
+    Key data is cast to each type's canonical np_dtype so build and probe
+    sides pack identically regardless of storage narrowing. Null lanes are
+    NOT canonicalized: callers exclude null-key rows (SQL join semantics)
+    before using the packed value.
+    """
+    words: List = []
+    for v in keys:
+        canon = v
+        want = v.dtype.np_dtype()
+        if not v.dtype.is_string and v.data.dtype != want:
+            canon = EvalValue(v.full_data(capacity).astype(want),
+                              v.validity, v.dtype, v.dictionary)
+        words.extend(value_words(canon, capacity))
+    assert len(words) <= 2, "keys exceed one packed u64"
+    w0 = words[0].astype(jnp.uint64)
+    if len(words) == 1:
+        return w0
+    return (w0 << np.uint64(32)) | words[1].astype(jnp.uint64)

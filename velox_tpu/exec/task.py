@@ -296,22 +296,24 @@ class Task:
         if node.join_type not in (P.JoinType.INNER,
                                   P.JoinType.LEFT_SEMI_FILTER):
             return node.left
+        from velox_tpu.exec.join import _key_values, _usable
         left = node.left
         lt = left.output_type()
         preds = []
-        for lk, col, cval in zip(node.left_keys, table.table.key_cols,
-                                 table.table.key_valid):
+        bkeys = _key_values(table.batch, node.right_keys)
+        ok_np = np.asarray(jax.device_get(
+            _usable(table.batch, bkeys)))
+        for lk, bv in zip(node.left_keys, bkeys):
             dt = lk.dtype
             if not (dt.is_integral or dt.kind in (
                     T.TypeKind.DATE, T.TypeKind.DECIMAL)):
                 continue
-            occ = table.table.occupied
-            data = np.asarray(jax.device_get(col))
-            occ_np = np.asarray(jax.device_get(occ))
-            if not occ_np.any():
+            data = np.asarray(jax.device_get(
+                bv.full_data(table.batch.capacity)))
+            if not ok_np.any():
                 continue
             f = ex.field(lk.name, lt.field_type(lk.name))
-            vals = np.unique(data[occ_np])
+            vals = np.unique(data[ok_np])
             if len(vals) <= 64:
                 # small build key set: exact IN-set filter
                 preds.append(ex.Call(T.BOOLEAN, "in", (f,) + tuple(

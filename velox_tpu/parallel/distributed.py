@@ -330,9 +330,13 @@ class DistributedTask:
         def _acc(m, nm):
             return nm if m is None else (m | nm)
 
-        needs_expand = (not probe._unique_build) and jt in (
+        has_filter = node.filter is not None
+        if has_filter and jt is not Pn.JoinType.INNER:
+            raise NotImplementedError(
+                "distributed join filter on non-inner joins")
+        needs_expand = has_filter or ((not probe._unique_build) and jt in (
             Pn.JoinType.INNER, Pn.JoinType.LEFT, Pn.JoinType.RIGHT,
-            Pn.JoinType.FULL, Pn.JoinType.RIGHT_SEMI_FILTER)
+            Pn.JoinType.FULL, Pn.JoinType.RIGHT_SEMI_FILTER))
         if not needs_expand:
             probe_fn = jax.jit(jax.vmap(
                 lambda b: probe._probe_fast(b, table)))
@@ -365,8 +369,9 @@ class DistributedTask:
                 for start in range(0, max(n_total, 1), cap):
                     if n_total == 0:
                         break
-                    yield emit_fn(stacked, slots, hit, cum,
-                                  jnp.int64(start))
+                    emitted, _, _, _, _ = emit_fn(stacked, slots, hit,
+                                                  cum, jnp.int64(start))
+                    yield emitted
         if track:
             # merge matched flags across shards (build is replicated) and
             # emit the right phase once
