@@ -1,0 +1,257 @@
+"""External-oracle tests: the engine vs SQLite over the SAME physical data.
+
+This replaces the round-1 self-referential validation (pandas oracles by
+the same author) with a third-party SQL engine (reference parity: the
+DuckDB oracle, velox/exec/tests/utils/QueryAssertions.h:216). Money columns
+stay scaled ints on both sides so sums compare BIT-EXACT in int64.
+"""
+
+import decimal
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from velox_tpu.connectors.tpch import TPCH_SCHEMAS, register_tpch
+from velox_tpu.exec.task import Task
+from velox_tpu.testing.oracle import (
+    SqliteOracle, assert_frames_match, assert_query,
+)
+from velox_tpu.testing.plan_builder import PlanBuilder
+from velox_tpu.tpch import tpch_plan
+
+SF = 0.01
+
+
+def days(iso: str) -> int:
+    return int((np.datetime64(iso) - np.datetime64("1970-01-01"))
+               .astype(int))
+
+
+@pytest.fixture(scope="module")
+def conn():
+    return register_tpch(SF)
+
+
+@pytest.fixture(scope="module")
+def oracle(conn):
+    """SQLite loaded with the engine's own generated tables (decoded
+    dictionaries, raw scaled ints, epoch-day ints)."""
+    o = SqliteOracle()
+    gen = conn.gen
+    for t in ("lineitem", "orders", "customer"):
+        cols = list(TPCH_SCHEMAS[t].names)
+        arrays = gen.generate(t, 0, conn.num_index_rows(t), cols)
+        df = pd.DataFrame(arrays)
+        for c, d in gen.dictionaries(t).items():
+            if c in df:
+                df[c] = np.asarray(d.take(df[c].to_numpy()))
+        o.load(t, df)
+    return o
+
+
+def dec_to_scaled(series):
+    """Engine Decimal outputs -> exact scaled int64 (scale from the
+    Decimal's own exponent)."""
+    out = []
+    for v in series:
+        assert isinstance(v, decimal.Decimal), type(v)
+        out.append(int(v.scaleb(-v.as_tuple().exponent)))
+    return np.asarray(out, dtype=np.int64)
+
+
+def test_q6_vs_sqlite(conn, oracle):
+    got = Task(tpch_plan(6)).run().to_pandas()
+    exp = oracle.query(
+        "SELECT SUM(l_extendedprice * l_discount) AS revenue"
+        " FROM lineitem"
+        f" WHERE l_shipdate >= {days('1994-01-01')}"
+        f" AND l_shipdate < {days('1995-01-01')}"
+        " AND l_discount BETWEEN 5 AND 7 AND l_quantity < 2400")
+    # bit-exact in scaled-int space (engine scale = 2+2 = 4)
+    assert dec_to_scaled(got.revenue)[0] == int(exp.revenue[0])
+
+
+def test_q1_vs_sqlite(conn, oracle):
+    got = Task(tpch_plan(1)).run().to_pandas()
+    exp = oracle.query(
+        "SELECT l_returnflag, l_linestatus,"
+        " SUM(l_quantity) AS sum_qty,"
+        " SUM(l_extendedprice) AS sum_base_price,"
+        " SUM(l_extendedprice * (100 - l_discount)) AS sum_disc_price,"
+        " SUM(l_extendedprice * (100 - l_discount) * (100 + l_tax))"
+        "   AS sum_charge,"
+        " SUM(l_discount) AS sum_disc,"
+        " COUNT(*) AS count_order"
+        " FROM lineitem"
+        f" WHERE l_shipdate <= {days('1998-09-02')}"
+        " GROUP BY 1, 2 ORDER BY 1, 2")
+    assert len(got) == len(exp)
+    assert list(got.l_returnflag) == list(exp.l_returnflag)
+    assert list(got.l_linestatus) == list(exp.l_linestatus)
+    np.testing.assert_array_equal(dec_to_scaled(got.sum_qty),
+                                  exp.sum_qty.to_numpy("int64"))
+    np.testing.assert_array_equal(dec_to_scaled(got.sum_base_price),
+                                  exp.sum_base_price.to_numpy("int64"))
+    np.testing.assert_array_equal(dec_to_scaled(got.sum_disc_price),
+                                  exp.sum_disc_price.to_numpy("int64"))
+    np.testing.assert_array_equal(dec_to_scaled(got.sum_charge),
+                                  exp.sum_charge.to_numpy("int64"))
+    np.testing.assert_array_equal(got.count_order.to_numpy("int64"),
+                                  exp.count_order.to_numpy("int64"))
+    # engine avg = half-up decimal division of the EXACT sums: recompute
+    # from the oracle's exact sums so avgs compare bit-exact too
+    def half_up(s, c):
+        s, c = s.astype(np.int64), np.maximum(c.to_numpy("int64"), 1)
+        return np.where(s >= 0, (s + c // 2) // c, -((-s + c // 2) // c))
+    np.testing.assert_array_equal(
+        dec_to_scaled(got.avg_qty),
+        half_up(exp.sum_qty.to_numpy("int64"), exp.count_order))
+    np.testing.assert_array_equal(
+        dec_to_scaled(got.avg_price),
+        half_up(exp.sum_base_price.to_numpy("int64"), exp.count_order))
+    np.testing.assert_array_equal(
+        dec_to_scaled(got.avg_disc),
+        half_up(exp.sum_disc.to_numpy("int64"), exp.count_order))
+
+
+def test_q3_vs_sqlite(conn, oracle):
+    got = Task(tpch_plan(3)).run().to_pandas()
+    exp = oracle.query(
+        "SELECT l_orderkey,"
+        " SUM(l_extendedprice * (100 - l_discount)) AS revenue,"
+        " o_orderdate, o_shippriority"
+        " FROM customer, orders, lineitem"
+        " WHERE c_mktsegment = 'BUILDING'"
+        " AND c_custkey = o_custkey AND l_orderkey = o_orderkey"
+        f" AND o_orderdate < {days('1995-03-15')}"
+        f" AND l_shipdate > {days('1995-03-15')}"
+        " GROUP BY l_orderkey, o_orderdate, o_shippriority"
+        " ORDER BY revenue DESC, o_orderdate LIMIT 10")
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got.l_orderkey.to_numpy("int64"),
+                                  exp.l_orderkey.to_numpy("int64"))
+    np.testing.assert_array_equal(dec_to_scaled(got.revenue),
+                                  exp.revenue.to_numpy("int64"))
+    np.testing.assert_array_equal(
+        (got.o_orderdate.to_numpy("datetime64[D]")
+         - np.datetime64("1970-01-01")).astype("int64"),
+        exp.o_orderdate.to_numpy("int64"))
+    np.testing.assert_array_equal(got.o_shippriority.to_numpy("int64"),
+                                  exp.o_shippriority.to_numpy("int64"))
+
+
+def test_q18_vs_sqlite(conn, oracle):
+    from velox_tpu.tpch.queries import q18
+    # spec threshold 300 matches zero orders at SF0.01; lower it on BOTH
+    # sides so the plan shape is actually exercised
+    got = Task(q18(threshold=150.0)).run().to_pandas()
+    exp = oracle.query(
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,"
+        " SUM(l_quantity) AS quantity"
+        " FROM customer, orders, lineitem"
+        " WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem"
+        "   GROUP BY l_orderkey HAVING SUM(l_quantity) > 15000)"
+        " AND c_custkey = o_custkey AND o_orderkey = l_orderkey"
+        " GROUP BY c_name, c_custkey, o_orderkey, o_orderdate,"
+        " o_totalprice"
+        " ORDER BY o_totalprice DESC, o_orderdate LIMIT 100")
+    assert len(got) == len(exp)
+    assert len(exp) > 0, "Q18 oracle returned no rows; raise SF"
+    assert list(got.c_name) == list(exp.c_name)
+    for c in ("c_custkey", "o_orderkey"):
+        np.testing.assert_array_equal(got[c].to_numpy("int64"),
+                                      exp[c].to_numpy("int64"))
+    np.testing.assert_array_equal(dec_to_scaled(got.o_totalprice),
+                                  exp.o_totalprice.to_numpy("int64"))
+    np.testing.assert_array_equal(dec_to_scaled(got.quantity),
+                                  exp.quantity.to_numpy("int64"))
+
+
+# ---- randomized plans vs SQLite (fuzzer-style, external oracle) -----------
+
+def rand_df(n, seed, nulls=True):
+    rng = np.random.RandomState(seed)
+    df = pd.DataFrame({
+        "k1": rng.randint(0, 12, n).astype("int64"),
+        "k2": rng.choice(["a", "b", "c", None] if nulls else ["a", "b"], n),
+        "v": rng.randint(-1000, 1000, n).astype("int64"),
+        "w": rng.randn(n),
+    })
+    if nulls:
+        df.loc[rng.rand(n) < 0.15, "v"] = None
+        df["v"] = df["v"].astype("Int64")
+    return df
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_random_groupby_vs_sqlite(seed):
+    df = rand_df(700, seed)
+    o = SqliteOracle()
+    o.load("t", df)
+    plan = (PlanBuilder().values([pa.table(df)])
+            .single_aggregation(
+                ["k1", "k2"],
+                ["sum(v) as sv", "count(v) as cv", "min(v) as mnv",
+                 "max(v) as mxv", "count() as n", "sum(w) as sw"])
+            .plan())
+    out = Task(plan).run()
+    assert_query(out, o,
+                 "SELECT k1, k2, SUM(v), COUNT(v), MIN(v), MAX(v),"
+                 " COUNT(*), SUM(w) FROM t GROUP BY k1, k2")
+
+
+@pytest.mark.parametrize("jt,how", [("inner", "INNER JOIN"),
+                                    ("left", "LEFT JOIN")])
+def test_random_join_vs_sqlite(jt, how):
+    left = rand_df(400, 3)
+    right = pd.DataFrame({
+        "rk": np.random.RandomState(4).randint(0, 12, 30).astype("int64"),
+        "rv": np.random.RandomState(5).randint(0, 50, 30).astype("int64"),
+    })
+    o = SqliteOracle()
+    o.load("l", left)
+    o.load("r", right)
+    b = PlanBuilder()
+    bb = b.new_builder().values([pa.table(right)])
+    plan = (b.values([pa.table(left)])
+            .hash_join(["k1"], ["rk"], bb,
+                       output=["k1", "v", "rv"], join_type=jt)
+            .plan())
+    out = Task(plan).run()
+    assert_query(out, o,
+                 f"SELECT l.k1, l.v, r.rv FROM l {how} r ON l.k1 = r.rk")
+
+
+def test_random_orderby_vs_sqlite():
+    df = rand_df(500, 7)
+    o = SqliteOracle()
+    o.load("t", df)
+    plan = (PlanBuilder().values([pa.table(df)])
+            .project(["k1", "v"])
+            .order_by(["k1", "v DESC NULLS FIRST"])
+            .plan())
+    out = Task(plan).run()
+    assert_query(out, o,
+                 "SELECT k1, v FROM t ORDER BY k1, v DESC NULLS FIRST",
+                 ordered=True)
+
+
+def test_window_vs_sqlite():
+    df = rand_df(300, 9, nulls=False)
+    o = SqliteOracle()
+    o.load("t", df)
+    plan = (PlanBuilder().values([pa.table(df)])
+            .project(["k1", "v"])
+            .window(["k1"], ["v"],
+                    ["row_number() as rn", "rank() as rk",
+                     "sum(v) as sv"])
+            .plan())
+    out = Task(plan).run()
+    assert_query(out, o,
+                 "SELECT k1, v,"
+                 " ROW_NUMBER() OVER w, RANK() OVER w,"
+                 " SUM(v) OVER (PARTITION BY k1 ORDER BY v"
+                 "   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                 " FROM t WINDOW w AS (PARTITION BY k1 ORDER BY v)")

@@ -107,16 +107,19 @@ def q3(connector_id: str = "tpch") -> P.PlanNode:
     return plan
 
 
-def q18(connector_id: str = "tpch") -> P.PlanNode:
+def q18(connector_id: str = "tpch",
+        threshold: float = 300.0) -> P.PlanNode:
     """Large volume customer (TpchQueryBuilder.cpp:1881): orderkeys whose
-    lineitem quantity sum > 300, joined back to orders and customer."""
+    lineitem quantity sum > `threshold` (spec value 300; tests lower it at
+    tiny scale factors where no order qualifies), joined back to orders
+    and customer."""
     b = PlanBuilder()
     big_orders = (
         b.table_scan("lineitem", ["l_orderkey", "l_quantity"],
                      connector_id=connector_id)
         .single_aggregation(["l_orderkey"],
                             ["sum(l_quantity) as quantity"])
-        .filter("quantity > 300.0")
+        .filter(f"quantity > {threshold:.1f}")
     )
     customers = (
         b.new_builder()
