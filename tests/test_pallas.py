@@ -40,3 +40,19 @@ def test_radix_pass_positions_matches_xla_path():
     perm_xla = jnp.zeros((n,), jnp.int32).at[pos_xla].set(iota)
     np.testing.assert_array_equal(np.asarray(perm_pallas),
                                   np.asarray(perm_xla))
+
+
+@pytest.mark.parametrize("n", [40_000, 70_000])
+def test_radix_pass_positions_multisub_interpret(n, monkeypatch):
+    """Batches beyond one call's VMEM budget split into sub-calls whose
+    ranks/totals are recombined with int32 XLA glue."""
+    import jax.numpy as jnp
+    monkeypatch.setattr(PK, "SUB_ROWS", 8192)
+    rng = np.random.RandomState(5)
+    d = rng.randint(0, 256, n).astype(np.int32)
+    pos = np.asarray(PK.radix_pass_positions(jnp.asarray(d), n,
+                                             interpret=True))
+    expect = np.empty(n, np.int64)
+    order = np.argsort(d, kind="stable")
+    expect[order] = np.arange(n)
+    np.testing.assert_array_equal(pos, expect)

@@ -795,6 +795,25 @@ class TpchConnector(Connector):
     def table_schema(self, table: str) -> T.DataType:
         return TPCH_SCHEMAS[table]
 
+    # storage-int (min, max) bounds known by construction of the generator
+    # (stats-based planning: the analogue of velox VectorHasher analyze /
+    # parquet row-group stats). Used e.g. to prove limb-decomposition
+    # safety for the fused filter-reduce kernel (ops/filter_reduce.py).
+    _COLUMN_STATS = {
+        "lineitem": {
+            "l_quantity": (100, 5000),       # 1.00 .. 50.00 scale 2
+            "l_discount": (0, 10),           # 0.00 .. 0.10 scale 2
+            "l_tax": (0, 8),                 # 0.00 .. 0.08 scale 2
+            "l_linenumber": (1, 7),
+            # price formula max = 90000+20000+99900 (spec 4.2.3), qty <= 50
+            "l_extendedprice": (90000, 209_900 * 50),
+        },
+    }
+
+    def column_stats(self, table: str, column: str):
+        """(min, max) storage-int bounds, or None when unknown."""
+        return self._COLUMN_STATS.get(table, {}).get(column)
+
     def create_data_source(self, table: str, columns, ctx) -> TpchDataSource:
         cap = None
         if ctx is not None:

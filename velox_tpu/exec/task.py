@@ -167,13 +167,22 @@ class Task:
             from velox_tpu.core.config import QueryConfig as QC
             from velox_tpu.exec.fuse import chain_fn, collapse_chain
             chain = collapse_chain(node.source)
-            pre = None if chain.is_identity else chain_fn(chain)
             qc = self.ctx.query_config
-            op = AggregationOperator(
-                node, pre_fn=pre,
-                host_offload=qc.get_bool(QC.AGG_HOST_OFFLOAD),
-                compact_threshold=qc.get_int(QC.AGG_COMPACT_THRESHOLD, 8))
-            yield from self._drive(chain.source, op)
+
+            def mk_agg(pre):
+                return AggregationOperator(
+                    node, pre_fn=pre,
+                    host_offload=qc.get_bool(QC.AGG_HOST_OFFLOAD),
+                    compact_threshold=qc.get_int(QC.AGG_COMPACT_THRESHOLD,
+                                                 8))
+            # fused one-HBM-pass kernel for Q6-shaped global sums
+            # (aggregation pushdown into scan; ops/filter_reduce.py)
+            fr_op = self._try_filter_sum(node, chain, mk_agg)
+            if fr_op is not None:
+                yield from self._drive(chain.source, fr_op)
+                return
+            pre = None if chain.is_identity else chain_fn(chain)
+            yield from self._drive(chain.source, mk_agg(pre))
         elif isinstance(node, P.OrderByNode):
             yield from self._drive(node.source, OrderByOperator(node))
         elif isinstance(node, P.TopNNode):
@@ -248,6 +257,37 @@ class Task:
                 node, remotes, dest, cap, dicts))
         else:
             raise NotImplementedError(f"no operator for {type(node).__name__}")
+
+    def _try_filter_sum(self, node: P.AggregationNode, chain, mk_agg):
+        """Kernel pushdown: global sum(a*b) over a range-filtered scan
+        runs as ONE fused Pallas HBM pass (ops/filter_reduce.py). Returns
+        the operator or None when the plan/stats don't match."""
+        from velox_tpu.exec.fuse import chain_fn
+        from velox_tpu.ops.filter_reduce import (
+            FilterSumOperator, match_filter_sum,
+        )
+        if not isinstance(chain.source, P.TableScanNode):
+            return None
+        from velox_tpu.connectors.connector import get_connector
+        try:
+            conn = get_connector(chain.source.connector_id)
+        except Exception:
+            return None
+        stats_fn = getattr(conn, "column_stats", None)
+        if stats_fn is None:
+            return None
+        stats = {}
+        for c in chain.source.output_type().names:
+            s = stats_fn(chain.source.table, c)
+            if s is not None:
+                stats[c] = s
+        spec = match_filter_sum(node, chain, stats)
+        if spec is None:
+            return None
+        from velox_tpu.common import metrics as M
+        M.record_counter(M.K_FILTER_SUM_KERNEL)
+        return FilterSumOperator(
+            node, spec, lambda: mk_agg(chain_fn(chain)))
 
     def _make_scan(self, node: P.TableScanNode) -> TableScanOperator:
         from velox_tpu.connectors.connector import get_connector

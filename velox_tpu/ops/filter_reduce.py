@@ -1,0 +1,362 @@
+"""Fused scan-filter-sum(product) Pallas superstep — ONE HBM pass.
+
+Role parity: the reference's selective scan + aggregation pushdown
+(``velox/dwio/common/ColumnVisitors.h:140`` fuses decode + Filter::test +
+``SumHook`` so ``sum(expr) WHERE range-filters`` never materializes
+intermediates; see also ``velox/exec/AggregationHook.h:27``). XLA fuses
+elementwise chains but still runs a Q6-shaped pipeline in ~6 logical HBM
+passes (measured round 1: ~7% of HBM roofline); this kernel streams every
+column exactly once through VMEM with double-buffered DMA and reduces
+in-register.
+
+Pattern handled: global ``sum(a * b)`` over int32-stored columns with a
+conjunction of per-column range predicates — TPC-H Q6 exactly, and any
+scan pipeline of that shape. Exactness: products are decomposed into
+16-bit limbs of ``a`` times ``b`` (|b| bounded by connector column stats),
+accumulated per-lane in int32, and recombined in int64 outside the kernel
+— bit-exact integer arithmetic throughout (no f32 rounding).
+
+Grid-free (this environment's AOT compiler rejects gridded pallas_call);
+no 64-bit types inside the kernel (TPU x64 gotchas).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from velox_tpu import types as T
+from velox_tpu.core import expressions as ex
+from velox_tpu.core import plan as P
+
+RB = 1024          # tile-rows per DMA chunk -> 1024*128 = 131072 rows
+LANES = 128
+CHUNK_ROWS = RB * LANES
+
+# |b| bound for which per-lane int32 accumulation over RB tile-rows is
+# overflow-safe: RB * 65535 * b_max < 2^31.
+MAX_B_ABS = (2 ** 31 - 1) // (RB * 65536)  # = 16383 // RB-scaled -> 16
+
+
+def _kernel(n_chunks: int, ranges, ai: int, bi: int, n_cols: int,
+            n_ref, *refs):
+    """Outer grid-free kernel: emit_pipeline streams (RB, 128) blocks of
+    every column HBM->VMEM (double-buffered by the pipeline emitter) and
+    the inner body reduces each chunk to per-lane limb sums."""
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    col_refs = refs[:n_cols]
+    out_ref = refs[n_cols]
+
+    def inner(*brefs):
+        vins = brefs[:n_cols]
+        vout = brefs[n_cols]
+        c = pl.program_id(0)
+        n = n_ref[0, 0]
+        sub = lax.broadcasted_iota(jnp.int32, (RB, LANES), 0)
+        lane = lax.broadcasted_iota(jnp.int32, (RB, LANES), 1)
+        gidx = (c * RB + sub) * LANES + lane
+        keep = gidx < n
+        for (i, lo, hi) in ranges:
+            x = vins[i][...]
+            keep = keep & (x >= lo) & (x <= hi)
+        a = vins[ai][...]
+        b = jnp.where(keep, vins[bi][...], 0)
+        a1 = a >> 16           # arithmetic shift: works for negative a
+        a0 = a & 0xFFFF
+        vout[0, 0, :] = jnp.sum(a1 * b, axis=0, dtype=jnp.int32)
+        vout[0, 1, :] = jnp.sum(a0 * b, axis=0, dtype=jnp.int32)
+
+    pltpu.emit_pipeline(
+        inner,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec((RB, LANES), lambda i: (i, 0))] * n_cols,
+        out_specs=[pl.BlockSpec((1, 2, LANES), lambda i: (i, 0, 0))],
+    )(*col_refs, out_ref)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _run_kernel(n_chunks: int, ranges, ai: int, bi: int,
+                interpret: bool, n_active, *cols):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_cols = len(cols)
+    cols2 = [c.reshape(n_chunks * RB, LANES) for c in cols]
+    return pl.pallas_call(
+        functools.partial(_kernel, n_chunks, ranges, ai, bi, n_cols),
+        in_specs=[pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n_cols,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, 2, LANES), jnp.int32),
+        interpret=interpret,
+    )(n_active.reshape(1, 1).astype(jnp.int32), *cols2)
+
+
+def filtered_sum_product(cols: List[jnp.ndarray], ranges, ai: int, bi: int,
+                         n_active, interpret: bool = False):
+    """sum over active rows passing all ranges of cols[ai] * cols[bi].
+
+    cols: int32 arrays of one shared length (padded with anything — rows
+    past n_active are excluded). ranges: tuple of (col_idx, lo, hi)
+    inclusive int bounds. Returns an int64 device scalar.
+
+    Must be called EAGERLY (not inside another jit): the kernel traces
+    under x64-off — this environment's Mosaic lowering rejects the i64
+    loop indices that global x64 injects into the pipeline emitter.
+    """
+    n = cols[0].shape[0]
+    n_chunks = -(-n // CHUNK_ROWS)
+    padded = n_chunks * CHUNK_ROWS
+    if padded != n:
+        cols = [jnp.concatenate(
+            [c, jnp.zeros((padded - n,), jnp.int32)]) for c in cols]
+    if interpret:
+        # CPU/interpret path: pure-XLA reference of the identical limb
+        # arithmetic (emit_pipeline cannot even be constructed off-TPU —
+        # it queries the TPU generation); the real kernel is validated by
+        # TPU smoke/bench runs.
+        return _xla_reference(cols, tuple(ranges), ai, bi,
+                              jnp.asarray(n_active, jnp.int32))
+    with jax.enable_x64(False):
+        out = _run_kernel(n_chunks, tuple(ranges), ai, bi, False,
+                          jnp.asarray(n_active, jnp.int32), *cols)
+    s1 = jnp.sum(out[:, 0, :].astype(jnp.int64))
+    s0 = jnp.sum(out[:, 1, :].astype(jnp.int64))
+    return (s1 << np.int64(16)) + s0
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _xla_reference(cols, ranges, ai: int, bi: int, n_active):
+    n = cols[0].shape[0]
+    keep = jnp.arange(n, dtype=jnp.int32) < n_active
+    for (i, lo, hi) in ranges:
+        keep = keep & (cols[i] >= lo) & (cols[i] <= hi)
+    a = cols[ai]
+    b = jnp.where(keep, cols[bi], 0)
+    s1 = jnp.sum(((a >> 16) * b).astype(jnp.int64))
+    s0 = jnp.sum(((a & 0xFFFF) * b).astype(jnp.int64))
+    return (s1 << np.int64(16)) + s0
+
+
+# ---------------------------------------------------------------------------
+# Plan matcher: recognize the Q6 shape in a fused scan chain + aggregation.
+# ---------------------------------------------------------------------------
+
+class FilterSumSpec:
+    def __init__(self, scan_cols: List[str], ranges, a_col: str, b_col: str,
+                 out_name: str, out_dtype: T.DataType):
+        self.scan_cols = scan_cols      # kernel column order
+        self.ranges = ranges            # (idx, lo, hi) into scan_cols
+        self.a_col = a_col
+        self.b_col = b_col
+        self.out_name = out_name
+        self.out_dtype = out_dtype
+
+
+def _const_int(c: ex.TypedExpr, col_dtype: T.DataType) -> Optional[int]:
+    """Constant -> storage-int at the COLUMN's scale, or None."""
+    if not isinstance(c, ex.Constant) or c.value is None:
+        return None
+    dt = c.dtype
+    if dt.kind is T.TypeKind.DATE:
+        v = c.value
+        if isinstance(v, str):
+            v = int((np.datetime64(v) - np.datetime64("1970-01-01"))
+                    .astype(int))
+        return int(v)
+    if dt.kind is T.TypeKind.DECIMAL:
+        if col_dtype.kind is not T.TypeKind.DECIMAL:
+            return None
+        v = int(c.value)
+        ds = col_dtype.scale - dt.scale
+        if ds >= 0:
+            return v * (10 ** ds)
+        # constant finer than storage: only exact rescales are safe
+        f = 10 ** (-ds)
+        if v % f:
+            return None
+        return v // f
+    if dt.is_integral:
+        return int(c.value)
+    return None
+
+
+def _collect_ranges(pred: ex.TypedExpr, bounds: Dict[str, List[int]],
+                    scan_names) -> bool:
+    """Fold a conjunction of range predicates into per-column [lo, hi]
+    (intersection). Returns False if any conjunct is not a range test."""
+    if isinstance(pred, ex.Call) and pred.name == "and":
+        return all(_collect_ranges(a, bounds, scan_names)
+                   for a in pred.args)
+    if not isinstance(pred, ex.Call):
+        return False
+    args = pred.args
+    name = pred.name
+    if name == "between" and len(args) == 3 \
+            and isinstance(args[0], ex.FieldAccess):
+        f = args[0]
+        lo = _const_int(args[1], f.dtype)
+        hi = _const_int(args[2], f.dtype)
+        if lo is None or hi is None or f.name not in scan_names:
+            return False
+        b = bounds.setdefault(f.name, [-(2 ** 31), 2 ** 31 - 1])
+        b[0] = max(b[0], lo)
+        b[1] = min(b[1], hi)
+        return True
+    if name in ("lt", "lte", "gt", "gte") and len(args) == 2:
+        f, c = args
+        flip = False
+        if isinstance(c, ex.FieldAccess) and isinstance(f, ex.Constant):
+            f, c = c, f
+            flip = True
+        if not isinstance(f, ex.FieldAccess) or f.name not in scan_names:
+            return False
+        v = _const_int(c, f.dtype)
+        if v is None:
+            return False
+        op = {("lt", False): "lt", ("lte", False): "lte",
+              ("gt", False): "gt", ("gte", False): "gte",
+              ("lt", True): "gt", ("lte", True): "gte",
+              ("gt", True): "lt", ("gte", True): "lte"}[(name, flip)]
+        b = bounds.setdefault(f.name, [-(2 ** 31), 2 ** 31 - 1])
+        if op == "lt":
+            b[1] = min(b[1], v - 1)
+        elif op == "lte":
+            b[1] = min(b[1], v)
+        elif op == "gt":
+            b[0] = max(b[0], v + 1)
+        else:
+            b[0] = max(b[0], v)
+        return True
+    return False
+
+
+def match_filter_sum(node: "P.AggregationNode", chain,
+                     stats: Optional[Dict[str, Tuple[int, int]]]
+                     ) -> Optional[FilterSumSpec]:
+    """Match a global single-step sum(a*b) over a fused range-filtered scan
+    chain; returns a kernel spec or None. `stats` maps scan column ->
+    (min, max) value bounds (connector-provided) used for limb safety."""
+    if node.grouping_keys or node.step is not P.AggregationStep.SINGLE:
+        return None
+    if len(node.aggregates) != 1 or node.aggregates[0].name != "sum":
+        return None
+    agg = node.aggregates[0]
+    if agg.mask is not None or len(agg.inputs) != 1:
+        return None
+    if not isinstance(chain.source, P.TableScanNode):
+        return None
+    scan_names = set(chain.source.output_type().names)
+    # resolve the aggregate input through the chain's projections
+    mapping = dict(zip(chain.names, chain.exprs))
+    e = agg.inputs[0]
+    if isinstance(e, ex.FieldAccess) and e.name in mapping:
+        e = mapping[e.name]
+    if not (isinstance(e, ex.Call) and e.name == "multiply"
+            and len(e.args) == 2
+            and all(isinstance(a, ex.FieldAccess) for a in e.args)
+            and all(a.name in scan_names for a in e.args)):
+        return None
+    a_f, b_f = e.args
+    # b must be |b|-bounded for limb-safe accumulation; allow either order
+    if stats is None:
+        return None
+
+    def b_ok(f):
+        s = stats.get(f.name)
+        return s is not None and max(abs(s[0]), abs(s[1])) <= MAX_B_ABS
+
+    if b_ok(b_f):
+        pass
+    elif b_ok(a_f):
+        a_f, b_f = b_f, a_f
+    else:
+        return None
+    bounds: Dict[str, List[int]] = {}
+    if chain.predicate is not None:
+        if not _collect_ranges(chain.predicate, bounds, scan_names):
+            return None
+    cols = sorted(set(list(bounds) + [a_f.name, b_f.name]))
+    idx = {c: i for i, c in enumerate(cols)}
+    ranges = tuple((idx[c], int(b[0]), int(b[1]))
+                   for c, b in bounds.items())
+    out_dtype = node.output_type().children[0]
+    return FilterSumSpec(cols, ranges, a_f.name, b_f.name,
+                         node.aggregate_names[0], out_dtype)
+
+
+def _operator_base():
+    from velox_tpu.exec.operator import Operator
+    return Operator
+
+
+class FilterSumOperator(_operator_base()):
+    """Operator running the fused kernel per scan batch; falls back to the
+    generic AggregationOperator if a batch's storage defeats the kernel
+    (non-int32 columns, validity masks present)."""
+
+    def __init__(self, node, spec: FilterSumSpec, fallback_factory):
+        super().__init__(node)
+        self.spec = spec
+        self._fallback_factory = fallback_factory
+        self._fallback = None
+        self._total = None
+        self._done = False
+
+    def _batch_ok(self, batch) -> bool:
+        for c in self.spec.scan_cols:
+            col = batch.columns.get(c)
+            if col is None or col.validity is not None \
+                    or col.data.dtype != jnp.int32:
+                return False
+        return True
+
+    def add_input(self, batch):
+        if self._fallback is not None:
+            self._fallback.add_input(batch)
+            return
+        if not self._batch_ok(batch):
+            self._fallback = self._fallback_factory()
+            self._fallback.add_input(batch)
+            return
+        cols = [batch.columns[c].data for c in self.spec.scan_cols]
+        idx = {c: i for i, c in enumerate(self.spec.scan_cols)}
+        t = filtered_sum_product(
+            cols, self.spec.ranges, idx[self.spec.a_col],
+            idx[self.spec.b_col], batch.num_active(),
+            interpret=jax.default_backend() != "tpu")
+        self._total = t if self._total is None else self._total + t
+
+    def no_more_input(self):
+        super().no_more_input()
+        if self._fallback is not None:
+            self._fallback.no_more_input()
+
+    def get_output(self):
+        if self._fallback is not None:
+            return self._fallback.get_output()
+        if self._done or not self._no_more_input:
+            return None
+        self._done = True
+        from velox_tpu.vector.device import DeviceBatch, DeviceColumn
+        total = self._total if self._total is not None else jnp.int64(0)
+        col = DeviceColumn(jnp.asarray(total, jnp.int64)[None], None,
+                           self.spec.out_dtype, None)
+        return DeviceBatch({self.spec.out_name: col},
+                           jnp.ones((1,), bool))
+
+    def needs_input(self):
+        return not self._no_more_input
+
+    def is_finished(self):
+        if self._fallback is not None:
+            return self._fallback.is_finished()
+        return self._done
+
