@@ -86,3 +86,71 @@ def test_distributed_right_joins(jtype):
         e = np.sort(serial[c].to_numpy(dtype="float64", na_value=np.nan))
         np.testing.assert_array_equal(np.isnan(a), np.isnan(e))
         np.testing.assert_array_equal(a[~np.isnan(a)], e[~np.isnan(e)])
+
+
+def _dist_with_partitioned_join(plan):
+    """Force the partitioned (all_to_all both sides) join path."""
+    from velox_tpu.core.config import QueryConfig as QC
+    from velox_tpu.exec.task import QueryCtx
+    ctx = QueryCtx({QC.JOIN_BROADCAST_THRESHOLD: 0})
+    return DistributedTask(plan, make_mesh(8), ctx=ctx)
+
+
+@pytest.mark.parametrize("jt", ["inner", "left", "right", "anti"])
+def test_distributed_partitioned_join(jt):
+    """Partitioned join: build side hash-sharded across devices (no
+    replication), probe side resharded by key; count-based windows."""
+    rng = np.random.RandomState(21)
+    probe_tables = [pa.table(pd.DataFrame({
+        "pk": rng.randint(0, 40, 300).astype("int64"),
+        "pv": np.arange(i * 300, (i + 1) * 300, dtype="int64")}))
+        for i in range(6)]
+    build = pd.DataFrame({"bk": rng.randint(0, 30, 90).astype("int64"),
+                          "bv": np.arange(90, dtype="int64")})
+    out_cols = {"inner": ["pk", "pv", "bv"], "left": ["pk", "pv", "bv"],
+                "right": ["pk", "pv", "bv"], "anti": ["pk", "pv"]}[jt]
+    b = PlanBuilder()
+    bb = b.new_builder().values([pa.table(build)])
+    plan = (b.values(probe_tables)
+            .hash_join(["pk"], ["bk"], bb, output=out_cols, join_type=jt)
+            .plan())
+    dist = _dist_with_partitioned_join(plan).run().to_pandas()
+    all_probe = pd.concat([t.to_pandas() for t in probe_tables])
+    if jt == "anti":
+        exp = all_probe[~all_probe.pk.isin(build.bk)]
+        assert len(dist) == len(exp)
+        assert dist.pv.sum() == exp.pv.sum()
+        return
+    how = {"inner": "inner", "left": "left", "right": "right"}[jt]
+    exp = all_probe.merge(build, left_on="pk", right_on="bk", how=how)
+    assert len(dist) == len(exp)
+    np.testing.assert_allclose(
+        np.nansum(dist.pv.to_numpy("float64")),
+        np.nansum(exp.pv.to_numpy("float64")))
+    np.testing.assert_allclose(
+        np.nansum(dist.bv.to_numpy("float64")),
+        np.nansum(exp.bv.to_numpy("float64")))
+
+
+def test_partitioned_join_build_exceeds_single_shard():
+    """VERDICT item: a build side too big to replicate still joins when
+    partitioned — each device holds only its hash range."""
+    rng = np.random.RandomState(5)
+    n_build = 4000
+    build = pd.DataFrame({
+        "bk": np.arange(n_build, dtype="int64"),
+        "bv": rng.randint(0, 100, n_build).astype("int64")})
+    probe_tables = [pa.table(pd.DataFrame({
+        "pk": rng.randint(0, n_build, 500).astype("int64"),
+        "pv": np.arange(i * 500, (i + 1) * 500, dtype="int64")}))
+        for i in range(4)]
+    b = PlanBuilder()
+    bb = b.new_builder().values([pa.table(build)])
+    plan = (b.values(probe_tables)
+            .hash_join(["pk"], ["bk"], bb, output=["pk", "pv", "bv"])
+            .plan())
+    dist = _dist_with_partitioned_join(plan).run().to_pandas()
+    all_probe = pd.concat([t.to_pandas() for t in probe_tables])
+    exp = all_probe.merge(build, left_on="pk", right_on="bk")
+    assert len(dist) == len(exp)
+    assert dist.bv.sum() == exp.bv.sum()

@@ -16,4 +16,22 @@ import jax as _jax
 # math is exact int64), so enabling x64 costs nothing where it matters.
 _jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: query plans compile to many jitted
+# programs and this environment's remote AOT compiles are slow (tens of
+# seconds each, minutes for multi-join plans); the on-disk cache makes
+# repeat compiles ~instant ACROSS processes (verified: 8.5s -> 0.5s).
+# Disable with VELOX_TPU_COMPILE_CACHE=0.
+import os as _os
+
+if _os.environ.get("VELOX_TPU_COMPILE_CACHE", "1") != "0":
+    _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR") \
+        or _os.path.expanduser("~/.cache/velox_tpu_jax")
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           1.0)
+    except Exception:
+        pass
+
 from velox_tpu import types  # noqa: F401,E402

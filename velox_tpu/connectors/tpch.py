@@ -811,8 +811,28 @@ class TpchConnector(Connector):
     }
 
     def column_stats(self, table: str, column: str):
-        """(min, max) storage-int bounds, or None when unknown."""
-        return self._COLUMN_STATS.get(table, {}).get(column)
+        """(min, max) storage-int bounds, or None when unknown.
+        Scale-dependent key/date bounds are computed from the generator's
+        own formulas (sparse orderkeys, date span)."""
+        fixed = self._COLUMN_STATS.get(table, {}).get(column)
+        if fixed is not None:
+            return fixed
+        n_orders = int(ORDERS_PER_SF * self.gen.sf)
+        n_cust = int(CUSTOMERS_PER_SF * self.gen.sf)
+        max_okey = int(order_key_at(np.asarray([max(0, n_orders - 1)]))[0])
+        dates = (_EPOCH_1992, _EPOCH_1998_END)
+        dyn = {
+            ("lineitem", "l_orderkey"): (0, max_okey),
+            ("orders", "o_orderkey"): (0, max_okey),
+            ("lineitem", "l_shipdate"): dates,
+            ("lineitem", "l_commitdate"): dates,
+            ("lineitem", "l_receiptdate"): dates,
+            ("orders", "o_orderdate"): dates,
+            ("orders", "o_custkey"): (1, max(1, n_cust)),
+            ("customer", "c_custkey"): (1, max(1, n_cust)),
+            ("orders", "o_shippriority"): (0, 0),
+        }
+        return dyn.get((table, column))
 
     def create_data_source(self, table: str, columns, ctx) -> TpchDataSource:
         cap = None

@@ -21,6 +21,10 @@ class QueryConfig:
     AGG_COMPACT_THRESHOLD = "agg_compact_threshold"
     # velox kMaxSpillLevel family: offload aggregation partials to host RAM
     AGG_HOST_OFFLOAD = "agg_host_offload"
+    # broadcast-vs-partitioned distributed join cutover (bytes of build
+    # side; parity: host engines' broadcast join threshold over
+    # PartitionedOutput, exec/PartitionedOutput.h:149)
+    JOIN_BROADCAST_THRESHOLD = "join_broadcast_threshold_bytes"
     # velox kQueryTraceEnabled / kQueryTraceDir (QueryConfig.h)
     TRACE_ENABLED = "query_trace_enabled"
     TRACE_DIR = "query_trace_dir"
@@ -33,6 +37,7 @@ class QueryConfig:
     _DEFAULTS: Dict[str, Any] = {
         AGG_COMPACT_THRESHOLD: 8,
         AGG_HOST_OFFLOAD: False,
+        JOIN_BROADCAST_THRESHOLD: 128 << 20,
         TRACE_ENABLED: False,
         TRACE_DIR: "",
         TRACE_NODE_IDS: "",

@@ -66,6 +66,14 @@ class AggregationOperator(Operator):
         self._host_runs = []
         self._step = node.step
         self._keys = list(node.grouping_keys)
+        # static (min, max) bounds per grouping key (core/stats.py):
+        # narrows the sort-mode normalized keys to their information
+        # content — fewer radix passes and fewer compiled sub-kernels
+        from velox_tpu.core.stats import resolve_column_stats
+        self._key_ranges = tuple(
+            resolve_column_stats(node.source, k.name) if node.source
+            is not None else None
+            for k in self._keys)
         self._agg_calls = list(node.aggregates)
         self._agg_names = list(node.aggregate_names)
         self._aggs = [resolve_aggregate(a.name, [i.dtype for i in a.inputs])
@@ -168,7 +176,8 @@ class AggregationOperator(Operator):
                 keys, addends, active, cap, domain)
             out_cap = domain
         else:
-            gk, gs, gmask = G.reduce_sort_mode(keys, addends, active, cap)
+            gk, gs, gmask = G.reduce_sort_mode(keys, addends, active, cap,
+                                               ranges=self._key_ranges)
             out_cap = cap
         return self._make_state_batch(gk, gs, gmask, out_cap)
 
@@ -208,7 +217,8 @@ class AggregationOperator(Operator):
                 keys, addends, active, cap, domain)
             out_cap = domain
         else:
-            gk, gs, gmask = G.reduce_sort_mode(keys, addends, active, cap)
+            gk, gs, gmask = G.reduce_sort_mode(keys, addends, active, cap,
+                                               ranges=self._key_ranges)
             out_cap = cap
         return gk, gs, gmask, out_cap
 

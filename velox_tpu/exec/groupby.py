@@ -120,7 +120,8 @@ def reduce_array_mode(
     return out_keys, out_states, occupied
 
 
-def sorted_group_info(keys: Sequence[EvalValue], active, capacity: int):
+def sorted_group_info(keys: Sequence[EvalValue], active, capacity: int,
+                      ranges=None):
     """Radix-sort rows by key words and segment equal-key runs.
 
     The TPU-first replacement for probing (parity: velox kNormalizedKey —
@@ -138,7 +139,7 @@ def sorted_group_info(keys: Sequence[EvalValue], active, capacity: int):
     """
     from velox_tpu.exec.sort import radix_sort_perm, sort_words
 
-    words, bits = sort_words(keys, None, capacity, active)
+    words, bits = sort_words(keys, None, capacity, active, ranges=ranges)
     perm = radix_sort_perm(words, bits, capacity)
     ws = [w[perm] for w in words]
     neq = jnp.zeros((capacity,), bool)
@@ -152,7 +153,8 @@ def sorted_group_info(keys: Sequence[EvalValue], active, capacity: int):
     return perm, gid, boundary, active_sorted, num_groups
 
 
-def row_group_ids(keys: Sequence[EvalValue], active, capacity: int):
+def row_group_ids(keys: Sequence[EvalValue], active, capacity: int,
+                  ranges=None):
     """Per-row dense group ids in ORIGINAL row order.
 
     Returns (ids, is_first, num_groups): ids[r] in [0, num_groups) for
@@ -161,7 +163,7 @@ def row_group_ids(keys: Sequence[EvalValue], active, capacity: int):
     MarkDistinct in place of hash-table slots.
     """
     perm, gid, boundary, active_sorted, num_groups = sorted_group_info(
-        keys, active, capacity)
+        keys, active, capacity, ranges)
     ids = jnp.zeros((capacity,), jnp.int32).at[perm].set(gid)
     first = jnp.zeros((capacity,), bool).at[perm].set(boundary)
     return ids, first & jnp.asarray(active), num_groups
@@ -172,6 +174,7 @@ def reduce_sort_mode(
     addends: List[Tuple[jnp.ndarray, str]],
     active,
     capacity: int,
+    ranges=None,
 ):
     """Generic grouping: radix sort by key words + segment reduce.
 
@@ -181,7 +184,7 @@ def reduce_sort_mode(
     (no compaction scatter).
     """
     perm, gid, boundary, active_sorted, num_groups = sorted_group_info(
-        keys, active, capacity)
+        keys, active, capacity, ranges)
     seg = jnp.where(active_sorted, gid, jnp.int32(capacity))
     out_states = []
     for data, combine in addends:

@@ -94,6 +94,52 @@ def _usable(batch: DeviceBatch, keys: List[EvalValue]):
     return ok
 
 
+def build_sorted_table(b: DeviceBatch, key_fields) -> SortedBuild:
+    """Pure traced build of the sorted-key table (vmappable for
+    per-device partitioned builds, parallel/distributed.py)."""
+    cap = b.capacity
+    keys = _key_values(b, key_fields)
+    usable = _usable(b, keys)
+    # sort usable rows first, ordered by key words (stable)
+    words, bits = sort_words(keys, None, cap, usable)
+    perm = radix_sort_perm(words, bits, cap)
+    n = jnp.sum(usable.astype(jnp.int32))
+    packed = pack_key_u64(keys, cap)[perm]
+    # force the non-usable tail to MAX so the array is globally
+    # sorted for searchsorted (tail key words are arbitrary)
+    in_prefix = jnp.arange(cap, dtype=jnp.int32) < n
+    packed = jnp.where(in_prefix, packed, _U64_MAX)
+    dup = (packed[1:] == packed[:-1]) & in_prefix[1:]
+    return SortedBuild(packed, perm, n, b, n.astype(jnp.int64),
+                       jnp.any(b.mask & ~usable), jnp.any(dup))
+
+
+def build_hash_table(b: DeviceBatch, key_fields) -> BuiltTable:
+    """Pure traced build of the scatter-probe fallback table."""
+    cap = b.capacity
+    keys = _key_values(b, key_fields)
+    usable = _usable(b, keys)
+    table = H.empty_table(keys, H.table_size_for(cap))
+    table, slots, is_new = H.insert(table, keys, usable, cap)
+    S = table.size
+    seg = jnp.where(usable, slots, jnp.int32(S))
+    slot_count = jax.ops.segment_sum(
+        jnp.ones((cap,), jnp.int32), seg, num_segments=S + 1)[:S]
+    slot_offset = jnp.cumsum(slot_count) - slot_count
+    slot_bits = max(1, S.bit_length())
+    csr_rows = radix_sort_perm([seg.astype(jnp.uint32)], [slot_bits], cap)
+    num = jnp.sum(usable.astype(jnp.int32))
+    return BuiltTable(table, b, slot_count, slot_offset, csr_rows,
+                      num.astype(jnp.int64), jnp.any(b.mask & ~usable),
+                      jnp.any(usable & ~is_new))
+
+
+def build_table(b: DeviceBatch, key_fields):
+    if packable_words([k.dtype for k in key_fields]):
+        return build_sorted_table(b, key_fields)
+    return build_hash_table(b, key_fields)
+
+
 class HashBuildStage:
     """Consumes build-side batches and produces a SortedBuild (or the
     BuiltTable fallback for key tuples wider than one packed u64)."""
@@ -101,7 +147,6 @@ class HashBuildStage:
     def __init__(self, key_fields):
         self._key_fields = list(key_fields)
         self._batches: List[DeviceBatch] = []
-        self._packable = packable_words([k.dtype for k in key_fields])
 
     def add_input(self, batch: DeviceBatch):
         self._batches.append(batch)
@@ -112,64 +157,37 @@ class HashBuildStage:
             raise RuntimeError("empty build side requires at least one "
                                "(possibly empty) batch")
         self._batches = []
-        if self._packable:
-            return self._finish_sorted(merged)
-        return self._finish_hash(merged)
-
-    def _finish_sorted(self, merged: DeviceBatch) -> SortedBuild:
-        @jax.jit
-        def _build(b: DeviceBatch):
-            cap = b.capacity
-            keys = _key_values(b, self._key_fields)
-            usable = _usable(b, keys)
-            # sort usable rows first, ordered by key words (stable)
-            words, bits = sort_words(keys, None, cap, usable)
-            perm = radix_sort_perm(words, bits, cap)
-            n = jnp.sum(usable.astype(jnp.int32))
-            packed = pack_key_u64(keys, cap)[perm]
-            # force the non-usable tail to MAX so the array is globally
-            # sorted for searchsorted (tail key words are arbitrary)
-            in_prefix = jnp.arange(cap, dtype=jnp.int32) < n
-            packed = jnp.where(in_prefix, packed, _U64_MAX)
-            dup = (packed[1:] == packed[:-1]) & in_prefix[1:]
-            has_dups = jnp.any(dup)
-            has_null_key = jnp.any(b.mask & ~usable)
-            return packed, perm, n, has_null_key, has_dups
-
-        packed, perm, n, has_null, has_dups = _build(merged)
-        return SortedBuild(packed, perm, n, merged,
-                           n.astype(jnp.int64), has_null, has_dups)
-
-    def _finish_hash(self, merged: DeviceBatch) -> BuiltTable:
-        @jax.jit
-        def _build(b: DeviceBatch):
-            cap = b.capacity
-            keys = _key_values(b, self._key_fields)
-            usable = _usable(b, keys)
-            table = H.empty_table(keys, H.table_size_for(cap))
-            table, slots, is_new = H.insert(table, keys, usable, cap)
-            S = table.size
-            seg = jnp.where(usable, slots, jnp.int32(S))
-            slot_count = jax.ops.segment_sum(
-                jnp.ones((cap,), jnp.int32), seg, num_segments=S + 1)[:S]
-            slot_offset = jnp.cumsum(slot_count) - slot_count
-            slot_bits = max(1, S.bit_length())
-            perm = radix_sort_perm([seg.astype(jnp.uint32)], [slot_bits],
-                                   cap)
-            num = jnp.sum(usable.astype(jnp.int32))
-            has_null_key = jnp.any(b.mask & ~usable)
-            has_dups = jnp.any(usable & ~is_new)
-            return (table, slot_count, slot_offset, perm, num,
-                    has_null_key, has_dups)
-
-        (table, slot_count, slot_offset, csr_rows, num, has_null,
-         has_dups) = _build(merged)
-        return BuiltTable(table, merged, slot_count, slot_offset, csr_rows,
-                          num, has_null, has_dups)
+        return jax.jit(
+            lambda b: build_table(b, tuple(self._key_fields)))(merged)
 
 
 _NEEDS_RIGHT_PHASE = (P.JoinType.RIGHT, P.JoinType.FULL,
                       P.JoinType.RIGHT_SEMI_FILTER)
+
+
+def emit_right_phase(node: P.HashJoinNode, bt, matched) -> DeviceBatch:
+    """Pure traced right-phase emission (matched/unmatched build rows) —
+    module-level so the distributed path can vmap it over per-device
+    partitioned tables (parallel/distributed.py)."""
+    jt = node.join_type
+    cap = bt.batch.capacity
+    if jt is P.JoinType.RIGHT_SEMI_FILTER:
+        mask = bt.batch.mask & matched
+        out = DeviceBatch(dict(bt.batch.columns), mask)
+    else:  # RIGHT / FULL: unmatched build rows with null probe side
+        mask = bt.batch.mask & ~matched
+        out_cols = {}
+        lt = node.left.output_type()
+        for name, dt in zip(lt.names, lt.children):
+            out_cols[name] = DeviceColumn(
+                jnp.zeros((cap,), dt.np_dtype()),
+                jnp.zeros((cap,), bool), dt, None)
+        out_cols.update(dict(bt.batch.columns))
+        out = DeviceBatch(out_cols, mask)
+    if node.output_columns:
+        out = DeviceBatch(
+            {n: out.columns[n] for n in node.output_columns}, out.mask)
+    return out
 
 
 class HashJoinOperator(Operator):
@@ -492,34 +510,9 @@ class HashJoinOperator(Operator):
     # ---- right phase (unmatched / matched build rows) -------------------------
 
     def _emit_right_phase(self) -> Optional[DeviceBatch]:
-        node, bt = self._node, self._bt
-        jt = node.join_type
-        bkeys = _key_values(bt.batch, node.right_keys)
-
-        @jax.jit
-        def _emit(bt, matched):
-            cap = bt.batch.capacity
-            busable = _usable(bt.batch, bkeys)
-            if jt is P.JoinType.RIGHT_SEMI_FILTER:
-                mask = bt.batch.mask & matched
-                out = DeviceBatch(dict(bt.batch.columns), mask)
-            else:  # RIGHT / FULL: unmatched build rows with null probe side
-                mask = bt.batch.mask & ~matched
-                out_cols = {}
-                lt = node.left.output_type()
-                for name, dt in zip(lt.names, lt.children):
-                    out_cols[name] = DeviceColumn(
-                        jnp.zeros((cap,), dt.np_dtype()),
-                        jnp.zeros((cap,), bool), dt, None)
-                out_cols.update(dict(bt.batch.columns))
-                out = DeviceBatch(out_cols, mask)
-            if node.output_columns:
-                out = DeviceBatch(
-                    {n: out.columns[n] for n in node.output_columns},
-                    out.mask)
-            return out
-
-        return _emit(bt, self._matched)
+        return jax.jit(
+            lambda bt, m: emit_right_phase(self._node, bt, m))(
+                self._bt, self._matched)
 
     # ---- operator contract --------------------------------------------------
 

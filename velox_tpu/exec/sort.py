@@ -71,36 +71,105 @@ def value_words(v: EvalValue, capacity: int) -> List:
     return _signed_words(data)
 
 
+def _narrow_bits(v: EvalValue, rng) -> int:
+    """Static bit width of the normalized (value - min) field, or -1 when
+    the key cannot be narrowed. Dictionary strings narrow automatically
+    (ids in [0, len)); BOOLEAN is 1 bit; integral/date/decimal keys narrow
+    when the caller provides true (min, max) storage bounds (core/stats.py
+    — the kNormalizedKey trick, prefixsort/PrefixSortEncoder.h, driven by
+    connector stats instead of per-batch analysis)."""
+    dt = v.dtype
+    if dt.kind is T.TypeKind.BOOLEAN:
+        return 1
+    if dt.is_string and v.dictionary is not None:
+        return max(0, max(1, len(v.dictionary)) - 1).bit_length()
+    if rng is None:
+        return -1
+    if not (dt.is_integral or dt.kind in (T.TypeKind.DATE,
+                                          T.TypeKind.DECIMAL)):
+        return -1
+    lo, hi = int(rng[0]), int(rng[1])
+    span = hi - lo
+    if span < 0 or span >= (1 << 32):
+        return -1
+    return span.bit_length()
+
+
 def sort_words(
     keys: Sequence[EvalValue],
     orders,
     capacity: int,
     active,
+    ranges=None,
 ) -> Tuple[List, List[int]]:
     """(words, bit_widths) for a multi-key sort, most significant first.
 
     `orders` is a list of plan.SortOrder or None entries (None = grouping /
-    equality only). The leading word puts inactive rows last.
+    equality only). The leading word puts inactive rows last. `ranges`
+    optionally gives (min, max) storage bounds per key: narrowed keys are
+    BIT-PACKED msb-first into shared 32-bit words, so total radix passes
+    track the information content of the key tuple, not 32 bits per word
+    (fewer passes AND fewer compiled radix kernels).
     """
-    words: List = [(~active).astype(jnp.uint32)]
-    bits: List[int] = [1]
+    # fields: (uint32 array with the value in the LOW nb bits, nb)
+    fields: List = [((~active).astype(jnp.uint32), 1)]
     for i, v in enumerate(keys):
         order = orders[i] if orders is not None else None
         desc = order is not None and not order.ascending
-        vw = value_words(v, capacity)
+        rng = ranges[i] if ranges is not None else None
+        null = None
         if v.validity is not None:
             null = ~v.full_validity(capacity)
             nulls_first = order is not None and order.nulls_first
-            nw = jnp.where(null ^ nulls_first, jnp.uint32(1), jnp.uint32(0)) \
+            nw = jnp.where(null ^ nulls_first, jnp.uint32(1),
+                           jnp.uint32(0)) \
                 if order is not None else null.astype(jnp.uint32)
-            words.append(nw)
-            bits.append(1)
-            # canonicalize null lanes for deterministic output
-            vw = [jnp.where(null, jnp.uint32(0), w) for w in vw]
+            fields.append((nw, 1))
+        nb = _narrow_bits(v, rng)
+        if nb == 0:
+            continue  # provably constant: contributes nothing
+        if nb > 0:
+            data = v.full_data(capacity)
+            if v.dtype.is_string or v.dtype.kind is T.TypeKind.BOOLEAN:
+                base = 0
+            else:
+                base = int(rng[0])
+            w = (data.astype(jnp.int64) - base).astype(jnp.uint32) \
+                & np.uint32((1 << nb) - 1)
+            if null is not None:
+                w = jnp.where(null, jnp.uint32(0), w)
+            if desc:
+                w = w ^ np.uint32((1 << nb) - 1)
+            fields.append((w, nb))
+            continue
+        vw = value_words(v, capacity)
+        if null is not None:
+            vw = [jnp.where(null, jnp.uint32(0), x) for x in vw]
         if desc:
-            vw = [~w for w in vw]
-        words.extend(vw)
-        bits.extend([32] * len(vw))
+            vw = [~x for x in vw]
+        fields.extend((x, 32) for x in vw)
+
+    # msb-first bit packing into up-to-32-bit words
+    words: List = []
+    bits: List[int] = []
+    cur = None
+    cur_bits = 0
+    for val, nb in fields:
+        while nb > 0:
+            take = min(32 - cur_bits, nb)
+            piece = (val >> np.uint32(nb - take)) \
+                & np.uint32((1 << take) - 1)
+            cur = piece if cur is None else \
+                ((cur << np.uint32(take)) | piece)
+            cur_bits += take
+            nb -= take
+            if cur_bits == 32:
+                words.append(cur)
+                bits.append(32)
+                cur, cur_bits = None, 0
+    if cur_bits:
+        words.append(cur)
+        bits.append(cur_bits)
     return words, bits
 
 

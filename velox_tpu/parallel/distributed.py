@@ -232,24 +232,12 @@ class DistributedTask:
         merged = jax.jit(jax.vmap(
             lambda b: op._compact_step(b)))(
                 _concat_stacked(partials))
-        # exchange so each device owns hash-range of keys, then finalize
+        # exchange so each device owns hash-range of keys (count-based
+        # window), then finalize per device
         key_names = [k.name for k in node.grouping_keys]
-        n = self.n
-
-        def finalize(local: DeviceBatch) -> DeviceBatch:
-            local = _squeeze0(local)
-            ex_batch = X.repartition_all_to_all(
-                local, key_names, n, DATA_AXIS)
-            out = op._merge_step(ex_batch)
-            return _expand0(out)
-
-        fin = jax.jit(
-            jax.shard_map(
-                finalize, mesh=self.mesh,
-                in_specs=P(DATA_AXIS),
-                out_specs=P(DATA_AXIS),
-                check_vma=False))
-        yield fin(merged)
+        window = self._count_window(merged, key_names)
+        resharded = self._reshard(merged, key_names, window)
+        yield jax.jit(jax.vmap(op._merge_step))(resharded)
 
     def _run_global_aggregation(self, node, op) -> DeviceBatch:
         # per-shard accumulation then cross-device reduction of state
@@ -296,15 +284,152 @@ class DistributedTask:
             out.with_mask(jnp.zeros_like(out.mask))
             for _ in range(self.n - 1)], self.mesh)
 
+    # -- exchange helpers (two-phase count-based windows) ----------------------
+
+    def _count_window(self, stacked: DeviceBatch, key_names) -> int:
+        """Host-synced max per-destination count -> pow2 static window.
+        The flow-control replacement for OutputBuffer credits/acks
+        (velox/exec/OutputBuffer.h:157): one count program + one host read
+        sizes the exchange instead of worst-case window = capacity."""
+        n = self.n
+        key = ("cw", tuple(key_names))
+        fn = self._fn_cache.get(key) if hasattr(self, "_fn_cache") else None
+        if not hasattr(self, "_fn_cache"):
+            self._fn_cache = {}
+        if fn is None:
+            def cmax(local):
+                m = X.partition_max_count(_squeeze0(local), list(key_names),
+                                          n)
+                return jax.lax.pmax(m, DATA_AXIS)
+            fn = jax.jit(jax.shard_map(
+                cmax, mesh=self.mesh, in_specs=P(DATA_AXIS),
+                out_specs=P(), check_vma=False))
+            self._fn_cache[key] = fn
+        return X.window_for(int(jax.device_get(fn(stacked))))
+
+    def _reshard(self, stacked: DeviceBatch, key_names,
+                 window: int) -> DeviceBatch:
+        """all_to_all repartition by key hash with a static window
+        (programs cached per (keys, window) — windows are pow2-quantized
+        so the compile count stays bounded)."""
+        n = self.n
+        if not hasattr(self, "_fn_cache"):
+            self._fn_cache = {}
+        key = ("rs", tuple(key_names), window)
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            def repart(local):
+                local = _squeeze0(local)
+                out = X.repartition_all_to_all(local, list(key_names), n,
+                                               DATA_AXIS, window)
+                return _expand0(out)
+            fn = jax.jit(jax.shard_map(
+                repart, mesh=self.mesh, in_specs=P(DATA_AXIS),
+                out_specs=P(DATA_AXIS), check_vma=False))
+            self._fn_cache[key] = fn
+        return fn(stacked)
+
     # -- join ---------------------------------------------------------------------
 
     def _run_join(self, node: Pn.HashJoinNode) -> Iterator[DeviceBatch]:
-        # broadcast join: gather the distributed build side onto every
-        # device, build a replicated table, probe shards locally.
+        """Distributed hash join with a broadcast/partition cost decision
+        (parity: the reference host engines' broadcast-vs-partitioned
+        strategy over PartitionedOutput, velox/exec/PartitionedOutput.h:149).
+        Build sides up to the broadcast threshold replicate via all_gather;
+        larger builds hash-partition BOTH sides so per-device HBM holds
+        only 1/n of the table."""
         build_parts = [b for b in self._run_node(node.right)]
         if not build_parts:
             raise RuntimeError("empty build side")
         stacked_build = _concat_stacked(build_parts)
+        from velox_tpu.core.config import QueryConfig as QC
+        from velox_tpu.exec.memory import batch_nbytes
+        thr = self.ctx.query_config.get_int(
+            QC.JOIN_BROADCAST_THRESHOLD, 128 << 20)
+        if batch_nbytes(stacked_build) <= thr:
+            yield from self._run_broadcast_join(node, stacked_build)
+        else:
+            yield from self._run_partitioned_join(node, stacked_build)
+
+    def _run_partitioned_join(self, node: Pn.HashJoinNode,
+                              stacked_build: DeviceBatch
+                              ) -> Iterator[DeviceBatch]:
+        from velox_tpu.exec import join as J
+        n = self.n
+        jt = node.join_type
+        if node.filter is not None and jt is not Pn.JoinType.INNER:
+            raise NotImplementedError(
+                "distributed join filter on non-inner joins")
+        rnames = [k.name for k in node.right_keys]
+        lnames = [k.name for k in node.left_keys]
+        bwin = self._count_window(stacked_build, rnames)
+        resharded_b = self._reshard(stacked_build, rnames, bwin)
+        bt = jax.jit(jax.vmap(
+            lambda b: J.build_table(b, tuple(node.right_keys))))(
+                resharded_b)
+        # globalize the null-key flag: null-aware anti must see nulls that
+        # landed on ANY device
+        has_null = bool(jax.device_get(jnp.any(bt.has_null_key)))
+        bt = bt._replace(has_null_key=jnp.broadcast_to(
+            jnp.asarray(has_null), bt.has_null_key.shape))
+        probe = HashJoinOperator(node)
+        probe._bt = bt
+        probe._unique_build = not bool(
+            jax.device_get(jnp.any(bt.has_dup_keys)))
+        track = jt in J._NEEDS_RIGHT_PHASE
+        # bt.batch is stacked (n, bcap): vmapped probes see (bcap,) slices
+        bcap = int(bt.batch.mask.shape[1])
+        matched = jnp.zeros((n, bcap), bool) if track else None
+        if track:
+            # the traced probe branches on `self._matched is not None`
+            probe._matched = jnp.zeros((bcap,), bool)
+        has_filter = node.filter is not None
+        needs_expand = has_filter or ((not probe._unique_build) and jt in (
+            Pn.JoinType.INNER, Pn.JoinType.LEFT, Pn.JoinType.RIGHT,
+            Pn.JoinType.FULL, Pn.JoinType.RIGHT_SEMI_FILTER))
+
+        fast_fn = jax.jit(jax.vmap(probe._probe_fast))
+        count_fn = jax.jit(jax.vmap(probe._probe_counts))
+        emit_fn = jax.jit(jax.vmap(probe._emit_chunk,
+                                   in_axes=(0, 0, 0, 0, 0, None)))
+        for stacked in self._run_node(node.left):
+            pwin = self._count_window(stacked, lnames)
+            sp = self._reshard(stacked, lnames, pwin)
+            if not needs_expand:
+                out, nm = fast_fn(sp, bt)
+                if track and nm is not None:
+                    matched = matched | nm
+                if out is not None:
+                    yield out
+                continue
+            out, loc_hit, cum, total, nm = count_fn(sp, bt)
+            if track and nm is not None:
+                matched = matched | nm
+            if loc_hit is None:
+                if out is not None:
+                    yield out
+                continue
+            loc, hit = loc_hit
+            n_total = int(jax.device_get(jnp.max(total)))
+            cap = sp.mask.shape[1]
+            for start in range(0, max(n_total, 1), cap):
+                if n_total == 0:
+                    break
+                emitted, _, _, _, _ = emit_fn(sp, bt, loc, hit, cum,
+                                              jnp.int64(start))
+                yield emitted
+        if track:
+            # build rows are PARTITIONED (each device owns its hash range)
+            # so the right phase is per-device complete — no cross-device
+            # matched merge needed (unlike broadcast)
+            yield jax.jit(jax.vmap(
+                lambda b, m: J.emit_right_phase(node, b, m)))(bt, matched)
+
+    def _run_broadcast_join(self, node: Pn.HashJoinNode,
+                            stacked_build: DeviceBatch
+                            ) -> Iterator[DeviceBatch]:
+        # broadcast join: gather the distributed build side onto every
+        # device, build a replicated table, probe shards locally.
         n = self.n
 
         def gather(local):
@@ -425,18 +550,9 @@ class DistributedTask:
             # gather / round-robin kinds: pass through (already sharded)
             yield from self._run_node(node.source)
             return
-        n = self.n
-
-        def repart(local):
-            local = _squeeze0(local)
-            out = X.repartition_all_to_all(local, key_names, n, DATA_AXIS)
-            return _expand0(out)
-
-        fn = jax.jit(
-            jax.shard_map(repart, mesh=self.mesh, in_specs=P(DATA_AXIS),
-                          out_specs=P(DATA_AXIS), check_vma=False))
         for stacked in self._run_node(node.source):
-            yield fn(stacked)
+            window = self._count_window(stacked, key_names)
+            yield self._reshard(stacked, key_names, window)
 
 
 # -- small pytree helpers -------------------------------------------------------

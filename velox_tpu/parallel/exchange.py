@@ -35,18 +35,45 @@ def partition_ids(keys: Sequence[EvalValue], capacity: int, n: int):
     return (h % np.uint32(n)).astype(jnp.int32)
 
 
+def partition_max_count(batch: DeviceBatch, key_names: List[str],
+                        n: int):
+    """Inside shard_map/vmap: this shard's max rows headed to any one
+    destination — the count phase of the two-phase count-based exchange
+    window (replaces the reference's credit/ack flow control,
+    exec/OutputBuffer.h:157: instead of backpressure acks, the host reads
+    the count maximum once and sizes the next program's static window)."""
+    cap = batch.capacity
+    keys = [value_from_column(batch.columns[k]) for k in key_names]
+    dest = partition_ids(keys, cap, n)
+    dest = jnp.where(batch.mask, dest, jnp.int32(n))
+    counts = jax.ops.segment_sum(
+        jnp.ones((cap,), jnp.int32), dest, num_segments=n + 1)[:n]
+    return jnp.max(counts)
+
+
+def window_for(max_count: int, floor: int = 1024) -> int:
+    """Static exchange window from a measured count max: next power of two
+    (bounds the number of distinct compiled exchange programs)."""
+    return max(floor, 1 << (max(1, int(max_count)) - 1).bit_length())
+
+
 def repartition_all_to_all(batch: DeviceBatch, key_names: List[str],
-                           n: int, axis_name: str) -> DeviceBatch:
+                           n: int, axis_name: str,
+                           window: int = None) -> DeviceBatch:
     """Inside shard_map: exchange rows so each row lands on device
     hash(key) % n. Returns the local received batch (capacity n * window).
 
     The local batch is bucketized by destination with a radix pass (the
     device-side analogue of Destination::advance serialization,
     exec/PartitionedOutput.cpp:23-70), laid out into an (n, window) send
-    buffer, and exchanged with one all_to_all.
+    buffer, and exchanged with one all_to_all. ``window`` defaults to the
+    safe worst case (local capacity); callers run partition_max_count
+    first and pass window_for(max) to bound exchange memory n-fold.
     """
     cap = batch.capacity
-    window = cap  # safe worst case; see module docstring
+    if window is None:
+        window = cap  # safe worst case; see module docstring
+    window = min(window, cap)
     keys = [value_from_column(batch.columns[k]) for k in key_names]
     dest = partition_ids(keys, cap, n)
     dest = jnp.where(batch.mask, dest, jnp.int32(n))  # inactive -> dropped
