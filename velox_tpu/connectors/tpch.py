@@ -865,7 +865,14 @@ class TpchConnector(Connector):
 
 
 def register_tpch(scale_factor: float = 0.01, connector_id: str = "tpch",
-                  rows_per_split: int = 65536) -> TpchConnector:
+                  rows_per_split: int = None) -> TpchConnector:
+    """Register the TPC-H connector. ``rows_per_split`` defaults to an
+    adaptive size targeting ~8 splits per table (fewer per-batch host
+    dispatches at large SF; each dispatch costs ms over the device
+    tunnel), clamped so one lineitem batch stays well under HBM."""
+    if rows_per_split is None:
+        orders = int(ORDERS_PER_SF * scale_factor)
+        rows_per_split = min(max(65536, orders // 8), 4 << 20)
     conn = TpchConnector(connector_id, scale_factor, rows_per_split)
     register_connector(conn)
     return conn

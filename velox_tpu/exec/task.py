@@ -341,27 +341,52 @@ class Task:
         lt = left.output_type()
         preds = []
         bkeys = _key_values(table.batch, node.right_keys)
-        ok_np = np.asarray(jax.device_get(
-            _usable(table.batch, bkeys)))
-        for lk, bv in zip(node.left_keys, bkeys):
+
+        # Everything here fetches SCALARS (or <= 64 values) — pulling the
+        # raw key column to the host costs tens of MB over the device
+        # tunnel and was measured as seconds of Q3 wall.
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _summaries(batch):
+            cap = batch.capacity
+            keys = _key_values(batch, node.right_keys)
+            ok = _usable(batch, keys)
+            n = jnp.sum(ok.astype(jnp.int32))
+            outs = []
+            for v in keys:
+                d = v.full_data(cap)
+                big = jnp.iinfo(d.dtype).max if jnp.issubdtype(
+                    d.dtype, jnp.integer) else jnp.inf
+                lo = jnp.min(jnp.where(ok, d, big))
+                hi = jnp.max(jnp.where(ok, d, -big))
+                # first 64 usable values via cumsum-scatter compaction
+                # (lax.sort compile cost is prohibitive here; order is
+                # irrelevant — the host sorts 64 values)
+                idx = jnp.cumsum(ok.astype(jnp.int32)) - 1
+                tgt = jnp.where(ok & (idx < 64), idx, jnp.int32(64))
+                s = jnp.zeros((65,), d.dtype).at[tgt] \
+                    .set(d, mode="drop")[:64]
+                outs.append((lo, hi, s))
+            return n, outs
+
+        n_usable, summaries = jax.device_get(_summaries(table.batch))
+        n_usable = int(n_usable)
+        if n_usable == 0:
+            return left
+        for lk, (lo, hi, small) in zip(node.left_keys, summaries):
             dt = lk.dtype
             if not (dt.is_integral or dt.kind in (
                     T.TypeKind.DATE, T.TypeKind.DECIMAL)):
                 continue
-            data = np.asarray(jax.device_get(
-                bv.full_data(table.batch.capacity)))
-            if not ok_np.any():
-                continue
             f = ex.field(lk.name, lt.field_type(lk.name))
-            vals = np.unique(data[ok_np])
-            if len(vals) <= 64:
-                # small build key set: exact IN-set filter
+            if n_usable <= 64:
+                vals = sorted(set(int(v) for v in small[:n_usable]))
                 preds.append(ex.Call(T.BOOLEAN, "in", (f,) + tuple(
-                    ex.Constant(dt, int(v)) for v in vals)))
+                    ex.Constant(dt, v) for v in vals)))
                 continue
-            lo, hi = int(vals[0]), int(vals[-1])
             preds.append(ex.Call(T.BOOLEAN, "between", (
-                f, ex.Constant(dt, lo), ex.Constant(dt, hi))))
+                f, ex.Constant(dt, int(lo)), ex.Constant(dt, int(hi)))))
         if not preds:
             return left
         pred = preds[0]
