@@ -108,3 +108,76 @@ def test_unnest_then_aggregate():
     got = Task(plan).run().to_pandas()
     flat = [e for x in t.column("arr").to_pylist() for e in x]
     assert got.s[0] == sum(flat) and got.c[0] == len(flat)
+
+
+# ---- lambdas / higher-order functions -------------------------------------
+
+def hof_table():
+    return pa.table({
+        "arr": pa.array([[1, 2, 3], [], None, [5, 10, 5], [None, 7]],
+                        pa.list_(pa.int64())),
+        "y": pa.array([10, 20, 30, 40, 50], pa.int64()),
+    })
+
+
+def run_project(t, projections):
+    plan = PlanBuilder().values([t]).project(projections).plan()
+    return Task(plan).run()
+
+
+def test_transform_with_capture():
+    out = run_project(hof_table(),
+                      ["transform(arr, x -> x * 2 + y) as r"])
+    assert out.column("r").to_pylist() == [
+        [12, 14, 16], [], None, [50, 60, 50], [None, 64]]
+
+
+def test_filter_lambda():
+    out = run_project(hof_table(), ["filter(arr, x -> x > 2) as r"])
+    assert out.column("r").to_pylist() == [
+        [3], [], None, [5, 10, 5], [7]]
+
+
+def test_match_lambdas():
+    t = hof_table()
+    out = run_project(t, ["any_match(arr, x -> x > 9) as a",
+                          "all_match(arr, x -> x > 0) as b",
+                          "none_match(arr, x -> x = 2) as c"])
+    assert out.column("a").to_pylist() == [False, False, None, True, False]
+    assert out.column("c").to_pylist() == [False, True, None, True, True]
+
+
+def test_array_sort_distinct_extremes():
+    t = hof_table()
+    out = run_project(t, ["array_sort(arr) as s",
+                          "array_distinct(arr) as d",
+                          "array_max(arr) as mx",
+                          "array_min(arr) as mn"])
+    assert out.column("s").to_pylist() == [
+        [1, 2, 3], [], None, [5, 5, 10], [7, None]]
+    assert out.column("d").to_pylist() == [
+        [1, 2, 3], [], None, [5, 10], [None, 7]]
+    # Presto: null element or empty array -> NULL extreme
+    assert out.column("mx").to_pylist() == [3, None, None, 10, None]
+    assert out.column("mn").to_pylist() == [1, None, None, 5, None]
+
+
+def test_map_keys_values():
+    t = pa.table({"m": pa.array([{"a": 1, "b": 2}, {}, {"c": 3}],
+                                pa.map_(pa.string(), pa.int64()))})
+    out = run_project(t, ["map_keys(m) as k", "map_values(m) as v",
+                          "cardinality(m) as n"])
+    assert out.column("k").to_pylist() == [["a", "b"], [], ["c"]]
+    assert out.column("v").to_pylist() == [[1, 2], [], [3]]
+    assert out.column("n").to_pylist() == [2, 0, 1]
+
+
+def test_lambda_error_propagates():
+    from velox_tpu.common.errors import VeloxUserError
+    t = pa.table({"arr": pa.array([[4, 0], [2]], pa.list_(pa.int64()))})
+    plan = (PlanBuilder().values([t])
+            .project(["transform(arr, x -> 10 / x) as r"]).plan())
+    with pytest.raises(VeloxUserError):
+        Task(plan).run()
+    out = run_project(t, ["try(transform(arr, x -> 10 / x)) as r"])
+    assert out.num_rows == 2

@@ -1,0 +1,29 @@
+"""Structured error taxonomy.
+
+Role parity: ``velox/common/base/VeloxException.h`` — user errors
+(VeloxUserError: bad input data, div-by-zero, overflow, cast failures)
+vs runtime errors (VeloxRuntimeError: engine invariant violations).
+
+TPU-first error CHANNEL: dense masked execution cannot raise per row
+inside a compiled program, so checked operations flag an error mask on
+the EvalCtx (expression/eval.py); supersteps reduce it to a traced
+per-batch count carried on the batch (vector/device.py DeviceBatch.errors)
+which the Task collects and checks with ONE host fetch at query end —
+the deferred analogue of velox's EvalCtx error vector + throw-on-demand
+(expression/EvalCtx.h, TryExpr.h).
+"""
+
+from __future__ import annotations
+
+
+class VeloxError(Exception):
+    """Base for engine errors."""
+
+
+class VeloxUserError(VeloxError):
+    """Errors attributable to query/data (Presto USER_ERROR class):
+    division by zero, integer overflow, invalid cast."""
+
+
+class VeloxRuntimeError(VeloxError):
+    """Engine invariant violations (Presto INTERNAL_ERROR class)."""

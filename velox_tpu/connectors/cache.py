@@ -17,7 +17,7 @@ from typing import Optional, Tuple
 from velox_tpu.exec.memory import batch_nbytes
 from velox_tpu.vector.device import DeviceBatch
 
-DEFAULT_BUDGET = 4 << 30  # 4 GiB of HBM for cached scans
+DEFAULT_BUDGET = 8 << 30  # 8 GiB of HBM for cached scans
 
 
 class DataCache:

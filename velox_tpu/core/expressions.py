@@ -66,6 +66,20 @@ class Call(TypedExpr):
 
 
 @dataclass(frozen=True)
+class Lambda(TypedExpr):
+    """A lambda passed to a higher-order function (transform/filter/...).
+    Parity: velox core LambdaTypedExpr (expression/LambdaExpr.cpp). dtype
+    is the BODY's result type; params bind element-space columns during
+    evaluation (functions/complex.py)."""
+    params: Tuple[str, ...] = ()
+    body: TypedExpr = None
+
+    @property
+    def children(self):
+        return (self.body,)
+
+
+@dataclass(frozen=True)
 class Cast(TypedExpr):
     child: TypedExpr = None
     # try_cast returns null instead of raising on conversion failure.

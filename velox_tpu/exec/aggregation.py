@@ -80,6 +80,7 @@ class AggregationOperator(Operator):
                       for a in self._agg_calls]
         self._partials: List[DeviceBatch] = []
         self._outputs: List[DeviceBatch] = []
+        self.error_scalars: List = []  # collected by Task._drive
         self._finished = False
         # cache the jitted programs across Task instances by plan node
         # (everything the traced steps read derives from the node) —
@@ -115,15 +116,23 @@ class AggregationOperator(Operator):
 
     def _passthrough_step(self, batch: DeviceBatch) -> DeviceBatch:
         """Abandoned partial: emit per-row states without grouping."""
+        errs = []
         if self._pre_fn is not None:
             batch = self._pre_fn(batch)
-        keys, addends, active = self._eval_keys_and_addends(batch, True)
-        return self._make_state_batch(
+            if batch.errors is not None:
+                errs.append(batch.errors)
+        keys, addends, active = self._eval_keys_and_addends(
+            batch, True, err_sink=errs)
+        out = self._make_state_batch(
             keys, [a for a, _ in addends], active, batch.capacity)
+        if errs:
+            out = DeviceBatch(out.columns, out.mask, errors=sum(errs))
+        return out
 
     # ---- traced programs ---------------------------------------------------
 
-    def _eval_keys_and_addends(self, batch: DeviceBatch, raw: bool):
+    def _eval_keys_and_addends(self, batch: DeviceBatch, raw: bool,
+                               err_sink: Optional[list] = None):
         """Evaluate grouping keys and per-row addends (raw or intermediate)."""
         cap = batch.capacity
         cols = {n: value_from_column(c) for n, c in batch.columns.items()}
@@ -135,7 +144,11 @@ class AggregationOperator(Operator):
                 self._agg_names, self._agg_calls, self._aggs):
             if raw:
                 es = ExprSet(list(agg_call.inputs), None)
-                args = es.eval_batch(batch)
+                sink = [] if err_sink is not None else None
+                args = es.eval_batch(batch, err_sink=sink)
+                if sink and sink[0] is not None:
+                    err_sink.append(jnp.sum(sink[0] & active,
+                                            dtype=jnp.int32))
                 row_active = active
                 if agg_call.mask is not None:
                     m = ExprSet([agg_call.mask], None).eval_batch(batch)[0]
@@ -164,11 +177,15 @@ class AggregationOperator(Operator):
         return keys, addends, active
 
     def _partial_step(self, batch: DeviceBatch) -> DeviceBatch:
+        errs = []
         if self._pre_fn is not None:
             batch = self._pre_fn(batch)
+            if batch.errors is not None:
+                errs.append(batch.errors)
         raw = self._step in (P.AggregationStep.PARTIAL,
                              P.AggregationStep.SINGLE)
-        keys, addends, active = self._eval_keys_and_addends(batch, raw)
+        keys, addends, active = self._eval_keys_and_addends(
+            batch, raw, err_sink=errs)
         cap = batch.capacity
         domain = G.array_mode_domain(keys) if keys else None
         if keys and domain is not None and domain <= cap:
@@ -179,7 +196,12 @@ class AggregationOperator(Operator):
             gk, gs, gmask = G.reduce_sort_mode(keys, addends, active, cap,
                                                ranges=self._key_ranges)
             out_cap = cap
-        return self._make_state_batch(gk, gs, gmask, out_cap)
+        out = self._make_state_batch(gk, gs, gmask, out_cap)
+        if errs:
+            # error counts RIDE THE RETURN VALUE (pytree scalar): jit-safe;
+            # add_input strips them into self.error_scalars
+            out = DeviceBatch(out.columns, out.mask, errors=sum(errs))
+        return out
 
     def _make_state_batch(self, group_keys, group_states, group_mask,
                           out_cap) -> DeviceBatch:
@@ -265,15 +287,23 @@ class AggregationOperator(Operator):
                         self._agg_dicts[j] = col.dictionary
         if self._keys:
             if self._abandoned:
-                self._outputs.append(self._passthrough_fn(batch))
+                self._outputs.append(self._strip_errs(
+                    self._passthrough_fn(batch)))
                 return
             if self._step is P.AggregationStep.PARTIAL:
                 self._in_rows.append(batch.num_active())
-            self._partials.append(self._partial_fn(batch))
+            self._partials.append(self._strip_errs(
+                self._partial_fn(batch)))
             if len(self._partials) >= self._compact_threshold:
                 self._compact_partials()
         else:
             self._accumulate_global(batch)
+
+    def _strip_errs(self, out: DeviceBatch) -> DeviceBatch:
+        if out.errors is not None:
+            self.error_scalars.append(out.errors)
+            out = DeviceBatch(out.columns, out.mask)
+        return out
 
     def _compact_partials(self):
         """Fold all pending partial runs into one right-sized state batch.
@@ -363,11 +393,15 @@ class AggregationOperator(Operator):
     def _accumulate_global(self, batch: DeviceBatch):
         if not hasattr(self, "_global_fn"):
             def _step(batch, state):
+                errs = []
                 if self._pre_fn is not None:
                     batch = self._pre_fn(batch)
+                    if batch.errors is not None:
+                        errs.append(batch.errors)
                 raw = self._step in (P.AggregationStep.PARTIAL,
                                      P.AggregationStep.SINGLE)
-                _, addends, _ = self._eval_keys_and_addends(batch, raw)
+                _, addends, _ = self._eval_keys_and_addends(
+                    batch, raw, err_sink=errs)
                 new_state = []
                 for (data, combine), s in zip(addends, state):
                     if combine == "sum":
@@ -378,7 +412,7 @@ class AggregationOperator(Operator):
                     else:
                         new_state.append(jnp.maximum(
                             s, jnp.max(data, axis=0)))
-                return new_state
+                return new_state, (sum(errs) if errs else None)
             self._global_fn = jax.jit(_step)
         if self._global_state is None:
             self._global_state = []
@@ -389,7 +423,10 @@ class AggregationOperator(Operator):
                     if st.width > 1:
                         ident = jnp.full((st.width,), ident)
                     self._global_state.append(ident)
-        self._global_state = self._global_fn(batch, self._global_state)
+        self._global_state, err = self._global_fn(batch,
+                                                  self._global_state)
+        if err is not None:
+            self.error_scalars.append(err)
 
     def _extract_global(self) -> DeviceBatch:
         if self._global_state is None:

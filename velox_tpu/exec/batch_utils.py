@@ -80,3 +80,29 @@ def slice_batch(batch: DeviceBatch, start: int, length: int) -> DeviceBatch:
         cols[name] = DeviceColumn(data, validity, col.dtype, col.dictionary)
     mask = jax.lax.dynamic_slice_in_dim(batch.mask, start, length)
     return DeviceBatch(cols, mask)
+
+
+def compact_batch(batch: DeviceBatch, out_cap: int) -> DeviceBatch:
+    """Gather active rows into a dense prefix of a smaller batch (traced;
+    out_cap static). Used before host extraction so padded capacities do
+    not ride the device->host transfer."""
+    import jax.numpy as jnp
+    cap = batch.capacity
+    m = batch.mask.astype(jnp.int32)
+    pos = jnp.cumsum(m) - m
+    tgt = jnp.where(batch.mask, jnp.minimum(pos, out_cap - 1),
+                    jnp.int32(out_cap))
+
+    def scatter(a, fill=0):
+        out = jnp.zeros((out_cap + 1,) + a.shape[1:], a.dtype)
+        return out.at[tgt].set(a, mode="drop")[:out_cap]
+
+    cols = {}
+    for n, c in batch.columns.items():
+        data = scatter(c.data)
+        validity = scatter(c.validity) if c.validity is not None else None
+        cols[n] = DeviceColumn(data, validity, c.dtype, c.dictionary,
+                               c.children)
+    n_active = jnp.sum(m)
+    mask = jnp.arange(out_cap, dtype=jnp.int32) < n_active
+    return DeviceBatch(cols, mask)

@@ -125,21 +125,33 @@ def chain_fn(chain: FusedChain):
     from velox_tpu.vector.device import DeviceBatch
 
     def fn(batch: DeviceBatch) -> DeviceBatch:
-        exprs = ([chain.predicate] if chain.predicate is not None else []) \
-            + list(chain.exprs)
-        vals = ExprSet(exprs, None).eval_batch(batch)
         mask = batch.mask
+        err = jnp.zeros((batch.capacity,), bool)
         if chain.predicate is not None:
-            f = vals[0]
+            # predicate evaluates on all active rows; its errors count.
+            # Projections then evaluate logically only on PASSING rows:
+            # their errors on filtered-out rows do NOT count (velox
+            # FilterProject error semantics).
+            sink = []
+            f = ExprSet([chain.predicate], None).eval_batch(
+                batch, err_sink=sink)[0]
+            if sink[0] is not None:
+                err = err | (sink[0] & mask)
             passed = f.full_data(batch.capacity).astype(bool)
             if f.validity is not None:
                 passed = passed & f.full_validity(batch.capacity)
             mask = mask & passed
-            vals = vals[1:]
+        sink = []
+        vals = ExprSet(list(chain.exprs), None).eval_batch(
+            batch, err_sink=sink)
+        if sink[0] is not None:
+            err = err | (sink[0] & mask)
         cols = {
             name: v.to_column(batch.capacity)
             for name, v in zip(chain.names, vals)
         }
-        return DeviceBatch(cols, mask)
+        prior = batch.errors if batch.errors is not None else 0
+        return DeviceBatch(cols, mask,
+                           errors=prior + jnp.sum(err, dtype=jnp.int32))
 
     return fn

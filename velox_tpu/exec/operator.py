@@ -155,24 +155,32 @@ class FilterProjectOperator(Operator):
         self._out: Optional[DeviceBatch] = None
 
         def _run(batch: DeviceBatch) -> DeviceBatch:
-            exprs = ([self._filter] if self._filter is not None else []) \
-                + self._projections
-            es = ExprSet(exprs, None)
-            vals = es.eval_batch(batch)
             mask = batch.mask
+            err = jnp.zeros((batch.capacity,), bool)
             if self._filter is not None:
-                f = vals[0]
+                sink = []
+                f = ExprSet([self._filter], None).eval_batch(
+                    batch, err_sink=sink)[0]
+                if sink[0] is not None:
+                    err = err | (sink[0] & mask)
                 passed = f.data.astype(bool)
                 if f.validity is not None:
                     passed = passed & f.validity
                 mask = mask & (jnp.broadcast_to(passed, (batch.capacity,))
                                if passed.ndim == 0 else passed)
-                vals = vals[1:]
+            sink = []
+            vals = ExprSet(self._projections, None).eval_batch(
+                batch, err_sink=sink)
+            if sink[0] is not None:
+                err = err | (sink[0] & mask)
             cols = {
                 name: v.to_column(batch.capacity)
                 for name, v in zip(self._names, vals)
             }
-            return DeviceBatch(cols, mask)
+            prior = batch.errors if batch.errors is not None else 0
+            return DeviceBatch(cols, mask,
+                               errors=prior + jnp.sum(err,
+                                                      dtype=jnp.int32))
 
         self._fn = jax.jit(_run)
 

@@ -21,17 +21,28 @@ import jax.numpy as jnp
 from velox_tpu.core import plan as P
 from velox_tpu.exec.batch_utils import concat_batches, slice_batch, take
 from velox_tpu.exec.operator import Operator
-from velox_tpu.exec.sort import sort_permutation
+from velox_tpu.exec.sort import sort_permutation, sort_words
 from velox_tpu.expression.eval import value_from_column
 from velox_tpu.vector.device import DeviceBatch
 
 
-def sort_batch(batch: DeviceBatch, keys, orders) -> DeviceBatch:
-    """Stable sort of a batch's rows by keys/orders; inactive rows last."""
+def sort_batch(batch: DeviceBatch, keys, orders,
+               ranges=None) -> DeviceBatch:
+    """Stable sort of a batch's rows by keys/orders; inactive rows last.
+    ``ranges`` (per key, optional) narrows the normalized sort words via
+    static column stats — fewer radix passes (exec/sort.py)."""
+    from velox_tpu.exec.sort import radix_sort_perm
     cap = batch.capacity
     key_vals = [value_from_column(batch.columns[k.name]) for k in keys]
-    perm = sort_permutation(key_vals, orders, cap, batch.mask)
+    words, bits = sort_words(key_vals, orders, cap, batch.mask,
+                             ranges=ranges)
+    perm = radix_sort_perm(words, bits, cap)
     return take(batch, perm, batch.mask[perm])
+
+
+def _key_ranges(node, keys):
+    from velox_tpu.core.stats import resolve_column_stats
+    return tuple(resolve_column_stats(node.source, k.name) for k in keys)
 
 
 class OrderByOperator(Operator):
@@ -43,8 +54,9 @@ class OrderByOperator(Operator):
         self._orders = list(node.orders)
         self._buffer: List[DeviceBatch] = []
         self._out: Optional[DeviceBatch] = None
+        rngs = _key_ranges(node, self._keys)
         self._sort_fn = jax.jit(
-            lambda b: sort_batch(b, self._keys, self._orders))
+            lambda b: sort_batch(b, self._keys, self._orders, rngs))
 
     def add_input(self, batch):
         self._buffer.append(batch)
@@ -76,10 +88,12 @@ class TopNOperator(Operator):
         # static buffer capacity: round n up for alignment
         self._buf_cap = max(1024, -(-node.count // 128) * 128)
 
+        rngs = _key_ranges(node, self._keys)
+
         def _merge(buf: Optional[DeviceBatch], batch: DeviceBatch):
             merged = concat_batches([buf, batch]) if buf is not None \
                 else batch
-            s = sort_batch(merged, self._keys, self._orders)
+            s = sort_batch(merged, self._keys, self._orders, rngs)
             s = slice_batch(s, 0, min(self._buf_cap, s.capacity))
             # only the first n rows survive
             keep = (jnp.arange(s.capacity, dtype=jnp.int32) < self._n) \

@@ -48,6 +48,7 @@ class Task:
         self.plan = plan
         self.ctx = ctx or QueryCtx()
         self.operators: List[Operator] = []  # for stats
+        self._error_scalars: List = []  # traced checked-op failure counts
         self._trace_writers: Dict[str, object] = {}
         qc = self.ctx.query_config
         from velox_tpu.core.config import QueryConfig as QC
@@ -81,8 +82,60 @@ class Task:
 
     # ---- public API --------------------------------------------------------
 
+    def _strip_errors(self, batch: DeviceBatch) -> DeviceBatch:
+        """Detach a batch's checked-op error count into the task-level
+        accumulator (one traced scalar per producing superstep; ONE host
+        fetch at query end — common/errors.py)."""
+        if batch is not None and batch.errors is not None:
+            self._error_scalars.append(batch.errors)
+            batch = DeviceBatch(batch.columns, batch.mask)
+        return batch
+
+    def check_errors(self) -> None:
+        """Raise VeloxUserError if any checked operation failed.
+        Parity: Task::setError / error propagation (exec/Task.cpp:2574)."""
+        if not self._error_scalars:
+            return
+        import jax
+        import jax.numpy as jnp
+        total = int(jax.device_get(sum(self._error_scalars)))
+        self._error_scalars = []
+        if total:
+            from velox_tpu.common.errors import VeloxUserError
+            raise VeloxUserError(
+                f"{total} row(s) failed a checked operation (division by "
+                "zero, integer overflow, or invalid cast); wrap the "
+                "expression in TRY(...) to get NULLs instead")
+
     def batches(self) -> Iterator[DeviceBatch]:
-        yield from self._run_node(self.plan)
+        for b in self._run_node(self.plan):
+            yield self._strip_errors(b)
+
+    _COMPACT_MIN_CAP = 1 << 17
+
+    def _compact_for_output(self, b: DeviceBatch) -> DeviceBatch:
+        """Device-side compaction before host extraction: final batches
+        often carry huge padded capacities (scan-sized) with few active
+        rows; fetching the padding through the device tunnel costs
+        seconds. One scalar fetch decides a right-sized prefix copy."""
+        import jax
+        if b.capacity < self._COMPACT_MIN_CAP:
+            return b
+        from velox_tpu.exec.batch_utils import compact_batch
+        n = int(jax.device_get(b.num_active()))
+        out_cap = max(1024, 1 << (max(1, n) - 1).bit_length())
+        if out_cap * 2 >= b.capacity:
+            return b
+        if not hasattr(self, "_compact_fns"):
+            self._compact_fns = {}
+        import functools
+        fn = self._compact_fns.get(out_cap)
+        if fn is None:
+            import jax as _jax
+            fn = _jax.jit(functools.partial(compact_batch,
+                                            out_cap=out_cap))
+            self._compact_fns[out_cap] = fn
+        return fn(b)
 
     def run(self):
         """Execute to completion; return a pyarrow Table."""
@@ -90,8 +143,10 @@ class Task:
         from velox_tpu.common import metrics as M
         from velox_tpu.vector.device import to_arrow
         t0 = time.perf_counter()
-        tables = [to_arrow(b) for b in self.batches()]
+        tables = [to_arrow(self._compact_for_output(b))
+                  for b in self.batches()]
         self._close_traces()
+        self.check_errors()
         M.record_counter(M.K_TASK_QUERIES)
         M.record_histogram(M.K_QUERY_WALL_MS,
                            (time.perf_counter() - t0) * 1e3)
@@ -404,6 +459,7 @@ class Task:
         self.operators.append(op)
         st = op.stats
         for batch in self._run_node(source_node):
+            batch = self._strip_errors(batch)
             from velox_tpu.common import metrics as M
             from velox_tpu.common import testvalue as TV
             M.record_counter(M.K_TASK_BATCHES)
@@ -430,6 +486,10 @@ class Task:
                 break
             st.output_batches += 1
             yield out
+        # operators that evaluate expressions inside their own jitted
+        # steps (aggregation pre-chains / agg inputs) expose their error
+        # scalars here
+        self._error_scalars.extend(getattr(op, "error_scalars", ()))
 
     def _drive_source(self, op: SourceOperator) -> Iterator[DeviceBatch]:
         self.operators.append(op)

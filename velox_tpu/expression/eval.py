@@ -95,11 +95,23 @@ def merge_validity(*vals: EvalValue):
 
 
 class EvalCtx:
-    """Per-eval context: input columns + static capacity."""
+    """Per-eval context: input columns + static capacity + error channel.
+
+    ``errors`` is a lazily-created bool[capacity] mask of rows where a
+    checked operation failed (div-by-zero, int overflow, bad cast) —
+    parity: velox EvalCtx's error vector (expression/EvalCtx.h). TRY
+    evaluates its child under a fresh channel and converts flagged rows
+    to NULL (TryExpr.h); unhandled errors surface as a per-batch count
+    the Task raises on (common/errors.py).
+    """
 
     def __init__(self, columns: Dict[str, EvalValue], capacity: int):
         self.columns = columns
         self.capacity = capacity
+        self.errors = None
+
+    def flag_error(self, mask) -> None:
+        self.errors = mask if self.errors is None else (self.errors | mask)
 
 
 class ExprSet:
@@ -113,13 +125,21 @@ class ExprSet:
         self.exprs = list(exprs)
         self.input_type = input_type
 
-    def eval_batch(self, batch: DeviceBatch) -> List[EvalValue]:
+    def eval_batch(self, batch: DeviceBatch,
+                   err_sink: Optional[list] = None) -> List[EvalValue]:
+        """Evaluate all expressions. When ``err_sink`` (a list) is given,
+        the per-row error mask (or None) is appended to it — callers that
+        surface checked-operation errors pass one; others keep the
+        round-1 behavior (errors observable only as NULLs)."""
         cols = {
             name: value_from_column(col) for name, col in batch.columns.items()
         }
         ctx = EvalCtx(cols, batch.capacity)
         cache: Dict[ex.TypedExpr, EvalValue] = {}
-        return [_eval(e, ctx, cache) for e in self.exprs]
+        out = [_eval(e, ctx, cache) for e in self.exprs]
+        if err_sink is not None:
+            err_sink.append(ctx.errors)
+        return out
 
 
 def compile_exprs(exprs, input_type: T.DataType) -> ExprSet:
@@ -307,12 +327,24 @@ def _coalesce(expr, ctx, cache):
 
 @special_form("try")
 def _try(expr, ctx, cache):
-    """TRY(expr): suppress row-level errors -> NULL. In dense masked
-    execution, error-producing operations (div-by-zero, overflowing casts)
-    already surface as NULL validity rather than exceptions (parity with
-    the *observable* semantics of velox TryExpr, expression/TryExpr.h),
-    so TRY is the identity on the value with its validity preserved."""
-    return _eval(expr.args[0], ctx, cache)
+    """TRY(expr): suppress row-level errors -> NULL (velox TryExpr.h).
+
+    The child evaluates under a FRESH error channel (and a copied CSE
+    cache so inner evaluations don't suppress error flags of identical
+    outer subexpressions); rows the child flagged become NULL and the
+    flags are swallowed."""
+    saved = ctx.errors
+    ctx.errors = None
+    inner_cache = dict(cache)
+    v = _eval(expr.args[0], ctx, inner_cache)
+    errs = ctx.errors
+    ctx.errors = saved
+    if errs is None:
+        return v
+    validity = (~errs if v.validity is None
+                else v.full_validity(ctx.capacity) & ~errs)
+    return EvalValue(v.full_data(ctx.capacity), validity, v.dtype,
+                     v.dictionary, children=v.children)
 
 
 @special_form("is_null")

@@ -8,6 +8,7 @@ analogue of per-row bounds checks.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -111,3 +112,351 @@ def _contains_resolver(ts):
 
 
 register("contains", _contains_resolver, _contains_eval)
+
+
+# ---------------------------------------------------------------------------
+# Higher-order functions (lambdas) + more array/map functions.
+#
+# Role parity: velox/expression/LambdaExpr.cpp + prestosql ArrayFunctions
+# (transform/filter/any_match/..., array_sort/array_distinct) and
+# MapFunctions (map_keys/map_values/map_filter/transform_values).
+#
+# TPU-first: lambdas evaluate in ELEMENT SPACE — the flattened children
+# arrays are one dense vector; the lambda parameter binds the child column
+# directly and captured outer columns lift via one row-index gather. No
+# per-row loops, no per-row function calls (the reference's
+# SimpleFunctionAdapter per-row lambda dispatch has no TPU analogue).
+# ---------------------------------------------------------------------------
+
+from velox_tpu.core import expressions as _ex
+from velox_tpu.expression.eval import (
+    EvalCtx as _EvalCtx, _eval as _eval_expr, special_form,
+)
+from velox_tpu.functions.registry import register as _register
+
+
+def _element_row_map(arr: EvalValue, ctx):
+    """(row_of_element, in_row mask) over the child capacity."""
+    child = arr.children[0]
+    ecap = child.capacity
+    lens = arr.data.astype(jnp.int32)
+    starts = _offsets(arr)
+    e = jnp.arange(ecap, dtype=jnp.int32)
+    row = jnp.searchsorted(starts, e, side="right").astype(jnp.int32) - 1
+    row_c = jnp.clip(row, 0, ctx.capacity - 1)
+    in_row = (e >= starts[row_c]) & (e < starts[row_c] + lens[row_c])
+    if arr.validity is not None:
+        in_row = in_row & arr.validity[row_c]
+    return row_c, in_row
+
+
+class _LiftedColumns(dict):
+    """Element-space view of row-space columns: lifts on first access."""
+
+    def __init__(self, base: dict, row_map, ecap: int):
+        super().__init__()
+        self._base = base
+        self._row = row_map
+        self._ecap = ecap
+
+    def __missing__(self, name):
+        v = self._base[name]
+        data = (v.data if v.is_scalar
+                else v.full_data(self._base_cap())[self._row])
+        validity = None
+        if v.validity is not None:
+            validity = (v.validity if getattr(v.validity, "ndim", 0) == 0
+                        else v.validity[self._row])
+        out = EvalValue(data, validity, v.dtype, v.dictionary)
+        self[name] = out
+        return out
+
+    def _base_cap(self):
+        for v in self._base.values():
+            if not v.is_scalar and v.data is not None:
+                return v.data.shape[0]
+        return self._ecap
+
+
+def _lambda_eval(lam: "_ex.Lambda", arr: EvalValue, ctx, cache):
+    """Evaluate a 1-param lambda body in element space; returns
+    (EvalValue over element capacity, row_c, in_row)."""
+    child = arr.children[0]
+    ecap = child.capacity
+    row_c, in_row = _element_row_map(arr, ctx)
+    cols = _LiftedColumns(ctx.columns, row_c, ecap)
+    elem_t = arr.dtype.children[0]
+    cols[lam.params[0]] = EvalValue(
+        child.data, child.validity, elem_t, child.dictionary,
+        children=child.children)
+    ectx = _EvalCtx(cols, ecap)
+    out = _eval_expr(lam.body, ectx, {})
+    if ectx.errors is not None:
+        # propagate lambda-body errors (only on real elements)
+        ctx.flag_error(jax.ops.segment_max(
+            (ectx.errors & in_row).astype(jnp.int32),
+            jnp.where(in_row, row_c, ctx.capacity),
+            num_segments=ctx.capacity + 1)[:ctx.capacity] > 0)
+    return out, row_c, in_row
+
+
+def _array_of(lengths, validity, elem_value: EvalValue, elem_t,
+              dtype=None) -> EvalValue:
+    child = elem_value.to_column(elem_value.data.shape[0])
+    return EvalValue(lengths, validity, dtype or T.array(elem_t),
+                     children=(child,))
+
+
+@special_form("transform")
+def _transform(expr, ctx, cache):
+    arr = _eval_expr(expr.args[0], ctx, cache)
+    lam = expr.args[1]
+    out, row_c, in_row = _lambda_eval(lam, arr, ctx, cache)
+    ecap = arr.children[0].capacity
+    data = out.full_data(ecap)
+    validity = out.validity
+    return _array_of(arr.data, arr.validity, 
+                     EvalValue(data, validity, lam.dtype, out.dictionary),
+                     lam.dtype, expr.dtype)
+
+
+@special_form("filter")
+def _filter_hof(expr, ctx, cache):
+    arr = _eval_expr(expr.args[0], ctx, cache)
+    lam = expr.args[1]
+    out, row_c, in_row = _lambda_eval(lam, arr, ctx, cache)
+    ecap = arr.children[0].capacity
+    keep = out.full_data(ecap).astype(bool) & in_row
+    if out.validity is not None:
+        keep = keep & out.full_validity(ecap)
+    # global prefix compaction preserves per-row grouping and order
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    tgt = jnp.where(keep, pos, jnp.int32(ecap))
+    child = arr.children[0]
+    new_data = jnp.zeros_like(child.data).at[tgt].set(child.data,
+                                                      mode="drop")
+    new_validity = None
+    if child.validity is not None:
+        new_validity = jnp.ones_like(child.validity).at[tgt].set(
+            child.validity, mode="drop")
+    new_lens = jax.ops.segment_sum(
+        keep.astype(jnp.int32),
+        jnp.where(in_row, row_c, jnp.int32(ctx.capacity)),
+        num_segments=ctx.capacity + 1)[:ctx.capacity]
+    elem_t = arr.dtype.children[0]
+    from velox_tpu.vector.device import DeviceColumn as _DC
+    new_child = _DC(new_data, new_validity, elem_t, child.dictionary,
+                    child.children)
+    return EvalValue(new_lens, arr.validity, arr.dtype,
+                     children=(new_child,))
+
+
+def _match_reduce(expr, ctx, cache, mode):
+    arr = _eval_expr(expr.args[0], ctx, cache)
+    lam = expr.args[1]
+    out, row_c, in_row = _lambda_eval(lam, arr, ctx, cache)
+    ecap = arr.children[0].capacity
+    hit = out.full_data(ecap).astype(bool) & in_row
+    if out.validity is not None:
+        hit = hit & out.full_validity(ecap)
+    seg = jnp.where(in_row, row_c, jnp.int32(ctx.capacity))
+    any_hit = jax.ops.segment_max(hit.astype(jnp.int32), seg,
+                                  num_segments=ctx.capacity + 1)[
+        :ctx.capacity] > 0
+    misses = in_row & ~hit
+    any_miss = jax.ops.segment_max(misses.astype(jnp.int32), seg,
+                                   num_segments=ctx.capacity + 1)[
+        :ctx.capacity] > 0
+    if mode == "any":
+        res = any_hit
+    elif mode == "all":
+        res = ~any_miss
+    else:  # none
+        res = ~any_hit
+    return EvalValue(res, arr.validity, T.BOOLEAN)
+
+
+@special_form("any_match")
+def _any_match(expr, ctx, cache):
+    return _match_reduce(expr, ctx, cache, "any")
+
+
+@special_form("all_match")
+def _all_match(expr, ctx, cache):
+    return _match_reduce(expr, ctx, cache, "all")
+
+
+@special_form("none_match")
+def _none_match(expr, ctx, cache):
+    return _match_reduce(expr, ctx, cache, "none")
+
+
+# type resolvers for the special forms (evaluation is intercepted above;
+# the registry only answers return types for plan construction)
+def _no_eval(*a, **k):
+    raise AssertionError("special form must intercept")
+
+
+_register("transform",
+          lambda ts: T.array(ts[1]) if len(ts) == 2
+          and ts[0].kind is T.TypeKind.ARRAY else None, _no_eval)
+_register("filter",
+          lambda ts: ts[0] if len(ts) == 2
+          and ts[0].kind is T.TypeKind.ARRAY else None, _no_eval)
+for _n in ("any_match", "all_match", "none_match"):
+    _register(_n,
+              lambda ts: T.BOOLEAN if len(ts) == 2
+              and ts[0].kind is T.TypeKind.ARRAY else None, _no_eval)
+
+
+# ---- order/dedup array functions ------------------------------------------
+
+def _per_row_sorted_perm(arr: EvalValue, ctx, desc=False):
+    """Element permutation sorting each row's elements by value (stable;
+    elements stay within their row: row index is the leading sort key)."""
+    from velox_tpu.exec.sort import radix_sort_perm, value_words
+    child = arr.children[0]
+    ecap = child.capacity
+    row_c, in_row = _element_row_map(arr, ctx)
+    elem_t = arr.dtype.children[0]
+    ev = EvalValue(child.data, child.validity, elem_t, child.dictionary)
+    words = [jnp.where(in_row, row_c, jnp.int32(ctx.capacity))
+             .astype(jnp.uint32)]
+    bits = [max(1, int(ctx.capacity + 1).bit_length())]
+    null_w = None
+    if child.validity is not None:
+        null_w = (~child.validity).astype(jnp.uint32)
+    vw = value_words(ev, ecap)
+    if desc:
+        vw = [~w for w in vw]
+    if null_w is not None:
+        words.append(null_w)  # nulls last within row
+        bits.append(1)
+    words.extend(vw)
+    bits.extend([32] * len(vw))
+    return radix_sort_perm(words, bits, ecap), row_c, in_row
+
+
+def _array_sort_eval(ctx, out_dtype, args):
+    raise AssertionError("special form must intercept")
+
+
+@special_form("array_sort")
+def _array_sort(expr, ctx, cache):
+    arr = _eval_expr(expr.args[0], ctx, cache)
+    child = arr.children[0]
+    perm, row_c, in_row = _per_row_sorted_perm(arr, ctx)
+    from velox_tpu.vector.device import DeviceColumn as _DC
+    data = child.data[perm]
+    validity = child.validity[perm] if child.validity is not None else None
+    new_child = _DC(data, validity, arr.dtype.children[0],
+                    child.dictionary)
+    return EvalValue(arr.data, arr.validity, arr.dtype,
+                     children=(new_child,))
+
+
+@special_form("array_distinct")
+def _array_distinct(expr, ctx, cache):
+    """Distinct elements per row in FIRST-OCCURRENCE order (Presto
+    semantics): duplicates are detected in (row, value)-sorted space —
+    the stable sort makes the first occurrence the run head — and the
+    keep flags scatter back to original element order for compaction."""
+    arr = _eval_expr(expr.args[0], ctx, cache)
+    child = arr.children[0]
+    ecap = child.capacity
+    perm, row_c, in_row = _per_row_sorted_perm(arr, ctx)
+    data_s = child.data[perm]
+    row_all = jnp.where(in_row, row_c, jnp.int32(ctx.capacity))
+    row_s = row_all[perm]
+    valid_s = (child.validity[perm] if child.validity is not None
+               else jnp.ones((ecap,), bool))
+    prev_d = jnp.concatenate([data_s[:1], data_s[:-1]])
+    prev_r = jnp.concatenate([jnp.full((1,), -1, row_s.dtype), row_s[:-1]])
+    prev_v = jnp.concatenate([valid_s[:1], valid_s[:-1]])
+    first = (row_s != prev_r) | (data_s != prev_d) | (prev_v != valid_s)
+    first = first.at[0].set(True)
+    keep_sorted = first & (row_s < ctx.capacity)
+    # back to original element order, then prefix-compact (preserves
+    # first-occurrence order because elements stay row-contiguous)
+    keep = jnp.zeros((ecap,), bool).at[perm].set(keep_sorted)
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    tgt = jnp.where(keep, pos, jnp.int32(ecap))
+    new_data = jnp.zeros_like(child.data).at[tgt].set(child.data,
+                                                      mode="drop")
+    new_validity = None
+    if child.validity is not None:
+        new_validity = jnp.ones((ecap,), bool).at[tgt].set(
+            child.validity, mode="drop")
+    new_lens = jax.ops.segment_sum(
+        keep.astype(jnp.int32), row_all,
+        num_segments=ctx.capacity + 1)[:ctx.capacity]
+    from velox_tpu.vector.device import DeviceColumn as _DC
+    new_child = _DC(new_data, new_validity, arr.dtype.children[0],
+                    child.dictionary)
+    return EvalValue(new_lens, arr.validity, arr.dtype,
+                     children=(new_child,))
+
+
+_register("array_sort",
+          lambda ts: ts[0] if len(ts) == 1
+          and ts[0].kind is T.TypeKind.ARRAY else None, _array_sort_eval)
+_register("array_distinct",
+          lambda ts: ts[0] if len(ts) == 1
+          and ts[0].kind is T.TypeKind.ARRAY else None, _array_sort_eval)
+
+
+def _array_extreme(ctx, arr, combine):
+    child = arr.children[0]
+    ecap = child.capacity
+    row_c, in_row = _element_row_map(arr, ctx)
+    seg = jnp.where(in_row, row_c, jnp.int32(ctx.capacity))
+    has_null = jnp.zeros((ctx.capacity,), bool)
+    if child.validity is not None:
+        has_null = jax.ops.segment_max(
+            (in_row & ~child.validity).astype(jnp.int32), seg,
+            num_segments=ctx.capacity + 1)[:ctx.capacity] > 0
+        seg = jnp.where(in_row & child.validity, row_c,
+                        jnp.int32(ctx.capacity))
+    op = jax.ops.segment_min if combine == "min" else jax.ops.segment_max
+    red = op(child.data, seg, num_segments=ctx.capacity + 1)[:ctx.capacity]
+    n = jax.ops.segment_sum(jnp.ones_like(seg), seg,
+                            num_segments=ctx.capacity + 1)[:ctx.capacity]
+    # Presto: NULL element -> NULL result; empty array -> NULL
+    validity = (n > 0) & ~has_null
+    if arr.validity is not None:
+        validity = validity & arr.validity
+    elem_t = arr.dtype.children[0]
+    return EvalValue(red, validity, elem_t, child.dictionary)
+
+
+def _array_max_eval(ctx, out_dtype, args):
+    return _array_extreme(ctx, args[0], "max")
+
+
+def _array_min_eval(ctx, out_dtype, args):
+    return _array_extreme(ctx, args[0], "min")
+
+
+_register("array_max",
+          lambda ts: ts[0].children[0] if len(ts) == 1
+          and ts[0].kind is T.TypeKind.ARRAY else None, _array_max_eval)
+_register("array_min",
+          lambda ts: ts[0].children[0] if len(ts) == 1
+          and ts[0].kind is T.TypeKind.ARRAY else None, _array_min_eval)
+
+
+def _map_child_eval(which):
+    def eval_fn(ctx, out_dtype, args):
+        (m,) = args
+        child = m.children[which]
+        return EvalValue(m.data, m.validity, out_dtype,
+                         children=(child,))
+    return eval_fn
+
+
+_register("map_keys",
+          lambda ts: T.array(ts[0].children[0]) if len(ts) == 1
+          and ts[0].kind is T.TypeKind.MAP else None, _map_child_eval(0))
+_register("map_values",
+          lambda ts: T.array(ts[0].children[1]) if len(ts) == 1
+          and ts[0].kind is T.TypeKind.MAP else None, _map_child_eval(1))

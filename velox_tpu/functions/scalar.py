@@ -141,19 +141,54 @@ def fixed(out: T.DataType, *kinds_ok):
 # Arithmetic
 # ---------------------------------------------------------------------------
 
-def _binary_arith(op_name, op):
+def _both_valid(a, b, ctx):
+    v = merge_validity(a, b)
+    if v is None:
+        return jnp.ones((ctx.capacity,), bool)
+    return jnp.broadcast_to(v, (ctx.capacity,))
+
+
+def _flag(ctx, err, validity):
+    """Flag checked-op failures on non-null lanes; result lanes go NULL
+    (observable value semantics unchanged; the Task surfaces the count as
+    VeloxUserError, common/errors.py)."""
+    ctx.flag_error(err)
+    return ~err if validity is None else (validity & ~err)
+
+
+def _binary_arith(op_name, op, checked=None):
     def eval_fn(ctx, out_dtype, args):
         a, b = args
         da = _numeric_data(a, out_dtype, ctx)
         db = _numeric_data(b, out_dtype, ctx)
         data = op(da, db, out_dtype)
-        return EvalValue(data, merge_validity(a, b), out_dtype)
+        validity = merge_validity(a, b)
+        if checked is not None and out_dtype.is_integral:
+            # checked integer arithmetic (Presto semantics: velox
+            # prestosql Arithmetic.h checkedPlus/Minus/Multiply)
+            err = checked(da, db, data) & _both_valid(a, b, ctx)
+            validity = _flag(ctx, err, validity)
+        return EvalValue(data, validity, out_dtype)
     register(op_name, arith_resolver(op_name), eval_fn)
 
 
+def _ovf_plus(a, b, r):
+    return ((a > 0) & (b > 0) & (r < 0)) | ((a < 0) & (b < 0) & (r >= 0))
+
+
+def _ovf_minus(a, b, r):
+    return ((a >= 0) & (b < 0) & (r < 0)) | ((a < 0) & (b > 0) & (r >= 0))
+
+
+def _ovf_mul(a, b, r):
+    i64min = jnp.iinfo(jnp.int64).min
+    bad = (b != 0) & (r // jnp.where(b == 0, 1, b) != a)
+    return bad | ((a == i64min) & (b == -1))
+
+
 def _register_arith():
-    _binary_arith("plus", lambda a, b, o: a + b)
-    _binary_arith("minus", lambda a, b, o: a - b)
+    _binary_arith("plus", lambda a, b, o: a + b, checked=_ovf_plus)
+    _binary_arith("minus", lambda a, b, o: a - b, checked=_ovf_minus)
 
     def mul_eval(ctx, out_dtype, args):
         a, b = args
@@ -169,7 +204,12 @@ def _register_arith():
             return EvalValue(data, merge_validity(a, b), out_dtype)
         da = _numeric_data(a, out_dtype, ctx)
         db = _numeric_data(b, out_dtype, ctx)
-        return EvalValue(da * db, merge_validity(a, b), out_dtype)
+        data = da * db
+        validity = merge_validity(a, b)
+        if out_dtype.is_integral:
+            err = _ovf_mul(da, db, data) & _both_valid(a, b, ctx)
+            validity = _flag(ctx, err, validity)
+        return EvalValue(data, validity, out_dtype)
     register("multiply", arith_resolver("multiply"), mul_eval)
 
     def div_eval(ctx, out_dtype, args):
@@ -177,12 +217,14 @@ def _register_arith():
         da = _numeric_data(a, out_dtype, ctx)
         db = _numeric_data(b, out_dtype, ctx)
         if out_dtype.is_integral:
-            # SQL integer division truncates toward zero.
-            q = jnp.sign(da) * jnp.sign(db) * (jnp.abs(da) // jnp.abs(db))
+            # SQL integer division truncates toward zero; /0 is a checked
+            # error (Presto DIVISION_BY_ZERO), NULL until surfaced.
+            db_safe = jnp.where(db == 0, jnp.ones_like(db), db)
+            q = jnp.sign(da) * jnp.sign(db_safe) \
+                * (jnp.abs(da) // jnp.abs(db_safe))
             data = q.astype(out_dtype.np_dtype())
-            validity = merge_validity(a, b)
-            zero = db == 0
-            validity = (~zero if validity is None else validity & ~zero)
+            err = (db == 0) & _both_valid(a, b, ctx)
+            validity = _flag(ctx, err, merge_validity(a, b))
             return EvalValue(data, validity, out_dtype)
         return EvalValue(da / db, merge_validity(a, b), out_dtype)
     register("divide", arith_resolver("divide"), div_eval)
@@ -191,11 +233,11 @@ def _register_arith():
         a, b = args
         da = _numeric_data(a, out_dtype, ctx)
         db = _numeric_data(b, out_dtype, ctx)
-        # SQL mod: sign follows dividend.
-        data = jnp.sign(da) * (jnp.abs(da) % jnp.abs(db))
-        validity = merge_validity(a, b)
-        zero = db == 0
-        validity = (~zero if validity is None else validity & ~zero)
+        # SQL mod: sign follows dividend; %0 is a checked error.
+        db_safe = jnp.where(db == 0, jnp.ones_like(db), db)
+        data = jnp.sign(da) * (jnp.abs(da) % jnp.abs(db_safe))
+        err = (db == 0) & _both_valid(a, b, ctx)
+        validity = _flag(ctx, err, merge_validity(a, b))
         return EvalValue(data.astype(out_dtype.np_dtype()), validity,
                          out_dtype)
     register("mod", arith_resolver("mod"), mod_eval)

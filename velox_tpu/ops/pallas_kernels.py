@@ -44,25 +44,39 @@ SUB_ROWS = 1 << 20  # per-call VMEM budget (digits+ranks = 8 B/row)
 
 def _radix_rank_kernel(n_tiles: int, dig_ref, rank_ref, tot_ref):
     import jax.lax as lax
+    from jax.experimental.pallas import tpu as pltpu
 
     iota_tr = lax.broadcasted_iota(jnp.int32, (TILE, RADIX), 1)
-    r512 = lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
-    c512 = lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
-    tri_incl = (c512 <= r512).astype(jnp.float32)  # inclusive prefix
+    rows = lax.broadcasted_iota(jnp.int32, (TILE, RADIX), 0)
 
     def onehot_at(t):
         d = dig_ref[t, :]
         return (d[:, None] == iota_tr).astype(jnp.float32)
 
+    def prefix_incl(x):
+        """Inclusive prefix sum along the TILE axis via log2(TILE)
+        shift-adds (pallas has no cumsum lowering; this replaces the
+        earlier (TILE,TILE)@(TILE,RADIX) triangular MXU matmul — ~50x
+        fewer ops per tile and VPU-only)."""
+        r = x
+        k = 1
+        while k < TILE:
+            # shift must be i32: x64 would promote the Python int to i64,
+            # which tpu.dynamic_rotate rejects
+            shifted = jnp.where(rows >= k,
+                                pltpu.roll(r, jnp.int32(k), 0), 0.0)
+            r = r + shifted
+            k *= 2
+        return r
+
     # per-tile rank within (digit, this call); running per-digit offsets
     def r_body(t, running):
         onehot = onehot_at(t)
-        ranks = jnp.dot(tri_incl, onehot,
-                        preferred_element_type=jnp.float32)
+        ranks = prefix_incl(onehot)
         row_rank = jnp.sum(onehot * ranks, axis=1) - 1.0
         row_base = jnp.sum(onehot * running[None, :], axis=1)
         rank_ref[t, :] = (row_base + row_rank).astype(jnp.int32)
-        return running + jnp.sum(onehot, axis=0)
+        return running + ranks[TILE - 1, :]
 
     totals = jax.lax.fori_loop(0, n_tiles, r_body,
                                jnp.zeros((RADIX,), jnp.float32))

@@ -26,7 +26,7 @@ _TOKEN_RE = re.compile(r"""
              |\d+[eE][+-]?\d+|\d+)
     | (?P<str>'(?:[^']|'')*')
     | (?P<name>[A-Za-z_][A-Za-z0-9_.$]*)
-    | (?P<op><>|!=|<=|>=|\|\||::|[-+*/%(),=<>\[\]])
+    | (?P<op><>|!=|<=|>=|\|\||::|->|[-+*/%(),=<>\[\]])
     )""", re.X)
 
 _KEYWORDS = {
@@ -77,6 +77,7 @@ class Parser:
         self.toks = tokens
         self.i = 0
         self.row_type = row_type
+        self.scopes: List[dict] = []  # lambda parameter type bindings
 
     def peek(self) -> Token:
         return self.toks[self.i]
@@ -324,16 +325,70 @@ class Parser:
             out = ex.Call(dtype, "if", (c, v, out))
         return out
 
+    _LAMBDA_FNS = ("transform", "filter", "any_match", "all_match",
+                   "none_match", "map_filter", "transform_values",
+                   "transform_keys")
+
     def _parse_call(self, name: str):
+        lname = name.lower()
         args = []
         if not self.accept("op", ")"):
             args.append(self.parse_expr())
             while self.accept("op", ","):
-                args.append(self.parse_expr())
+                if lname in self._LAMBDA_FNS:
+                    args.append(self._parse_arg_or_lambda(args[0].dtype))
+                else:
+                    args.append(self.parse_expr())
             self.expect("op", ")")
-        return ex.call(name.lower(), *args)
+        return ex.call(lname, *args)
+
+    def _parse_arg_or_lambda(self, coll_type: T.DataType):
+        """Parse `x -> body` / `(k, v) -> body` with parameter types
+        bound from the collection argument, else a normal expression."""
+        params = None
+        if self.peek().kind == "name" \
+                and self.toks[self.i + 1].kind == "op" \
+                and self.toks[self.i + 1].value == "->":
+            params = [self.next().value]
+            self.next()  # ->
+        elif self.peek().kind == "op" and self.peek().value == "(":
+            # lookahead for "(name[, name...]) ->"
+            j = self.i + 1
+            names = []
+            while self.toks[j].kind == "name":
+                names.append(self.toks[j].value)
+                j += 1
+                if self.toks[j].kind == "op" and self.toks[j].value == ",":
+                    j += 1
+                    continue
+                break
+            if names and self.toks[j].kind == "op" \
+                    and self.toks[j].value == ")" \
+                    and self.toks[j + 1].kind == "op" \
+                    and self.toks[j + 1].value == "->":
+                params = names
+                self.i = j + 2
+        if params is None:
+            return self.parse_expr()
+        if coll_type.kind is T.TypeKind.ARRAY:
+            ptypes = [coll_type.children[0]]
+        elif coll_type.kind is T.TypeKind.MAP:
+            ptypes = list(coll_type.children)[:len(params)]
+        else:
+            raise ValueError(
+                f"lambda over non-collection type {coll_type}")
+        if len(params) != len(ptypes):
+            raise ValueError(
+                f"lambda arity {len(params)} != expected {len(ptypes)}")
+        self.scopes.append(dict(zip(params, ptypes)))
+        body = self.parse_expr()
+        self.scopes.pop()
+        return ex.Lambda(body.dtype, params=tuple(params), body=body)
 
     def _field(self, name: str) -> ex.FieldAccess:
+        for scope in reversed(self.scopes):
+            if name in scope:
+                return ex.field(name, scope[name])
         if self.row_type is None:
             raise ValueError(
                 f"cannot resolve column {name!r}: no input row type")

@@ -132,23 +132,36 @@ class DeviceColumn:
 
 @jax.tree_util.register_pytree_node_class
 class DeviceBatch:
-    """A batch of rows on device: named columns + an active-row mask."""
+    """A batch of rows on device: named columns + an active-row mask.
 
-    def __init__(self, columns: Dict[str, DeviceColumn], mask):
+    ``errors`` (optional) is a traced SCALAR count of checked-operation
+    failures produced while computing this batch (common/errors.py): the
+    Task strips and accumulates it per batch and raises VeloxUserError
+    after one host fetch at query end.
+    """
+
+    def __init__(self, columns: Dict[str, DeviceColumn], mask,
+                 errors=None):
         self.columns = columns
         self.mask = mask
+        self.errors = errors
 
     def tree_flatten(self):
         names = tuple(self.columns)  # preserve column order
-        return (
-            tuple(self.columns[n] for n in names) + (self.mask,),
-            names,
-        )
+        leaves = tuple(self.columns[n] for n in names) + (self.mask,)
+        if self.errors is not None:
+            leaves = leaves + (self.errors,)
+        return leaves, (names, self.errors is not None)
 
     @classmethod
-    def tree_unflatten(cls, names, children):
-        *cols, mask = children
-        return cls(dict(zip(names, cols)), mask)
+    def tree_unflatten(cls, aux, children):
+        names, has_errors = aux
+        if has_errors:
+            *cols, mask, errors = children
+        else:
+            *cols, mask = children
+            errors = None
+        return cls(dict(zip(names, cols)), mask, errors)
 
     @property
     def capacity(self) -> int:
