@@ -25,6 +25,9 @@ class QueryConfig:
     # side; parity: host engines' broadcast join threshold over
     # PartitionedOutput, exec/PartitionedOutput.h:149)
     JOIN_BROADCAST_THRESHOLD = "join_broadcast_threshold_bytes"
+    # hot-destination factor for exchange skew detection (a destination
+    # with > factor * (rows/n) rows triggers key splitting)
+    SKEW_FACTOR = "exchange_skew_factor"
     # velox kQueryTraceEnabled / kQueryTraceDir (QueryConfig.h)
     TRACE_ENABLED = "query_trace_enabled"
     TRACE_DIR = "query_trace_dir"
@@ -38,6 +41,7 @@ class QueryConfig:
         AGG_COMPACT_THRESHOLD: 8,
         AGG_HOST_OFFLOAD: False,
         JOIN_BROADCAST_THRESHOLD: 128 << 20,
+        SKEW_FACTOR: 4,
         TRACE_ENABLED: False,
         TRACE_DIR: "",
         TRACE_NODE_IDS: "",

@@ -36,6 +36,7 @@ from velox_tpu.exec.batch_utils import concat_batches
 from velox_tpu.exec.join import HashBuildStage, HashJoinOperator
 from velox_tpu.exec.operator import FilterProjectOperator
 from velox_tpu.exec.orderby import TopNOperator, sort_batch
+from velox_tpu.expression.eval import value_from_column
 from velox_tpu.parallel import exchange as X
 from velox_tpu.parallel.mesh import DATA_AXIS, make_mesh
 from velox_tpu.vector.device import DeviceBatch, DeviceColumn
@@ -308,26 +309,113 @@ class DistributedTask:
         return X.window_for(int(jax.device_get(fn(stacked))))
 
     def _reshard(self, stacked: DeviceBatch, key_names,
-                 window: int) -> DeviceBatch:
+                 window: int, spread_hot=None) -> DeviceBatch:
         """all_to_all repartition by key hash with a static window
         (programs cached per (keys, window) — windows are pow2-quantized
-        so the compile count stays bounded)."""
+        so the compile count stays bounded). ``spread_hot`` (bool[n])
+        round-robins rows of hot destinations (skew key-splitting)."""
         n = self.n
         if not hasattr(self, "_fn_cache"):
             self._fn_cache = {}
-        key = ("rs", tuple(key_names), window)
+        key = ("rs", tuple(key_names), window, spread_hot is not None)
         fn = self._fn_cache.get(key)
         if fn is None:
-            def repart(local):
-                local = _squeeze0(local)
-                out = X.repartition_all_to_all(local, list(key_names), n,
-                                               DATA_AXIS, window)
-                return _expand0(out)
-            fn = jax.jit(jax.shard_map(
-                repart, mesh=self.mesh, in_specs=P(DATA_AXIS),
-                out_specs=P(DATA_AXIS), check_vma=False))
+            if spread_hot is None:
+                def repart(local):
+                    local = _squeeze0(local)
+                    out = X.repartition_all_to_all(
+                        local, list(key_names), n, DATA_AXIS, window)
+                    return _expand0(out)
+                fn = jax.jit(jax.shard_map(
+                    repart, mesh=self.mesh, in_specs=P(DATA_AXIS),
+                    out_specs=P(DATA_AXIS), check_vma=False))
+            else:
+                def repart_s(local, h):
+                    local = _squeeze0(local)
+                    out = X.repartition_all_to_all(
+                        local, list(key_names), n, DATA_AXIS, window,
+                        spread_hot=h)
+                    return _expand0(out)
+                fn = jax.jit(jax.shard_map(
+                    repart_s, mesh=self.mesh,
+                    in_specs=(P(DATA_AXIS), P()),
+                    out_specs=P(DATA_AXIS), check_vma=False))
             self._fn_cache[key] = fn
-        return fn(stacked)
+        return fn(stacked) if spread_hot is None else fn(stacked,
+                                                         spread_hot)
+
+    def _global_histogram(self, stacked: DeviceBatch, key_names):
+        """np.int array[n]: GLOBAL rows per destination (one small fetch)."""
+        n = self.n
+        if not hasattr(self, "_fn_cache"):
+            self._fn_cache = {}
+        key = ("gh", tuple(key_names))
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            def hist(local):
+                return X.partition_histogram(_squeeze0(local),
+                                             list(key_names), n, DATA_AXIS)
+            fn = jax.jit(jax.shard_map(
+                hist, mesh=self.mesh, in_specs=P(DATA_AXIS),
+                out_specs=P(), check_vma=False))
+            self._fn_cache[key] = fn
+        return np.asarray(jax.device_get(fn(stacked)))
+
+    def _count_window_spread(self, stacked: DeviceBatch, key_names,
+                             hot) -> int:
+        n = self.n
+        if not hasattr(self, "_fn_cache"):
+            self._fn_cache = {}
+        key = ("cws", tuple(key_names))
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            def cmax(local, h):
+                m = X.partition_max_count_spread(
+                    _squeeze0(local), list(key_names), n, DATA_AXIS, h)
+                return jax.lax.pmax(m, DATA_AXIS)
+            fn = jax.jit(jax.shard_map(
+                cmax, mesh=self.mesh, in_specs=(P(DATA_AXIS), P()),
+                out_specs=P(), check_vma=False))
+            self._fn_cache[key] = fn
+        return X.window_for(int(jax.device_get(fn(stacked, hot))))
+
+    def _augment_build_with_hot(self, node, stacked_build, resharded_b,
+                                hot):
+        """Key-splitting build side: drop hot-range rows from each local
+        partition and append the all_gathered union of every device's
+        hot-range rows, then rebuild per-device tables. Paired with
+        spread probes so every spread probe row finds its build rows
+        locally (no double counting: the local copies are removed)."""
+        from velox_tpu.exec import join as J
+        n = self.n
+        rnames = [k.name for k in node.right_keys]
+        hist = self._global_histogram(stacked_build, rnames)
+        hot_np = np.asarray(jax.device_get(hot))
+        total_hot = int(hist[hot_np].sum()) if hot_np.any() else 0
+        wh = X.window_for(max(1, total_hot), floor=128)
+
+        def aug(local_part, local_orig, h):
+            lp = _squeeze0(local_part)
+            lo = _squeeze0(local_orig)
+            keys = [value_from_column(lp.columns[k]) for k in rnames]
+            dest = X.partition_ids(keys, lp.capacity, n)
+            keep = lp.mask & ~h[jnp.clip(dest, 0, n - 1)]
+            lp2 = lp.with_mask(keep)
+            g = X.gather_hot_rows(lo, rnames, n, DATA_AXIS, h, wh)
+            merged = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), lp2, g)
+            return _expand0(merged)
+
+        fn = jax.jit(jax.shard_map(
+            aug, mesh=self.mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+            out_specs=P(DATA_AXIS), check_vma=False))
+        merged = fn(resharded_b, stacked_build, hot)
+        bt = jax.jit(jax.vmap(
+            lambda b: J.build_table(b, tuple(node.right_keys))))(merged)
+        has_null = bool(jax.device_get(jnp.any(bt.has_null_key)))
+        return bt._replace(has_null_key=jnp.broadcast_to(
+            jnp.asarray(has_null), bt.has_null_key.shape))
 
     # -- join ---------------------------------------------------------------------
 
@@ -392,9 +480,39 @@ class DistributedTask:
         count_fn = jax.jit(jax.vmap(probe._probe_counts))
         emit_fn = jax.jit(jax.vmap(probe._emit_chunk,
                                    in_axes=(0, 0, 0, 0, 0, None)))
+        # skew handling (SURVEY §7.2 step 7): hot hash ranges detected
+        # from the first probe wave's global histogram; their probe rows
+        # spread round-robin and their build rows replicate everywhere.
+        # Right-phase joins are excluded (replicated build rows would
+        # need cross-device matched merges).
+        skew_ok = not track
+        from velox_tpu.core.config import QueryConfig as QC
+        skew_factor = self.ctx.query_config.get_int(
+            QC.SKEW_FACTOR, 4)
+        hot = None          # device bool[n] when skew detected
+        bt_aug = bt         # build table, augmented once on detection
         for stacked in self._run_node(node.left):
-            pwin = self._count_window(stacked, lnames)
-            sp = self._reshard(stacked, lnames, pwin)
+            if skew_ok and hot is None:
+                hist = self._global_histogram(stacked, lnames)
+                mean = max(1, int(hist.sum()) // n)
+                hot_np = hist > skew_factor * mean
+                if hot_np.any():
+                    from velox_tpu.common import metrics as M
+                    M.record_counter(M.K_SKEW_SPLITS)
+                    hot = jnp.asarray(hot_np)
+                    bt_aug = self._augment_build_with_hot(
+                        node, stacked_build, resharded_b, hot)
+                else:
+                    skew_ok = False  # decided once, on the first wave
+            if hot is not None:
+                pwin = self._count_window_spread(stacked, lnames, hot)
+                sp = self._reshard(stacked, lnames, pwin, spread_hot=hot)
+                bt_use = bt_aug
+            else:
+                pwin = self._count_window(stacked, lnames)
+                sp = self._reshard(stacked, lnames, pwin)
+                bt_use = bt
+            bt = bt_use
             if not needs_expand:
                 out, nm = fast_fn(sp, bt)
                 if track and nm is not None:

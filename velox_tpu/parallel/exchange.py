@@ -57,9 +57,83 @@ def window_for(max_count: int, floor: int = 1024) -> int:
     return max(floor, 1 << (max(1, int(max_count)) - 1).bit_length())
 
 
+def partition_histogram(batch: DeviceBatch, key_names: List[str], n: int,
+                        axis_name: str):
+    """Inside shard_map: GLOBAL per-destination row counts (psum over the
+    mesh). The skew-detection signal (SURVEY §7.2 step 7): a destination
+    holding far more than total/n rows marks its hash range as hot."""
+    cap = batch.capacity
+    keys = [value_from_column(batch.columns[k]) for k in key_names]
+    dest = partition_ids(keys, cap, n)
+    dest = jnp.where(batch.mask, dest, jnp.int32(n))
+    counts = jax.ops.segment_sum(
+        jnp.ones((cap,), jnp.int32), dest, num_segments=n + 1)[:n]
+    return jax.lax.psum(counts, axis_name)
+
+
+def _spread_dest(dest, active, hot, n: int, axis_name: str):
+    """Re-route rows whose destination is hot: round-robin across all
+    devices (offset by the sender's index so senders interleave). The
+    key-splitting half of skew handling — the matching build rows are
+    REPLICATED to every device (gather_hot_rows)."""
+    cap = dest.shape[0]
+    dev = jax.lax.axis_index(axis_name).astype(jnp.int32)
+    rr = (jnp.arange(cap, dtype=jnp.int32) + dev) % n
+    is_hot = active & (dest < n) & hot[jnp.clip(dest, 0, n - 1)]
+    return jnp.where(is_hot, rr, dest)
+
+
+def partition_max_count_spread(batch: DeviceBatch, key_names: List[str],
+                               n: int, axis_name: str, hot):
+    """Count phase matching the skew-aware exchange's final routing."""
+    cap = batch.capacity
+    keys = [value_from_column(batch.columns[k]) for k in key_names]
+    dest = partition_ids(keys, cap, n)
+    dest = jnp.where(batch.mask, dest, jnp.int32(n))
+    dest = _spread_dest(dest, batch.mask, hot, n, axis_name)
+    counts = jax.ops.segment_sum(
+        jnp.ones((cap,), jnp.int32), dest, num_segments=n + 1)[:n]
+    return jnp.max(counts)
+
+
+def gather_hot_rows(batch: DeviceBatch, key_names: List[str], n: int,
+                    axis_name: str, hot, window: int) -> DeviceBatch:
+    """Inside shard_map: all_gather every device's rows whose destination
+    is hot -> a replicated (n*window) batch (the build-side replication
+    half of key splitting)."""
+    cap = batch.capacity
+    keys = [value_from_column(batch.columns[k]) for k in key_names]
+    dest = partition_ids(keys, cap, n)
+    is_hot = batch.mask & hot[jnp.clip(dest, 0, n - 1)]
+    idx = jnp.cumsum(is_hot.astype(jnp.int32)) - 1
+    tgt = jnp.where(is_hot & (idx < window), idx, jnp.int32(window))
+
+    def compact(a, fill=0):
+        out = jnp.zeros((window + 1,) + a.shape[1:], a.dtype)
+        return out.at[tgt].set(a, mode="drop")[:window]
+
+    n_local = jnp.sum(is_hot.astype(jnp.int32))
+    local_mask = jnp.arange(window, dtype=jnp.int32) < n_local
+
+    def gather(a):
+        g = jax.lax.all_gather(a, axis_name, axis=0, tiled=False)
+        return g.reshape((n * window,) + a.shape[2:]) if a.ndim > 1 \
+            else g.reshape((n * window,))
+
+    cols = {}
+    for name, col in batch.columns.items():
+        data = gather(compact(col.data))
+        validity = gather(compact(col.validity)) \
+            if col.validity is not None else None
+        cols[name] = DeviceColumn(data, validity, col.dtype,
+                                  col.dictionary)
+    return DeviceBatch(cols, gather(local_mask))
+
+
 def repartition_all_to_all(batch: DeviceBatch, key_names: List[str],
                            n: int, axis_name: str,
-                           window: int = None) -> DeviceBatch:
+                           window: int = None,
+                           spread_hot=None) -> DeviceBatch:
     """Inside shard_map: exchange rows so each row lands on device
     hash(key) % n. Returns the local received batch (capacity n * window).
 
@@ -77,6 +151,8 @@ def repartition_all_to_all(batch: DeviceBatch, key_names: List[str],
     keys = [value_from_column(batch.columns[k]) for k in key_names]
     dest = partition_ids(keys, cap, n)
     dest = jnp.where(batch.mask, dest, jnp.int32(n))  # inactive -> dropped
+    if spread_hot is not None:
+        dest = _spread_dest(dest, batch.mask, spread_hot, n, axis_name)
 
     # stable partition by destination (4-bit digits cover n <= 16 twice)
     bits = max(1, int(np.ceil(np.log2(max(2, n + 1)))))
