@@ -14,8 +14,13 @@ TPU-first departures:
   state. The reference's dbgen is a sequential LCG; we keep its schema, key
   relationships (sparse order keys, custkey%3 skip, per-order line counts,
   price formula from partkey) and value distributions but not its bit-exact
-  streams. Correctness of the *engine* is validated against an in-process
-  pandas oracle over identical generated data (see tests/).
+  streams. Correctness of the *engine* is validated two independent ways:
+  (a) SQLite (a third-party SQL engine) over this generator's data
+  (tests/test_oracle.py) and (b) bit-exact TPC-H results over REAL dbgen
+  output produced by the reference's vendored dbgen library
+  (tests/test_dbgen_golden.py + tests/data/dbgen_sf001/README.md) loaded
+  through the Hive/parquet connector — the same dbgen streams
+  BASELINE.json names.
 * Prices/quantities/discounts are DECIMAL(12,2) columns stored as scaled
   int64 (cents) — the TPC-H spec type. (The reference's TpchGen emits DOUBLE,
   but TPU f64 is emulated as an f32 pair: ~48-bit precision, no exact
