@@ -187,3 +187,36 @@ def test_unsaferow_golden_bytes():
     assert row[24:28] == struct.pack("<f", 1.5)       # float32 low word
     assert row[28:32] == b"\0" * 4
     assert row[32:34] == b"hi"
+
+
+def test_join_build_and_sort_offload():
+    """Spill analogue for join builds and sort buffers: tiny budgets force
+    host-RAM offload; results stay correct (velox Spiller parity)."""
+    from velox_tpu.common import metrics as M
+    from velox_tpu.core.config import QueryConfig as QC
+    from velox_tpu.exec.task import QueryCtx, Task
+    from velox_tpu.testing.plan_builder import PlanBuilder
+    rng = np.random.RandomState(3)
+    probe = pd.DataFrame({"pk": rng.randint(0, 50, 400).astype("int64"),
+                          "pv": np.arange(400, dtype="int64")})
+    build = pd.DataFrame({"bk": np.arange(50, dtype="int64"),
+                          "bv": np.arange(50, dtype="int64") * 3})
+    b = PlanBuilder()
+    bb = b.new_builder().values([pa.table(build.iloc[:25]),
+                                 pa.table(build.iloc[25:])])
+    plan = (b.values([pa.table(probe)])
+            .hash_join(["pk"], ["bk"], bb, output=["pk", "pv", "bv"])
+            .order_by(["pk", "pv"]).plan())
+    ctx = QueryCtx({QC.JOIN_BUILD_OFFLOAD_BYTES: 1,
+                    QC.SORT_OFFLOAD_BYTES: 1})
+    before = M.reporter().snapshot()["counters"]
+    got = Task(plan, ctx).run().to_pandas()
+    after = M.reporter().snapshot()["counters"]
+    assert after.get(M.K_JOIN_BUILD_OFFLOADS, 0) > \
+        before.get(M.K_JOIN_BUILD_OFFLOADS, 0)
+    assert after.get(M.K_SORT_OFFLOADS, 0) > \
+        before.get(M.K_SORT_OFFLOADS, 0)
+    exp = probe.merge(build, left_on="pk", right_on="bk") \
+        .sort_values(["pk", "pv"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got.bv.to_numpy(), exp.bv.to_numpy())

@@ -25,6 +25,10 @@ class QueryConfig:
     # side; parity: host engines' broadcast join threshold over
     # PartitionedOutput, exec/PartitionedOutput.h:149)
     JOIN_BROADCAST_THRESHOLD = "join_broadcast_threshold_bytes"
+    # HBM byte budgets before join-build / sort buffers spill to host
+    # RAM (velox Spiller kHashJoinBuild/kOrderBy analogues)
+    JOIN_BUILD_OFFLOAD_BYTES = "join_build_offload_bytes"
+    SORT_OFFLOAD_BYTES = "orderby_offload_bytes"
     # hot-destination factor for exchange skew detection (a destination
     # with > factor * (rows/n) rows triggers key splitting)
     SKEW_FACTOR = "exchange_skew_factor"
@@ -42,6 +46,8 @@ class QueryConfig:
         AGG_HOST_OFFLOAD: False,
         JOIN_BROADCAST_THRESHOLD: 128 << 20,
         SKEW_FACTOR: 4,
+        JOIN_BUILD_OFFLOAD_BYTES: 4 << 30,
+        SORT_OFFLOAD_BYTES: 4 << 30,
         TRACE_ENABLED: False,
         TRACE_DIR: "",
         TRACE_NODE_IDS: "",

@@ -142,21 +142,28 @@ def build_table(b: DeviceBatch, key_fields):
 
 class HashBuildStage:
     """Consumes build-side batches and produces a SortedBuild (or the
-    BuiltTable fallback for key tuples wider than one packed u64)."""
+    BuiltTable fallback for key tuples wider than one packed u64).
 
-    def __init__(self, key_fields):
+    ``offload_bytes`` bounds HBM held by buffered build batches: beyond
+    it, batches spill to host RAM and return for the build (parity:
+    velox Spiller kHashJoinBuild, exec/Spiller.h:29)."""
+
+    def __init__(self, key_fields, offload_bytes=None):
+        from velox_tpu.common import metrics as M
+        from velox_tpu.exec.memory import OffloadBuffer
         self._key_fields = list(key_fields)
-        self._batches: List[DeviceBatch] = []
+        self._buf = OffloadBuffer(offload_bytes,
+                                  metric_key=M.K_JOIN_BUILD_OFFLOADS)
 
     def add_input(self, batch: DeviceBatch):
-        self._batches.append(batch)
+        self._buf.add(batch)
 
     def finish(self):
-        merged = concat_batches(self._batches) if self._batches else None
+        batches = self._buf.restore_all()
+        merged = concat_batches(batches) if batches else None
         if merged is None:
             raise RuntimeError("empty build side requires at least one "
                                "(possibly empty) batch")
-        self._batches = []
         return jax.jit(
             lambda b: build_table(b, tuple(self._key_fields)))(merged)
 

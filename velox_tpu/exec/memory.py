@@ -86,3 +86,38 @@ class MemoryPool:
     def stats(self) -> Dict:
         return {"name": self.name, "used": self.used, "peak": self.peak,
                 "cap": self.cap_bytes}
+
+
+class OffloadBuffer:
+    """Byte-budgeted batch buffer: batches stay in HBM until the budget is
+    exceeded, then spill to host RAM (HostBatch) — the spill framework
+    analogue for join builds and sort buffers (velox/exec/Spiller.h:29-92
+    kHashJoinBuild / kOrderBy spiller types)."""
+
+    def __init__(self, budget_bytes: Optional[int], metric_key=None):
+        self.budget = budget_bytes
+        self.used = 0
+        self._device: List[DeviceBatch] = []
+        self._host: List[HostBatch] = []
+        self._metric_key = metric_key
+
+    def add(self, batch: DeviceBatch) -> None:
+        n = batch_nbytes(batch)
+        if self.budget is not None and self.used + n > self.budget:
+            if self._metric_key is not None:
+                from velox_tpu.common import metrics as M
+                M.record_counter(self._metric_key)
+            self._host.append(HostBatch(batch))
+            return
+        self.used += n
+        self._device.append(batch)
+
+    def __len__(self):
+        return len(self._device) + len(self._host)
+
+    def restore_all(self) -> List[DeviceBatch]:
+        """All buffered batches back on device (spill merge phase)."""
+        out = list(self._device) + [h.restore() for h in self._host]
+        self._device, self._host = [], []
+        self.used = 0
+        return out

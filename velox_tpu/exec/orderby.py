@@ -48,24 +48,29 @@ def _key_ranges(node, keys):
 class OrderByOperator(Operator):
     """Full sort: buffer all input, sort once at the end."""
 
-    def __init__(self, node: P.OrderByNode):
+    def __init__(self, node: P.OrderByNode, offload_bytes=None):
         super().__init__(node)
+        from velox_tpu.common import metrics as M
+        from velox_tpu.exec.memory import OffloadBuffer
         self._keys = list(node.keys)
         self._orders = list(node.orders)
-        self._buffer: List[DeviceBatch] = []
+        # buffered input spills to host RAM past the budget (parity:
+        # velox Spiller kOrderBy, exec/Spiller.h:29)
+        self._buffer = OffloadBuffer(offload_bytes,
+                                     metric_key=M.K_SORT_OFFLOADS)
         self._out: Optional[DeviceBatch] = None
         rngs = _key_ranges(node, self._keys)
         self._sort_fn = jax.jit(
             lambda b: sort_batch(b, self._keys, self._orders, rngs))
 
     def add_input(self, batch):
-        self._buffer.append(batch)
+        self._buffer.add(batch)
 
     def no_more_input(self):
         super().no_more_input()
-        if self._buffer:
-            self._out = self._sort_fn(concat_batches(self._buffer))
-            self._buffer = []
+        if len(self._buffer):
+            self._out = self._sort_fn(
+                concat_batches(self._buffer.restore_all()))
 
     def get_output(self):
         out, self._out = self._out, None

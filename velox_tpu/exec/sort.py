@@ -173,10 +173,82 @@ def sort_words(
     return words, bits
 
 
+def _scatter_sort_perm(words: List, bits: List[int], capacity: int):
+    """Stable radix sort with ONE scatter per pass and ZERO N-gathers.
+
+    All key bits plus the row id pack into a single uint64 per row
+    (row id in the high bits, key bits low, least-significant-first
+    consumption): each pass extracts the low 8 digits WITHOUT gathering
+    (the state array is already in pass order), computes destinations via
+    the no-gather position kernel, and scatters ``state >> 8`` — consumed
+    bits fall away and after the last pass the state IS the permutation.
+    Motivation: XLA:TPU gathers cost ~7 ms/M elements (measured), so the
+    classic gather-digits-by-perm formulation was gather-bound.
+    """
+    from velox_tpu.ops import pallas_kernels as PK
+
+    total = int(sum(bits))
+    packed = jnp.zeros((capacity,), jnp.uint64)
+    for w, b in zip(words, bits):  # words[0] most significant
+        packed = (packed << np.uint64(b)) | w.astype(jnp.uint64)
+    state = (jnp.arange(capacity, dtype=jnp.uint64)
+             << np.uint64(total)) | packed
+    use_pk = PK.should_use(capacity)
+    # split u32 state (remaining key bits, row id): u64 shifts/scatters
+    # are emulated on TPU and measured ~3x slower than two u32 arrays
+    key_lo = (packed & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    key_hi = (packed >> np.uint64(32)).astype(jnp.uint32)
+    perm = jnp.arange(capacity, dtype=jnp.int32)
+    rem = total
+    for shift in range(0, total, 8):
+        width = min(8, rem)
+        digits = (key_lo & np.uint32((1 << width) - 1)).astype(jnp.int32)
+        if use_pk:
+            try:
+                pos = PK.radix_pass_positions_nogather(digits, capacity)
+            except Exception:
+                PK.disable()
+                use_pk = False
+                pos = _xla_pass_positions(digits, capacity)
+        else:
+            pos = _xla_pass_positions(digits, capacity)
+        rem -= width
+        # shift consumed bits out (borrowing from the high word) and
+        # scatter the surviving state — one scatter per live array
+        new_lo = (key_lo >> np.uint32(width)) \
+            | (key_hi << np.uint32(32 - width))
+        perm = jnp.zeros((capacity,), jnp.int32).at[pos].set(perm)
+        if rem > 0:
+            key_lo = jnp.zeros((capacity,), jnp.uint32).at[pos].set(new_lo)
+            if rem > 32:
+                key_hi = jnp.zeros((capacity,), jnp.uint32).at[pos].set(
+                    key_hi >> np.uint32(width))
+            else:
+                key_hi = jnp.zeros((capacity,), jnp.uint32)
+    return perm
+
+
+def _xla_pass_positions(d, capacity: int):
+    """One 8-bit counting pass, pure XLA (CPU mesh / fallback)."""
+    iota = jnp.arange(capacity, dtype=jnp.int32)
+    buckets = jnp.arange(256, dtype=jnp.int32)
+    oh = (d[None, :] == buckets[:, None])
+    ranks = jnp.cumsum(oh.astype(jnp.int32), axis=1)
+    counts = ranks[:, -1]
+    base = jnp.cumsum(counts) - counts
+    return base[d] + ranks[d, iota] - 1
+
+
 def radix_sort_perm(words: List, bits: List[int], capacity: int,
                     bits_per_pass: int = 8):
     """Stable permutation sorting rows by unsigned words (lexicographic,
-    words[0] most significant). Pure cumsum/gather/scatter."""
+    words[0] most significant). Scatter-only when the key fits a u64
+    alongside the row id; the general fallback keeps the classic
+    gather-digits-by-perm loop."""
+    total = int(sum(bits))
+    pbits = max(1, capacity - 1).bit_length()
+    if total + pbits <= 64 and total > 0:
+        return _scatter_sort_perm(words, bits, capacity)
     n = capacity
     iota = jnp.arange(n, dtype=jnp.int32)
     perm = iota

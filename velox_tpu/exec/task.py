@@ -239,7 +239,10 @@ class Task:
             pre = None if chain.is_identity else chain_fn(chain)
             yield from self._drive(chain.source, mk_agg(pre))
         elif isinstance(node, P.OrderByNode):
-            yield from self._drive(node.source, OrderByOperator(node))
+            from velox_tpu.core.config import QueryConfig as QC
+            yield from self._drive(node.source, OrderByOperator(
+                node, offload_bytes=self.ctx.query_config.get_int(
+                    QC.SORT_OFFLOAD_BYTES, 4 << 30)))
         elif isinstance(node, P.TopNNode):
             yield from self._drive(node.source, TopNOperator(node))
         elif isinstance(node, P.LimitNode):
@@ -364,7 +367,11 @@ class Task:
 
     def _run_join(self, node: P.HashJoinNode) -> Iterator[DeviceBatch]:
         # Build side: nested pipeline run to completion (JoinBridge parity).
-        build = HashBuildStage(node.right_keys)
+        from velox_tpu.core.config import QueryConfig as QC
+        build = HashBuildStage(
+            node.right_keys,
+            offload_bytes=self.ctx.query_config.get_int(
+                QC.JOIN_BUILD_OFFLOAD_BYTES, 4 << 30))
         for batch in self._run_node(node.right):
             build.add_input(batch)
         table = build.finish()

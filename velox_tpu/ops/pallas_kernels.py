@@ -6,12 +6,10 @@ which backs radix sort, radix partition (exchange bucketize), and the
 sorted-join build.
 
 The XLA fallback in exec/sort.py materializes a (radix, N) one-hot + cumsum
-in HBM per pass; this kernel keeps everything in VMEM, looping over row
-tiles inside ONE program:
-
-  phase 1: per-tile one-hot -> digit totals (accumulated in the loop carry)
-  phase 2: per-tile rank via a lower-triangular MXU matmul + running
-           per-digit tile offsets carried across the loop
+in HBM per pass; this kernel keeps everything in VMEM, looping over
+BLOCK-row blocks inside ONE program: each block builds its (BLOCK, RADIX)
+one-hot and computes an inclusive prefix with log2(BLOCK) roll-adds,
+carrying per-digit running totals across blocks.
 
 The kernel emits within-CALL ranks plus per-digit totals; batches larger
 than one call's VMEM budget are split into sub-calls and recombined with
@@ -37,68 +35,181 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TILE = 512
+TILE = 512          # kept for backward-compat in tests
+BLOCK = 4096        # rows per in-kernel prefix block ((BLOCK, RADIX) f32
+                    # one-hot = 4 MB VMEM; log2(BLOCK) roll-adds per block)
 RADIX = 256
-SUB_ROWS = 1 << 20  # per-call VMEM budget (digits+ranks = 8 B/row)
+SUB_ROWS = 1 << 19  # per-call VMEM budget (digits+ranks + 2x block bufs)
 
 
-def _radix_rank_kernel(n_tiles: int, dig_ref, rank_ref, tot_ref):
+def _radix_rank_kernel(n_blocks: int, dig_ref, rank_ref, tot_ref):
     import jax.lax as lax
     from jax.experimental.pallas import tpu as pltpu
 
-    iota_tr = lax.broadcasted_iota(jnp.int32, (TILE, RADIX), 1)
-    rows = lax.broadcasted_iota(jnp.int32, (TILE, RADIX), 0)
-
-    def onehot_at(t):
-        d = dig_ref[t, :]
-        return (d[:, None] == iota_tr).astype(jnp.float32)
+    iota_d = lax.broadcasted_iota(jnp.int32, (BLOCK, RADIX), 1)
+    rows = lax.broadcasted_iota(jnp.int32, (BLOCK, RADIX), 0)
 
     def prefix_incl(x):
-        """Inclusive prefix sum along the TILE axis via log2(TILE)
-        shift-adds (pallas has no cumsum lowering; this replaces the
-        earlier (TILE,TILE)@(TILE,RADIX) triangular MXU matmul — ~50x
-        fewer ops per tile and VPU-only)."""
+        """Inclusive prefix sum along the BLOCK axis via log2(BLOCK)
+        shift-adds over the whole (BLOCK, RADIX) one-hot at once —
+        every roll-add touches BLOCK*RADIX lanes, so the VPU stays busy
+        (the earlier per-512-row-tile serial loop ran ~400x below
+        roofline; pallas has no cumsum lowering)."""
         r = x
         k = 1
-        while k < TILE:
-            # shift must be i32: x64 would promote the Python int to i64,
-            # which tpu.dynamic_rotate rejects
+        while k < BLOCK:
+            # shift must be i32: x64 promotes Python ints to i64, which
+            # tpu.dynamic_rotate rejects
             shifted = jnp.where(rows >= k,
                                 pltpu.roll(r, jnp.int32(k), 0), 0.0)
             r = r + shifted
             k *= 2
         return r
 
-    # per-tile rank within (digit, this call); running per-digit offsets
+    # per-block rank within (digit, this call); running per-digit offsets
+    # carried across blocks
     def r_body(t, running):
-        onehot = onehot_at(t)
+        d = dig_ref[t, :]
+        onehot = (d[:, None] == iota_d).astype(jnp.float32)
         ranks = prefix_incl(onehot)
         row_rank = jnp.sum(onehot * ranks, axis=1) - 1.0
         row_base = jnp.sum(onehot * running[None, :], axis=1)
         rank_ref[t, :] = (row_base + row_rank).astype(jnp.int32)
-        return running + ranks[TILE - 1, :]
+        return running + ranks[BLOCK - 1, :]
 
-    totals = jax.lax.fori_loop(0, n_tiles, r_body,
+    totals = jax.lax.fori_loop(0, n_blocks, r_body,
+                               jnp.zeros((RADIX,), jnp.float32))
+    tot_ref[0, :] = totals.astype(jnp.int32)
+
+
+def _radix_hist_kernel(n_blocks: int, dig_ref, tot_ref):
+    import jax.lax as lax
+
+    iota_d = lax.broadcasted_iota(jnp.int32, (BLOCK, RADIX), 1)
+
+    def body(t, acc):
+        d = dig_ref[t, :]
+        onehot = (d[:, None] == iota_d).astype(jnp.float32)
+        return acc + jnp.sum(onehot, axis=0)
+
+    totals = jax.lax.fori_loop(0, n_blocks, body,
                                jnp.zeros((RADIX,), jnp.float32))
     tot_ref[0, :] = totals.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
-def _radix_rank_call(digits: jnp.ndarray, n_tiles: int,
+def _radix_hist_call(digits: jnp.ndarray, n_blocks: int,
                      interpret: bool = False):
-    """(ranks, totals) for one sub-call. digits: (n_tiles*TILE,) int32 in
-    [0, RADIX). ranks[i] = #earlier rows in THIS call with the same digit;
-    totals[d] = digit count in this call."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    dig2 = digits.reshape(n_tiles, TILE)
+    tot = pl.pallas_call(
+        functools.partial(_radix_hist_kernel, n_blocks),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, RADIX), jnp.int32),
+        interpret=interpret,
+    )(digits.reshape(n_blocks, BLOCK))
+    return tot[0]
+
+
+def _radix_pos_kernel(n_blocks: int, base_ref, dig_ref, pos_ref):
+    """Like the rank kernel but the per-digit BASE comes in as an input
+    and is applied in-kernel (via the one-hot the kernel already holds),
+    so the caller does ZERO N-sized XLA gathers — XLA:TPU gathers run at
+    ~7 ms per million elements (measured), which made base[digit] lookups
+    the dominant cost of a radix pass."""
+    import jax.lax as lax
+    from jax.experimental.pallas import tpu as pltpu
+
+    iota_d = lax.broadcasted_iota(jnp.int32, (BLOCK, RADIX), 1)
+    rows = lax.broadcasted_iota(jnp.int32, (BLOCK, RADIX), 0)
+
+    def prefix_incl(x):
+        r = x
+        k = 1
+        while k < BLOCK:
+            shifted = jnp.where(rows >= k,
+                                pltpu.roll(r, jnp.int32(k), 0), 0.0)
+            r = r + shifted
+            k *= 2
+        return r
+
+    def r_body(t, running):
+        d = dig_ref[t, :]
+        onehot = (d[:, None] == iota_d).astype(jnp.float32)
+        ranks = prefix_incl(onehot)
+        row_rank = jnp.sum(onehot * ranks, axis=1) - 1.0
+        row_base = jnp.sum(onehot * running[None, :], axis=1)
+        pos_ref[t, :] = (row_base + row_rank).astype(jnp.int32)
+        return running + ranks[BLOCK - 1, :]
+
+    jax.lax.fori_loop(0, n_blocks, r_body,
+                      base_ref[0, :].astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _radix_pos_call(digits: jnp.ndarray, base_vec: jnp.ndarray,
+                    n_blocks: int, interpret: bool = False):
+    """Final positions for this sub-call: base_vec[d] + rank-in-sub."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    pos = pl.pallas_call(
+        functools.partial(_radix_pos_kernel, n_blocks),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, BLOCK), jnp.int32),
+        interpret=interpret,
+    )(base_vec.reshape(1, RADIX).astype(jnp.int32),
+      digits.reshape(n_blocks, BLOCK))
+    return pos.reshape(-1)
+
+
+def radix_pass_positions_nogather(digits: jnp.ndarray, capacity: int,
+                                  interpret: bool = False):
+    """Counting-sort destinations with NO N-sized XLA gathers: per-sub
+    histograms -> tiny (S, RADIX) bases in XLA -> position kernel applies
+    base + rank via its in-kernel one-hot."""
+    digits = digits.astype(jnp.int32)
+    sub = min(SUB_ROWS, -(-capacity // BLOCK) * BLOCK)
+    n_subs = -(-capacity // sub)
+    padded = n_subs * sub
+    if padded != capacity:
+        digits = jnp.concatenate([
+            digits, jnp.full((padded - capacity,), RADIX - 1, jnp.int32)])
+    hists = [
+        _radix_hist_call(digits[s * sub:(s + 1) * sub], sub // BLOCK,
+                         interpret)
+        for s in range(n_subs)]
+    tot = jnp.stack(hists)
+    col = jnp.sum(tot, axis=0)
+    gbase = jnp.cumsum(col) - col
+    sub_off = jnp.cumsum(tot, axis=0) - tot
+    pos = [
+        _radix_pos_call(digits[s * sub:(s + 1) * sub],
+                        gbase + sub_off[s], sub // BLOCK, interpret)
+        for s in range(n_subs)]
+    return jnp.concatenate(pos)[:capacity]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _radix_rank_call(digits: jnp.ndarray, n_blocks: int,
+                     interpret: bool = False):
+    """(ranks, totals) for one sub-call. digits: (n_blocks*BLOCK,) int32
+    in [0, RADIX). ranks[i] = #earlier rows in THIS call with the same
+    digit; totals[d] = digit count in this call."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dig2 = digits.reshape(n_blocks, BLOCK)
     rank, tot = pl.pallas_call(
-        functools.partial(_radix_rank_kernel, n_tiles),
+        functools.partial(_radix_rank_kernel, n_blocks),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((n_tiles, TILE), jnp.int32),
+        out_shape=(jax.ShapeDtypeStruct((n_blocks, BLOCK), jnp.int32),
                    jax.ShapeDtypeStruct((1, RADIX), jnp.int32)),
         interpret=interpret,
     )(dig2)
@@ -130,7 +241,7 @@ def radix_pass_positions(digits: jnp.ndarray, capacity: int,
     real-row positions are always < capacity.
     """
     digits = digits.astype(jnp.int32)
-    sub = min(SUB_ROWS, -(-capacity // TILE) * TILE)
+    sub = min(SUB_ROWS, -(-capacity // BLOCK) * BLOCK)
     n_subs = -(-capacity // sub)
     padded = n_subs * sub
     if padded != capacity:
@@ -139,7 +250,7 @@ def radix_pass_positions(digits: jnp.ndarray, capacity: int,
     ranks, totals = [], []
     for s in range(n_subs):
         r, t = _radix_rank_call(digits[s * sub:(s + 1) * sub],
-                                sub // TILE, interpret)
+                                sub // BLOCK, interpret)
         ranks.append(r)
         totals.append(t)
     tot = jnp.stack(totals)                      # (S, RADIX) int32
