@@ -301,3 +301,44 @@ def test_agg_jit_cache_pre_chain_key():
     got = Task(plan).run().to_pandas().sort_values("k")
     np.testing.assert_array_equal(got.k, [2])
     np.testing.assert_array_equal(got.s, [70])
+
+
+def test_regex_json_url_functions():
+    """Dictionary-space regex/JSON/URL transforms (Re2Functions /
+    JsonFunctions / URLFunctions parity)."""
+    df = pd.DataFrame({
+        "s": ["foo123bar", "nope", "a99b", "foo123bar"],
+        "j": ['{"a": {"b": [1, 2, 3]}}', '{"a": 1}', 'not json',
+              '[10, 20]'],
+        "u": ["https://example.com:8080/p/q?x=1&y=2#frag",
+              "http://h/pp", "nota url", "https://example.com/"],
+    })
+    got = run_exprs(df, [
+        "regexp_like(s, '[0-9]+') as rl",
+        "regexp_extract(s, '([0-9]+)', 1) as rx",
+        "regexp_replace(s, '[0-9]+', '#') as rr",
+        "json_extract_scalar(j, '$.a.b[1]') as je",
+        "json_array_length(j) as jl",
+        "url_extract_host(u) as uh",
+        "url_extract_port(u) as up",
+        "url_extract_parameter(u, 'y') as uy",
+        "strpos(s, '123') as sp",
+        "starts_with(s, 'foo') as sw",
+        "split_part(s, '1', 1) as spp",
+    ])
+    def nn(col):
+        return [None if (isinstance(x, float) and x != x) or x is None
+                else x for x in col]
+    assert list(got.rl) == [True, False, True, True]
+    assert nn(got.rx) == ["123", None, "99", "123"]
+    assert list(got.rr) == ["foo#bar", "nope", "a#b", "foo#bar"]
+    assert nn(got.je) == ["2", None, None, None]
+    assert list(got.jl.astype("object").where(got.jl.notna(), None)) == \
+        [None, None, None, 2]
+    assert nn(got.uh) == ["example.com", "h", None, "example.com"]
+    assert list(got.up.astype("object").where(got.up.notna(), None)) == \
+        [8080, None, None, None]
+    assert nn(got.uy) == ["2", None, None, None]
+    assert list(got.sp) == [4, 0, 0, 4]
+    assert list(got.sw) == [True, False, False, True]
+    assert nn(got.spp) == ["foo", "nope", "a99b", "foo"]

@@ -220,7 +220,11 @@ def _eval_constant(expr: ex.Constant) -> EvalValue:
                 .to_integral_value(rounding=pydec.ROUND_HALF_UP))
     if dt.kind is T.TypeKind.DATE and isinstance(v, str):
         v = _parse_date_days(v)
-    return EvalValue(jnp.asarray(v, dtype=dt.np_dtype()), None, dt)
+    # keep the static python value alongside the device scalar: trace-time
+    # consumers (dictionary-space string transforms, substr bounds) need
+    # concrete constants even under jit
+    return EvalValue(jnp.asarray(v, dtype=dt.np_dtype()), None, dt,
+                     py_value=v)
 
 
 def _parse_date_days(s: str) -> int:

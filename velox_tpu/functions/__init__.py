@@ -4,3 +4,4 @@ from velox_tpu.functions import datetime  # noqa: F401
 from velox_tpu.functions import misc  # noqa: F401
 from velox_tpu.functions import complex  # noqa: F401
 from velox_tpu.functions import sparksql  # noqa: F401
+from velox_tpu.functions import strings_ext  # noqa: F401

@@ -522,11 +522,10 @@ register("reverse", _str_resolver(T.VARCHAR),
 
 def _substr_eval(ctx, out_dtype, args):
     v = args[0]
-    start = int(args[1].py_value if args[1].data is None else args[1].data)
+    start = int(args[1].py_value)
     length = None
     if len(args) > 2:
-        length = int(args[2].py_value if args[2].data is None
-                     else args[2].data)
+        length = int(args[2].py_value)
 
     def f(s):
         # SQL substr: 1-based start; negative counts from end.
