@@ -861,9 +861,17 @@ class TpchConnector(Connector):
 
     def default_splits(self, table: str, ctx=None) -> List[TpchSplit]:
         n = self.num_index_rows(table)
+        rps = self.rows_per_split
+        if ctx is not None:
+            # scan.splits_per_table: consumers that want parallelism over
+            # splits (DistributedTask waves) ask for more; the serial Task
+            # profits from FEW large batches — per-op dispatch overheads
+            # through the device tunnel dominate small batches
+            want = ctx.get("scan.splits_per_table")
+            if want:
+                rps = max(1, -(-n // int(want)))
         # lineitem splits are order ranges producing ~4x rows
-        step = self.rows_per_split // 5 if table == "lineitem" \
-            else self.rows_per_split
+        step = rps // 5 if table == "lineitem" else rps
         step = max(1, step)
         return [TpchSplit(self.connector_id, table, lo, min(lo + step, n))
                 for lo in range(0, n, step)]
@@ -876,8 +884,12 @@ def register_tpch(scale_factor: float = 0.01, connector_id: str = "tpch",
     dispatches at large SF; each dispatch costs ms over the device
     tunnel), clamped so one lineitem batch stays well under HBM."""
     if rows_per_split is None:
+        # ~2 lineitem splits per table (rows_per_split counts LINE rows;
+        # lineitem has ~4 lines/order): serial Tasks pay a fixed
+        # per-operation dispatch/launch cost, so few big batches win;
+        # clamped so one batch stays well under HBM
         orders = int(ORDERS_PER_SF * scale_factor)
-        rows_per_split = min(max(65536, orders // 8), 4 << 20)
+        rows_per_split = min(max(65536, orders * 2), 8 << 20)
     conn = TpchConnector(connector_id, scale_factor, rows_per_split)
     register_connector(conn)
     return conn

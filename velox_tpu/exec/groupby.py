@@ -38,6 +38,16 @@ _SEGMENT_OPS = {
 }
 
 
+def _dtype_max(dt):
+    return jnp.inf if jnp.issubdtype(dt, jnp.floating) else \
+        jnp.iinfo(dt).max
+
+
+def _dtype_min(dt):
+    return -jnp.inf if jnp.issubdtype(dt, jnp.floating) else \
+        jnp.iinfo(dt).min
+
+
 def array_mode_domain(keys: List[EvalValue]) -> Optional[int]:
     """Total combined domain if all keys are small-domain, else None.
     Parity: kArrayHashMaxSize cutoff (velox/exec/HashTable.h:119)."""
@@ -92,7 +102,20 @@ def reduce_array_mode(
     occupied = jax.ops.segment_max(
         active.astype(jnp.int32), ids, num_segments=domain + 1)[:domain] > 0
     out_states = []
+    small = domain <= 64
     for data, combine in addends:
+        if small and data.ndim == 1:
+            # tiny domains (Q1-style dict keys): one masked DENSE
+            # reduction per group id — int64 scatter-adds (segment ops)
+            # measured ~20x slower than dense reduces on TPU
+            op = {"sum": jnp.sum, "min": jnp.min, "max": jnp.max}[combine]
+            ident = {"sum": jnp.zeros((), data.dtype),
+                     "min": jnp.asarray(_dtype_max(data.dtype)),
+                     "max": jnp.asarray(_dtype_min(data.dtype))}[combine]
+            per = [op(jnp.where(ids == d, data, ident.astype(data.dtype)))
+                   for d in range(domain)]
+            out_states.append(jnp.stack(per))
+            continue
         red = _SEGMENT_OPS[combine](data, ids, num_segments=domain + 1)
         out_states.append(red[:domain])
     # reconstruct key values per group from the mixed-radix id
@@ -183,22 +206,25 @@ def reduce_sort_mode(
     groups come out in key-sorted order and states land dense directly
     (no compaction scatter).
     """
+    from velox_tpu.ops.wide import (
+        scatter_unique_set, segmented_reduce_sorted,
+    )
     perm, gid, boundary, active_sorted, num_groups = sorted_group_info(
         keys, active, capacity, ranges)
-    seg = jnp.where(active_sorted, gid, jnp.int32(capacity))
     out_states = []
     for data, combine in addends:
-        red = _SEGMENT_OPS[combine](data[perm], seg,
-                                    num_segments=capacity + 1)
-        out_states.append(red[:capacity])
+        # sorted-run reduction: dense cumulative ops + ONE end-of-run
+        # scatter — int64 scatter-adds (segment_sum) measured ~20x slower
+        # than this on TPU (ops/wide.py)
+        out_states.append(segmented_reduce_sorted(
+            data[perm], gid, boundary, active_sorted, capacity, combine))
     group_mask = jnp.arange(capacity, dtype=jnp.int32) < num_groups
     # group keys = key values at each group's first sorted row
     target = jnp.where(boundary & active_sorted, gid, jnp.int32(capacity))
     out_keys = []
     for v in keys:
         ks = v.full_data(capacity)[perm]
-        gd = jnp.zeros((capacity,) + ks.shape[1:], ks.dtype) \
-            .at[target].set(ks, mode="drop")
+        gd = scatter_unique_set(capacity + 1, target, ks)[:capacity]
         if v.validity is not None:
             vs = v.full_validity(capacity)[perm]
             validity = jnp.zeros((capacity,), bool) \

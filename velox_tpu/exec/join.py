@@ -213,6 +213,16 @@ class HashJoinOperator(Operator):
     def set_built_table(self, bt):
         jt = self._node.join_type
         self._bt = bt
+        # static key ranges (union of both sides' plan-level stats) narrow
+        # the merge-rank sort words (core/stats.py)
+        from velox_tpu.core.stats import resolve_column_stats
+        rngs = []
+        for lk, rk in zip(self._node.left_keys, self._node.right_keys):
+            a = resolve_column_stats(self._node.left, lk.name)
+            b = resolve_column_stats(self._node.right, rk.name)
+            rngs.append((min(a[0], b[0]), max(a[1], b[1]))
+                        if a is not None and b is not None else None)
+        self._join_key_ranges = tuple(rngs)
         self._unique_build = not bool(jax.device_get(bt.has_dup_keys))
         if jt in _NEEDS_RIGHT_PHASE:
             self._matched = jnp.zeros((bt.batch.capacity,), bool)
@@ -228,18 +238,19 @@ class HashJoinOperator(Operator):
         ``loc`` locates row matches: for SortedBuild it is the sorted-run
         start lo (match m of row r is build row perm[lo[r] + m]); for the
         hash fallback it is the slot. ``counts`` is matches per probe row.
+
+        SortedBuild probes use a MERGE-RANK: one radix sort of the
+        concatenated (build, probe) keys with a build-first tie-break,
+        then dense cumulative counts give each probe row its [lo, hi)
+        run of equal build keys — no binary search (``searchsorted``
+        measured ~0.5 s per million u64 probes on this chip: log2(N)
+        serial gathers).
         """
         keys = _key_values(batch, self._node.left_keys)
         probe_ok = _usable(batch, keys)
         cap = batch.capacity
         if isinstance(bt, SortedBuild):
-            pk = pack_key_u64(keys, cap)
-            lo = jnp.searchsorted(bt.sorted_key, pk, side="left") \
-                .astype(jnp.int32)
-            hi = jnp.searchsorted(bt.sorted_key, pk, side="right") \
-                .astype(jnp.int32)
-            hi = jnp.minimum(hi, bt.n_usable)
-            counts = jnp.maximum(hi - lo, 0)
+            lo, counts = self._merge_rank(batch, bt, keys, probe_ok)
             hit = probe_ok & (counts > 0)
             counts = jnp.where(hit, counts, 0)
             return probe_ok, jnp.clip(lo, 0, bt.perm.shape[0] - 1), \
@@ -249,6 +260,61 @@ class HashJoinOperator(Operator):
         hit = probe_ok & found
         counts = jnp.where(hit, bt.slot_count[slots], 0)
         return probe_ok, slots, counts, hit
+
+    def _merge_rank(self, batch: DeviceBatch, bt, pkeys, probe_ok):
+        """(lo, counts) per probe row: positions into the SORTED build
+        (bt.perm space)."""
+        from velox_tpu.exec.sort import radix_sort_perm, sort_words
+        from velox_tpu.ops.wide import scatter_unique_set
+        cap = batch.capacity
+        bcap = bt.batch.capacity
+        m = bcap + cap
+        bkeys = _key_values(bt.batch, self._node.right_keys)
+        busable = _usable(bt.batch, bkeys)
+        both_ok = jnp.concatenate([busable, probe_ok])
+        merged_keys = []
+        for bv, pv in zip(bkeys, pkeys):
+            want = bv.dtype.np_dtype()
+            bd = bv.full_data(bcap).astype(want)
+            pd_ = pv.full_data(cap).astype(want)
+            data = jnp.concatenate([bd, pd_])
+            validity = None
+            if bv.validity is not None or pv.validity is not None:
+                validity = jnp.concatenate(
+                    [bv.full_validity(bcap), pv.full_validity(cap)])
+            merged_keys.append(EvalValue(data, validity, bv.dtype,
+                                         bv.dictionary))
+        # source flag as a trailing 1-bit key: builds (False) sort before
+        # probes (True) within equal keys
+        src = jnp.concatenate([jnp.zeros((bcap,), bool),
+                               jnp.ones((cap,), bool)])
+        merged_keys.append(EvalValue(src, None, T.BOOLEAN))
+        ranges = getattr(self, "_join_key_ranges", None)
+        rng = (tuple(ranges) + (None,)) if ranges is not None else None
+        words, bits = sort_words(merged_keys, None, m, both_ok,
+                                 ranges=rng)
+        perm = radix_sort_perm(words, bits, m)
+        is_build = (perm < bcap) & both_ok[perm]
+        nb_before = jnp.cumsum(is_build.astype(jnp.int32)) - \
+            is_build.astype(jnp.int32)
+        # key-run starts: compare ONE packed key word gathered by perm
+        # (the 1-bit src word must not split runs)
+        kw = pack_key_u64(merged_keys[:-1], m)
+        kw_s = kw[perm]
+        prev = jnp.concatenate([kw_s[:1], kw_s[:-1]])
+        run_start = (kw_s != prev).at[0].set(True)
+        # builds before the run start == builds with key < run key
+        base = jnp.where(run_start, nb_before, jnp.int32(0))
+        base = jax.lax.associative_scan(jnp.maximum, base)
+        lo_m = base
+        hi_m = nb_before
+        # scatter probe rows' (lo, count) back to probe-row order
+        probe_pos = jnp.where((perm >= bcap) & both_ok[perm],
+                              perm - bcap, jnp.int32(cap))
+        lo = scatter_unique_set(cap + 1, probe_pos, lo_m)[:cap]
+        counts = scatter_unique_set(cap + 1, probe_pos,
+                                    hi_m - lo_m)[:cap]
+        return lo, counts
 
     def _build_row_at(self, bt, loc, within):
         """Build row id of match ``within`` at locator ``loc``."""

@@ -1,0 +1,80 @@
+"""Wide-dtype scatter/reduction workarounds for XLA:TPU lowering costs.
+
+Measured on this chip (4M elements):
+  int32 scatter-set   ~6 ms/M      int64 scatter-set   ~114 ms/M
+  int32 scatter-add  ~10 ms/M      int64 scatter-add   ~112 ms/M
+  int64 gather        ~15 ms/M     int64 dense cumsum  ~0.3 ms/M
+
+64-bit scatters are ~20x slower than 32-bit, while dense 64-bit ops are
+nearly free — so:
+
+* ``scatter_unique_set`` splits an int64/uint64 scatter into hi/lo int32
+  scatters (CORRECT ONLY for unique indices: duplicate indices could tear
+  hi from lo when the two scatters pick different winners);
+* segmented reductions over SORTED runs (group-by states) use dense
+  cumulative ops + ONE end-of-run scatter instead of segment_sum's
+  scatter-add (exec/groupby.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _is_wide_int(dtype) -> bool:
+    return dtype in (jnp.int64, jnp.uint64) or \
+        np.dtype(dtype) in (np.dtype(np.int64), np.dtype(np.uint64))
+
+
+def scatter_unique_set(out_len: int, idx, values, mode: str = "drop"):
+    """zeros(out_len).at[idx].set(values) — fast path for 64-bit integer
+    values via two int32 scatters. REQUIRES unique (or dropped) indices:
+    duplicates may tear the hi/lo halves."""
+    dt = values.dtype
+    if values.ndim == 1 and _is_wide_int(dt):
+        u = values.astype(jnp.uint64)
+        lo = jax.lax.bitcast_convert_type(
+            (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), jnp.int32)
+        hi = (u >> jnp.uint64(32)).astype(jnp.uint32)
+        hi = jax.lax.bitcast_convert_type(hi, jnp.int32)
+        slo = jnp.zeros((out_len,), jnp.int32).at[idx].set(lo, mode=mode)
+        shi = jnp.zeros((out_len,), jnp.int32).at[idx].set(hi, mode=mode)
+        out = (jax.lax.bitcast_convert_type(shi, jnp.uint32)
+               .astype(jnp.uint64) << jnp.uint64(32)) \
+            | jax.lax.bitcast_convert_type(slo, jnp.uint32) \
+            .astype(jnp.uint64)
+        return out.astype(dt)
+    return jnp.zeros((out_len,) + values.shape[1:], dt).at[idx].set(
+        values, mode=mode)
+
+
+def segmented_reduce_sorted(data, gid, boundary, active_sorted,
+                            capacity: int, combine: str):
+    """Per-group reduction over rows SORTED by group (exec/groupby.py):
+    groups are runs, gid is non-decreasing, inactive rows trail (already
+    carrying the combine identity). Returns group values as a dense
+    prefix of length `capacity`.
+
+    sum: dense cumsum + end-of-run scatter + adjacent difference.
+    min/max: segmented associative scan + end-of-run scatter.
+    """
+    is_end = jnp.concatenate([boundary[1:], jnp.ones((1,), bool)])
+    idx_end = jnp.where(is_end & active_sorted, gid, jnp.int32(capacity))
+    if combine == "sum":
+        cs = jnp.cumsum(data, axis=0)
+        ends = scatter_unique_set(capacity + 1, idx_end, cs)[:capacity]
+        prev = jnp.concatenate([jnp.zeros_like(ends[:1]), ends[:-1]])
+        return ends - prev
+    op = jnp.minimum if combine == "min" else jnp.maximum
+
+    def comb(a, b):
+        va, ba = a
+        vb, bb = b
+        cond = bb if vb.ndim == va.ndim == 1 else bb[:, None]
+        v = jnp.where(cond, vb, op(va, vb))
+        return (v, ba | bb)
+
+    scanned, _ = jax.lax.associative_scan(comb, (data, boundary))
+    return scatter_unique_set(capacity + 1, idx_end, scanned)[:capacity]

@@ -153,6 +153,8 @@ class DistributedTask:
     def _run_scan(self, node: Pn.TableScanNode) -> Iterator[DeviceBatch]:
         from velox_tpu.connectors.connector import get_connector
         conn = get_connector(node.connector_id)
+        # a full wave of splits per scan (one per device)
+        self.ctx.config.setdefault("scan.splits_per_table", self.n)
         source = conn.create_data_source(node.table, node.columns, self.ctx)
         splits = self.ctx.get(f"splits.{node.id}") \
             or conn.default_splits(node.table, self.ctx)
