@@ -181,3 +181,39 @@ def test_lambda_error_propagates():
         Task(plan).run()
     out = run_project(t, ["try(transform(arr, x -> 10 / x)) as r"])
     assert out.num_rows == 2
+
+
+# ---- ROW (struct) columns -------------------------------------------------
+
+def test_row_round_trip_and_field_access():
+    t = pa.table({
+        "r": pa.array([{"a": 1, "b": "x"}, None, {"a": 3, "b": "y"},
+                       {"a": None, "b": "z"}],
+                      pa.struct([("a", pa.int64()), ("b", pa.string())])),
+        "i": pa.array([10, 20, 30, 40], pa.int64()),
+    })
+    back = to_arrow(from_arrow(t))
+    assert back.column("r").to_pylist() == t.column("r").to_pylist()
+    out = run_project(t, ["r.a + i as s", "r.b as b", "r as whole"])
+    assert out.column("s").to_pylist() == [11, None, 33, None]
+    assert out.column("b").to_pylist() == ["x", None, "y", "z"]
+    assert out.column("whole").to_pylist() == t.column("r").to_pylist()
+
+
+def test_row_survives_sort_and_limit():
+    t = pa.table({
+        "k": pa.array([3, 1, 2], pa.int64()),
+        "r": pa.array([{"a": 30}, {"a": 10}, {"a": 20}],
+                      pa.struct([("a", pa.int64())])),
+    })
+    plan = (PlanBuilder().values([t]).order_by(["k"]).plan())
+    out = Task(plan).run()
+    assert out.column("r").to_pylist() == [{"a": 10}, {"a": 20}, {"a": 30}]
+
+
+def test_nested_row_in_row():
+    inner = pa.struct([("x", pa.int64())])
+    t = pa.table({"r": pa.array([{"n": {"x": 5}}, {"n": {"x": 7}}],
+                                pa.struct([("n", inner)]))})
+    out = run_project(t, ["r.n.x as v"])
+    assert out.column("v").to_pylist() == [5, 7]

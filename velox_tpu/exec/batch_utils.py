@@ -60,24 +60,35 @@ def compact(batch: DeviceBatch) -> DeviceBatch:
     return DeviceBatch(cols, mask)
 
 
+def map_column_rows(col: DeviceColumn, f) -> DeviceColumn:
+    """Apply a row-axis transform to a column, recursing into ROW
+    children (which are row-aligned; ARRAY/MAP children live in element
+    space and are left untouched)."""
+    from velox_tpu import types as T
+    data = f(col.data)
+    validity = f(col.validity) if col.validity is not None else None
+    children = col.children
+    if col.dtype.kind is T.TypeKind.ROW:
+        children = tuple(map_column_rows(c, f) for c in col.children)
+    return DeviceColumn(data, validity, col.dtype, col.dictionary,
+                        children)
+
+
 def take(batch: DeviceBatch, indices, valid_rows) -> DeviceBatch:
     """Gather rows by index; `valid_rows` becomes the new mask."""
-    cols = {}
-    for name, col in batch.columns.items():
-        data = col.data[indices]
-        validity = col.validity[indices] if col.validity is not None else None
-        cols[name] = DeviceColumn(data, validity, col.dtype, col.dictionary)
+    cols = {
+        name: map_column_rows(col, lambda a: a[indices])
+        for name, col in batch.columns.items()
+    }
     return DeviceBatch(cols, valid_rows)
 
 
 def slice_batch(batch: DeviceBatch, start: int, length: int) -> DeviceBatch:
     """Static slice of a batch's rows (used to re-chunk large batches)."""
-    cols = {}
-    for name, col in batch.columns.items():
-        data = jax.lax.dynamic_slice_in_dim(col.data, start, length)
-        validity = (jax.lax.dynamic_slice_in_dim(col.validity, start, length)
-                    if col.validity is not None else None)
-        cols[name] = DeviceColumn(data, validity, col.dtype, col.dictionary)
+    def f(a):
+        return jax.lax.dynamic_slice_in_dim(a, start, length)
+    cols = {name: map_column_rows(col, f)
+            for name, col in batch.columns.items()}
     mask = jax.lax.dynamic_slice_in_dim(batch.mask, start, length)
     return DeviceBatch(cols, mask)
 
@@ -97,12 +108,8 @@ def compact_batch(batch: DeviceBatch, out_cap: int) -> DeviceBatch:
         out = jnp.zeros((out_cap + 1,) + a.shape[1:], a.dtype)
         return out.at[tgt].set(a, mode="drop")[:out_cap]
 
-    cols = {}
-    for n, c in batch.columns.items():
-        data = scatter(c.data)
-        validity = scatter(c.validity) if c.validity is not None else None
-        cols[n] = DeviceColumn(data, validity, c.dtype, c.dictionary,
-                               c.children)
+    cols = {n: map_column_rows(c, scatter)
+            for n, c in batch.columns.items()}
     n_active = jnp.sum(m)
     mask = jnp.arange(out_cap, dtype=jnp.int32) < n_active
     return DeviceBatch(cols, mask)

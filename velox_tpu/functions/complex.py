@@ -460,3 +460,30 @@ _register("map_keys",
 _register("map_values",
           lambda ts: T.array(ts[0].children[1]) if len(ts) == 1
           and ts[0].kind is T.TypeKind.MAP else None, _map_child_eval(1))
+
+
+# ---------------------------------------------------------------------------
+# ROW (struct) field access. Parity: velox FieldReference on ROW inputs
+# (expression/FieldReference.h) / Presto row.field dereference.
+# ---------------------------------------------------------------------------
+
+def _get_field_eval(ctx, out_dtype, args):
+    row, fname = args[0], args[1]
+    name = fname.py_value
+    i = list(row.dtype.names).index(name)
+    child = row.children[i]
+    validity = child.validity
+    if row.validity is not None:
+        validity = (row.validity if validity is None
+                    else (validity & row.validity))
+    return EvalValue(child.data, validity, row.dtype.children[i],
+                     child.dictionary, children=child.children)
+
+
+def _get_field_resolver(ts):
+    if len(ts) == 2 and ts[0].kind is T.TypeKind.ROW:
+        return T.UNKNOWN  # refined by the parser (needs the field name)
+    return None
+
+
+_register("get_field", _get_field_resolver, _get_field_eval)

@@ -385,13 +385,28 @@ class Parser:
         self.scopes.pop()
         return ex.Lambda(body.dtype, params=tuple(params), body=body)
 
-    def _field(self, name: str) -> ex.FieldAccess:
+    def _field(self, name: str):
         for scope in reversed(self.scopes):
             if name in scope:
                 return ex.field(name, scope[name])
         if self.row_type is None:
             raise ValueError(
                 f"cannot resolve column {name!r}: no input row type")
+        if name in self.row_type.names:
+            return ex.field(name, self.row_type.field_type(name))
+        if "." in name:
+            # ROW field dereference: r.a[.b...] (the lexer folds dotted
+            # identifiers into one token)
+            base, *parts = name.split(".")
+            e = ex.field(base, self.row_type.field_type(base))
+            for part in parts:
+                if e.dtype.kind is not T.TypeKind.ROW:
+                    raise ValueError(
+                        f"cannot dereference .{part} on {e.dtype}")
+                ft = e.dtype.field_type(part)
+                e = ex.Call(ft, "get_field",
+                            (e, ex.Constant(T.VARCHAR, part)))
+            return e
         return ex.field(name, self.row_type.field_type(name))
 
 

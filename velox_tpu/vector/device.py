@@ -235,6 +235,18 @@ def column_from_arrow(
                     if validity_np is not None else None)
         return DeviceColumn(data, validity, dtype, None, (child,))
 
+    if dtype.kind is T.TypeKind.ROW:
+        # struct: children are ROW-ALIGNED (share the parent capacity),
+        # unlike ARRAY/MAP element children. Parity: velox RowVector
+        # (vector/ComplexVector.h).
+        kids = tuple(
+            column_from_arrow(arr.field(i), capacity)
+            for i in range(arr.type.num_fields))
+        data = jnp.zeros((capacity,), jnp.int32)  # placeholder
+        validity = (jnp.asarray(_pad_np(validity_np, capacity, False))
+                    if validity_np is not None else None)
+        return DeviceColumn(data, validity, dtype, None, kids)
+
     if dtype.kind is T.TypeKind.MAP:
         offs = np.asarray(arr.offsets, dtype=np.int64)
         lengths = np.diff(offs).astype(np.int32)
@@ -370,9 +382,27 @@ def _complex_to_arrow(col: DeviceColumn, mask: np.ndarray):
     slice from the flattened children."""
     import pyarrow as pa
 
-    lengths = np.asarray(jax.device_get(col.data)).astype(np.int64)
     validity = (np.asarray(jax.device_get(col.validity))
                 if col.validity is not None else None)
+    if col.dtype.kind is T.TypeKind.ROW:
+        pa_valid = None if validity is None else validity[mask]
+        fields = []
+        for child, fname in zip(col.children, col.dtype.names):
+            if child.dtype.is_complex:
+                fields.append(_complex_to_arrow(child, mask))
+            else:
+                d, v = column_to_numpy(child)
+                fields.append(_np_to_arrow(
+                    d[mask], v[mask] if v is not None else None, child))
+        out = pa.StructArray.from_arrays(fields,
+                                         names=list(col.dtype.names))
+        if pa_valid is not None and not pa_valid.all():
+            indices = pa.array(
+                np.where(pa_valid, np.arange(len(pa_valid)), -1),
+                pa.int32(), mask=~pa_valid)
+            out = out.take(indices)
+        return out
+    lengths = np.asarray(jax.device_get(col.data)).astype(np.int64)
     starts = np.cumsum(lengths) - lengths
     act_len = lengths[mask]
     act_start = starts[mask]
