@@ -255,3 +255,33 @@ def test_window_vs_sqlite():
                  " SUM(v) OVER (PARTITION BY k1 ORDER BY v"
                  "   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
                  " FROM t WINDOW w AS (PARTITION BY k1 ORDER BY v)")
+
+
+def test_window_range_k_vs_sqlite():
+    """RANGE BETWEEN k PRECEDING AND CURRENT ROW vs SQLite."""
+    from velox_tpu.exec.window import (
+        BoundType, FrameType, WindowFrame,
+    )
+    rng = np.random.RandomState(12)
+    df = pd.DataFrame({
+        "k1": rng.randint(0, 6, 300).astype("int64"),
+        "v": rng.randint(0, 100, 300).astype("int64"),
+        "w": rng.randint(0, 50, 300).astype("int64"),
+    })
+    o = SqliteOracle()
+    o.load("t", df)
+    frame = WindowFrame(FrameType.RANGE, BoundType.PRECEDING, 10,
+                        BoundType.CURRENT_ROW, None)
+    plan = (PlanBuilder().values([pa.table(df)])
+            .project(["k1", "v", "w"])
+            .window(["k1"], ["v"], ["sum(w) as sw", "count(w) as cw"],
+                    frame=frame)
+            .plan())
+    out = Task(plan).run()
+    assert_query(out, o,
+                 "SELECT k1, v, w,"
+                 " SUM(w) OVER (PARTITION BY k1 ORDER BY v"
+                 "   RANGE BETWEEN 10 PRECEDING AND CURRENT ROW),"
+                 " COUNT(w) OVER (PARTITION BY k1 ORDER BY v"
+                 "   RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)"
+                 " FROM t")

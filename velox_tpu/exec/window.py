@@ -283,7 +283,7 @@ class WindowOperator(Operator):
 
         # frame-based functions
         lo, hi = self._frame_bounds(call.frame, s, cap, iota, pstart, pend,
-                                    peer_start, peer_end)
+                                    peer_start, peer_end, pid)
         empty = lo > hi
         lo_c = jnp.clip(lo, 0, cap - 1)
         hi_c = jnp.clip(hi, 0, cap - 1)
@@ -322,8 +322,35 @@ class WindowOperator(Operator):
         raise NotImplementedError(
             f"{call.name}: non-constant argument {i} not supported")
 
+    def _range_k_comp(self, s, cap, pid):
+        """(comp, kmin, span, sign): a per-row monotone composite
+        pid*span + biased(order key) enabling RANGE k-PRECEDING bound
+        lookups via one searchsorted over the sorted batch (keys ascend
+        within partitions by construction; DESC order negates)."""
+        node = self._node
+        if len(node.sort_keys) != 1:
+            raise NotImplementedError(
+                "RANGE k frames require exactly one ORDER BY key")
+        from velox_tpu.expression.eval import value_from_column as vfc
+        v = vfc(s.columns[node.sort_keys[0].name])
+        if not (v.dtype.is_integral or v.dtype.kind in (
+                T.TypeKind.DATE, T.TypeKind.DECIMAL)):
+            raise NotImplementedError(
+                "RANGE k frames need an integral/date/decimal key")
+        key = v.full_data(cap).astype(jnp.int64)
+        if not node.sort_orders[0].ascending:
+            key = -key
+        kmin = jnp.min(jnp.where(s.mask, key, jnp.iinfo(jnp.int64).max))
+        kmax = jnp.max(jnp.where(s.mask, key, jnp.iinfo(jnp.int64).min))
+        span = kmax - kmin + 1
+        comp = pid * (span + 2 * (1 << 32)) + (key - kmin) + (1 << 32)
+        # inactive (padding) rows sort last in the batch; force their
+        # composites to +inf so the array stays monotone for searchsorted
+        comp = jnp.where(s.mask, comp, jnp.iinfo(jnp.int64).max)
+        return comp, 2 * (1 << 32) + span
+
     def _frame_bounds(self, frame: WindowFrame, s, cap, iota, pstart, pend,
-                      peer_start, peer_end):
+                      peer_start, peer_end, pid=None):
         """Per-row inclusive frame [lo, hi] as sorted-batch indices."""
         if frame.frame_type is FrameType.ROWS:
             m = {
@@ -343,8 +370,18 @@ class WindowOperator(Operator):
                     return pend
                 if btype is BoundType.CURRENT_ROW:
                     return peer_start if is_start else peer_end
-                raise NotImplementedError(
-                    "RANGE k PRECEDING/FOLLOWING frames not yet supported")
+                # k PRECEDING / FOLLOWING on the order-key VALUE: one
+                # searchsorted over the (partition, key) composite
+                comp, pspan = self._range_k_comp(s, cap, pid)
+                k = int(value)
+                # DESC needs no special-casing: the composite already
+                # negates the key, so -k always points at frame starts
+                delta = -k if btype is BoundType.PRECEDING else k
+                if is_start:
+                    return jnp.searchsorted(
+                        comp, comp + delta, side="left").astype(iota.dtype)
+                return jnp.searchsorted(
+                    comp, comp + delta, side="right").astype(iota.dtype) - 1
             lo = bound(frame.start_type, frame.start_value, True)
             hi = bound(frame.end_type, frame.end_value, False)
         lo = jnp.maximum(lo, pstart)
