@@ -217,3 +217,74 @@ def test_nested_row_in_row():
                                 pa.struct([("n", inner)]))})
     out = run_project(t, ["r.n.x as v"])
     assert out.column("v").to_pylist() == [5, 7]
+
+
+# ---- map HOFs, zip_with, reduce -------------------------------------------
+
+def _map_table():
+    return pa.table({
+        "m": pa.array([{"a": 1, "b": 2, "c": 3}, {}, {"d": 10, "e": None}],
+                      pa.map_(pa.string(), pa.int64())),
+        "k": pa.array([2, 5, 1], pa.int64()),
+    })
+
+
+def test_map_filter():
+    out = run_project(_map_table(),
+                      ["map_filter(m, (k2, v) -> v >= 2) as f"])
+    assert out.column("f").to_pylist() == [
+        [("b", 2), ("c", 3)], [], [("d", 10)]]
+
+
+def test_map_filter_captures_outer_column():
+    out = run_project(_map_table(),
+                      ["map_filter(m, (x, v) -> v >= k) as f"])
+    assert out.column("f").to_pylist() == [
+        [("b", 2), ("c", 3)], [], [("d", 10)]]
+
+
+def test_transform_values_keys():
+    out = run_project(_map_table(),
+                      ["transform_values(m, (x, v) -> v * 10) as tv",
+                       "transform_keys(m, (x, v) -> upper(x)) as tk"])
+    assert out.column("tv").to_pylist() == [
+        [("a", 10), ("b", 20), ("c", 30)], [], [("d", 100), ("e", None)]]
+    assert out.column("tk").to_pylist() == [
+        [("A", 1), ("B", 2), ("C", 3)], [], [("D", 10), ("E", None)]]
+
+
+def test_zip_with():
+    t = pa.table({
+        "a": pa.array([[1, 2, 3], [4], None, []], pa.list_(pa.int64())),
+        "b": pa.array([[10, 20], [40, 50], [1], [2]], pa.list_(pa.int64())),
+    })
+    out = run_project(t, ["zip_with(a, b, (x, y) -> x + y) as z",
+                          "zip_with(a, b, (x, y) -> coalesce(x, 0) + "
+                          "coalesce(y, 0)) as zc"])
+    # shorter side pads with NULL (Presto): 3+NULL -> NULL
+    assert out.column("z").to_pylist() == [
+        [11, 22, None], [44, None], None, [None]]
+    assert out.column("zc").to_pylist() == [
+        [11, 22, 3], [44, 50], None, [2]]
+
+
+def test_reduce():
+    t = pa.table({
+        "arr": pa.array([[1, 2, 3, 4], [], [10], None, [5, 5]],
+                        pa.list_(pa.int64())),
+    })
+    out = run_project(
+        t, ["reduce(arr, 0, (s, x) -> s + x, s -> s) as total",
+            "reduce(arr, 1, (s, x) -> s * x, s -> s * 2) as prod2"])
+    assert out.column("total").to_pylist() == [10, 0, 10, None, 10]
+    assert out.column("prod2").to_pylist() == [48, 2, 20, None, 50]
+
+
+def test_reduce_with_capture():
+    t = pa.table({
+        "arr": pa.array([[1, 2], [3]], pa.list_(pa.int64())),
+        "base": pa.array([100, 200], pa.int64()),
+    })
+    out = run_project(
+        t, ["reduce(arr, base, (s, x) -> s + x, s -> s) as r"])
+    assert out.column("r").to_pylist() == [103, 203]

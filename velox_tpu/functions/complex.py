@@ -178,17 +178,16 @@ class _LiftedColumns(dict):
         return self._ecap
 
 
-def _lambda_eval(lam: "_ex.Lambda", arr: EvalValue, ctx, cache):
-    """Evaluate a 1-param lambda body in element space; returns
+def _lambda_eval_bound(lam: "_ex.Lambda", coll: EvalValue, binds, ctx):
+    """Evaluate a lambda body in element space with explicit parameter
+    bindings. ``binds`` pairs each ``lam.params`` name with an EvalValue
+    already laid out over the element capacity. Returns
     (EvalValue over element capacity, row_c, in_row)."""
-    child = arr.children[0]
-    ecap = child.capacity
-    row_c, in_row = _element_row_map(arr, ctx)
+    ecap = coll.children[0].capacity
+    row_c, in_row = _element_row_map(coll, ctx)
     cols = _LiftedColumns(ctx.columns, row_c, ecap)
-    elem_t = arr.dtype.children[0]
-    cols[lam.params[0]] = EvalValue(
-        child.data, child.validity, elem_t, child.dictionary,
-        children=child.children)
+    for name, val in binds:
+        cols[name] = val
     ectx = _EvalCtx(cols, ecap)
     out = _eval_expr(lam.body, ectx, {})
     if ectx.errors is not None:
@@ -198,6 +197,29 @@ def _lambda_eval(lam: "_ex.Lambda", arr: EvalValue, ctx, cache):
             jnp.where(in_row, row_c, ctx.capacity),
             num_segments=ctx.capacity + 1)[:ctx.capacity] > 0)
     return out, row_c, in_row
+
+
+def _lambda_eval(lam: "_ex.Lambda", arr: EvalValue, ctx, cache):
+    """1-param form over an ARRAY: the parameter binds the child column."""
+    child = arr.children[0]
+    elem_t = arr.dtype.children[0]
+    bind = EvalValue(child.data, child.validity, elem_t, child.dictionary,
+                     children=child.children)
+    return _lambda_eval_bound(lam, arr, [(lam.params[0], bind)], ctx)
+
+
+def _lambda_eval_map(lam: "_ex.Lambda", m: EvalValue, ctx):
+    """2-param form over a MAP: params bind (keys, values) children
+    (entry-aligned, same element capacity)."""
+    kc, vc = m.children
+    kt, vt = m.dtype.children
+    binds = [
+        (lam.params[0], EvalValue(kc.data, kc.validity, kt, kc.dictionary,
+                                  children=kc.children)),
+        (lam.params[1], EvalValue(vc.data, vc.validity, vt, vc.dictionary,
+                                  children=vc.children)),
+    ]
+    return _lambda_eval_bound(lam, m, binds, ctx)
 
 
 def _array_of(lengths, validity, elem_value: EvalValue, elem_t,
@@ -487,3 +509,215 @@ def _get_field_resolver(ts):
 
 
 _register("get_field", _get_field_resolver, _get_field_eval)
+
+
+# ---------------------------------------------------------------------------
+# Map higher-order functions + zip_with + reduce.
+#
+# Role parity: velox/functions/prestosql MapFilter.cpp / TransformKeys.cpp /
+# TransformValues.cpp / ZipWith.cpp / Reduce.cpp. All element-space (see the
+# lambda design note above); reduce is the one inherently sequential HOF and
+# runs a lax.while_loop over element positions (bounded by the longest row),
+# applying the combine lambda to ALL rows at position i per step — the dense
+# analogue of the reference's row-set iteration (Reduce.cpp applies the
+# lambda maxLength times over shrinking selectivity vectors).
+# ---------------------------------------------------------------------------
+
+
+def _compact_children(children, keep, row_all, ecap, capacity, elem_ts):
+    """Prefix-compact flattened element columns by a keep mask; returns
+    (new_children, new_lens)."""
+    from velox_tpu.vector.device import DeviceColumn as _DC
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    tgt = jnp.where(keep, pos, jnp.int32(ecap))
+    outs = []
+    for child, et in zip(children, elem_ts):
+        nd = jnp.zeros_like(child.data).at[tgt].set(child.data, mode="drop")
+        nv = None
+        if child.validity is not None:
+            nv = jnp.ones((ecap,), bool).at[tgt].set(child.validity,
+                                                     mode="drop")
+        outs.append(_DC(nd, nv, et, child.dictionary))
+    new_lens = jax.ops.segment_sum(
+        keep.astype(jnp.int32), row_all,
+        num_segments=capacity + 1)[:capacity]
+    return tuple(outs), new_lens
+
+
+@special_form("map_filter")
+def _map_filter(expr, ctx, cache):
+    m = _eval_expr(expr.args[0], ctx, cache)
+    lam = expr.args[1]
+    out, row_c, in_row = _lambda_eval_map(lam, m, ctx)
+    ecap = m.children[0].capacity
+    keep = out.full_data(ecap).astype(bool) & in_row
+    if out.validity is not None:
+        keep = keep & out.full_validity(ecap)
+    row_all = jnp.where(in_row, row_c, jnp.int32(ctx.capacity))
+    children, new_lens = _compact_children(
+        m.children, keep, row_all, ecap, ctx.capacity, m.dtype.children)
+    return EvalValue(new_lens, m.validity, m.dtype, children=children)
+
+
+@special_form("transform_values")
+def _transform_values(expr, ctx, cache):
+    m = _eval_expr(expr.args[0], ctx, cache)
+    lam = expr.args[1]
+    out, row_c, in_row = _lambda_eval_map(lam, m, ctx)
+    ecap = m.children[0].capacity
+    from velox_tpu.vector.device import DeviceColumn as _DC
+    nv = _DC(out.full_data(ecap), out.validity, lam.dtype, out.dictionary)
+    return EvalValue(m.data, m.validity, expr.dtype,
+                     children=(m.children[0], nv))
+
+
+@special_form("transform_keys")
+def _transform_keys(expr, ctx, cache):
+    m = _eval_expr(expr.args[0], ctx, cache)
+    lam = expr.args[1]
+    out, row_c, in_row = _lambda_eval_map(lam, m, ctx)
+    ecap = m.children[0].capacity
+    # Presto: transformed keys must not be NULL (TransformKeys.cpp)
+    if out.validity is not None:
+        ctx.flag_error(jax.ops.segment_max(
+            (in_row & ~out.full_validity(ecap)).astype(jnp.int32),
+            jnp.where(in_row, row_c, ctx.capacity),
+            num_segments=ctx.capacity + 1)[:ctx.capacity] > 0)
+    from velox_tpu.vector.device import DeviceColumn as _DC
+    nk = _DC(out.full_data(ecap), None, lam.dtype, out.dictionary)
+    return EvalValue(m.data, m.validity, expr.dtype,
+                     children=(nk, m.children[1]))
+
+
+@special_form("zip_with")
+def _zip_with(expr, ctx, cache):
+    """zip_with(a, b, (x, y) -> z): per-row positional zip; the shorter
+    row pads with NULLs (Presto semantics). Output element space is a
+    fresh layout of capacity ecap1+ecap2 (sum of max-per-row bounds)."""
+    a1 = _eval_expr(expr.args[0], ctx, cache)
+    a2 = _eval_expr(expr.args[1], ctx, cache)
+    lam = expr.args[2]
+    c1, c2 = a1.children[0], a2.children[0]
+    cap = ctx.capacity
+    l1 = a1.data.astype(jnp.int32)
+    l2 = a2.data.astype(jnp.int32)
+    out_lens = jnp.maximum(l1, l2)
+    ocap = c1.capacity + c2.capacity
+    ostarts = jnp.cumsum(out_lens) - out_lens
+    e = jnp.arange(ocap, dtype=jnp.int32)
+    row = jnp.searchsorted(ostarts, e, side="right").astype(jnp.int32) - 1
+    row_c = jnp.clip(row, 0, cap - 1)
+    p = e - ostarts[row_c]
+    in_row = (p >= 0) & (p < out_lens[row_c])
+    row_valid = None
+    for a in (a1, a2):
+        if a.validity is not None:
+            row_valid = (a.validity if row_valid is None
+                         else row_valid & a.validity)
+    if row_valid is not None:
+        in_row = in_row & row_valid[row_c]
+
+    def _side(a, child, ln):
+        starts = _offsets(a)
+        idx = jnp.clip(starts[row_c] + p, 0, child.capacity - 1)
+        have = in_row & (p < ln[row_c])
+        valid = have if child.validity is None \
+            else have & child.validity[idx]
+        et = a.dtype.children[0]
+        return EvalValue(child.data[idx], valid, et, child.dictionary)
+
+    binds = [(lam.params[0], _side(a1, c1, l1)),
+             (lam.params[1], _side(a2, c2, l2))]
+    cols = _LiftedColumns(ctx.columns, row_c, ocap)
+    for name, val in binds:
+        cols[name] = val
+    ectx = _EvalCtx(cols, ocap)
+    out = _eval_expr(lam.body, ectx, {})
+    if ectx.errors is not None:
+        ctx.flag_error(jax.ops.segment_max(
+            (ectx.errors & in_row).astype(jnp.int32),
+            jnp.where(in_row, row_c, cap),
+            num_segments=cap + 1)[:cap] > 0)
+    from velox_tpu.vector.device import DeviceColumn as _DC
+    nc = _DC(out.full_data(ocap), out.validity, lam.dtype, out.dictionary)
+    return EvalValue(out_lens, row_valid, expr.dtype, children=(nc,))
+
+
+@special_form("reduce")
+def _reduce_hof(expr, ctx, cache):
+    """reduce(array, init, (s, x) -> s', s -> out).
+
+    Sequential fold per row, vectorised ACROSS rows: a lax.while_loop over
+    element positions 0..max(row length); step i applies the combine lambda
+    to every row's i-th element at once (inactive rows carry state through).
+    Parity: prestosql Reduce.cpp (iterative lambda application)."""
+    arr = _eval_expr(expr.args[0], ctx, cache)
+    init = _eval_expr(expr.args[1], ctx, cache)
+    comb, outf = expr.args[2], expr.args[3]
+    child = arr.children[0]
+    cap = ctx.capacity
+    if child.dictionary is not None or init.dictionary is not None:
+        raise NotImplementedError("reduce over string state")
+    lens = arr.data.astype(jnp.int32)
+    starts = _offsets(arr)
+    maxlen = jnp.max(lens)
+    state_t = comb.dtype
+    s0 = init.full_data(cap).astype(state_t.np_dtype())
+    sv0 = (init.full_validity(cap) if init.validity is not None
+           else jnp.ones((cap,), bool))
+    err0 = jnp.zeros((cap,), bool)
+    elem_t = arr.dtype.children[0]
+
+    def body(carry):
+        i, s, sv, err = carry
+        idx = jnp.clip(starts + i, 0, child.capacity - 1)
+        active = i < lens
+        x = child.data[idx]
+        xv = active if child.validity is None \
+            else active & child.validity[idx]
+        cols = dict(ctx.columns)
+        cols[comb.params[0]] = EvalValue(s, sv, state_t)
+        cols[comb.params[1]] = EvalValue(x, xv, elem_t)
+        ectx = _EvalCtx(cols, cap)
+        out = _eval_expr(comb.body, ectx, {})
+        od = out.full_data(cap).astype(s.dtype)
+        ov = (out.full_validity(cap) if out.validity is not None
+              else jnp.ones((cap,), bool))
+        ns = jnp.where(active, od, s)
+        nsv = jnp.where(active, ov, sv)
+        nerr = err if ectx.errors is None else err | (ectx.errors & active)
+        return i + jnp.int32(1), ns, nsv, nerr
+
+    _, s, sv, err = jax.lax.while_loop(
+        lambda c: c[0] < maxlen, body, (jnp.int32(0), s0, sv0, err0))
+    ctx.flag_error(err)
+    cols = dict(ctx.columns)
+    cols[outf.params[0]] = EvalValue(s, sv, state_t)
+    ectx2 = _EvalCtx(cols, cap)
+    res = _eval_expr(outf.body, ectx2, {})
+    if ectx2.errors is not None:
+        ctx.flag_error(ectx2.errors)
+    validity = res.validity
+    if arr.validity is not None:
+        fv = (res.full_validity(cap) if validity is not None
+              else jnp.ones((cap,), bool))
+        validity = fv & arr.validity
+    return EvalValue(res.full_data(cap), validity, expr.dtype,
+                     res.dictionary)
+
+
+_register("map_filter",
+          lambda ts: ts[0] if len(ts) == 2
+          and ts[0].kind is T.TypeKind.MAP else None, _no_eval)
+_register("transform_values",
+          lambda ts: T.map_(ts[0].children[0], ts[1]) if len(ts) == 2
+          and ts[0].kind is T.TypeKind.MAP else None, _no_eval)
+_register("transform_keys",
+          lambda ts: T.map_(ts[1], ts[0].children[1]) if len(ts) == 2
+          and ts[0].kind is T.TypeKind.MAP else None, _no_eval)
+_register("zip_with",
+          lambda ts: T.array(ts[2]) if len(ts) == 3
+          and ts[0].kind is T.TypeKind.ARRAY
+          and ts[1].kind is T.TypeKind.ARRAY else None, _no_eval)
+_register("reduce",
+          lambda ts: ts[3] if len(ts) == 4 else None, _no_eval)

@@ -337,14 +337,29 @@ class Parser:
             while self.accept("op", ","):
                 if lname in self._LAMBDA_FNS:
                     args.append(self._parse_arg_or_lambda(args[0].dtype))
+                elif lname == "zip_with" and len(args) == 2:
+                    # (x, y) params type from BOTH array arguments
+                    args.append(self._parse_arg_or_lambda(
+                        None, ptypes=[args[0].dtype.children[0],
+                                      args[1].dtype.children[0]]))
+                elif lname == "reduce" and len(args) == 2:
+                    # combine (s, x): s from init, x from the array
+                    args.append(self._parse_arg_or_lambda(
+                        None, ptypes=[args[1].dtype,
+                                      args[0].dtype.children[0]]))
+                elif lname == "reduce" and len(args) == 3:
+                    # output s -> out: s is the combine's result type
+                    args.append(self._parse_arg_or_lambda(
+                        None, ptypes=[args[2].dtype]))
                 else:
                     args.append(self.parse_expr())
             self.expect("op", ")")
         return ex.call(lname, *args)
 
-    def _parse_arg_or_lambda(self, coll_type: T.DataType):
+    def _parse_arg_or_lambda(self, coll_type, ptypes=None):
         """Parse `x -> body` / `(k, v) -> body` with parameter types
-        bound from the collection argument, else a normal expression."""
+        bound from the collection argument (or given explicitly via
+        ``ptypes``), else a normal expression."""
         params = None
         if self.peek().kind == "name" \
                 and self.toks[self.i + 1].kind == "op" \
@@ -370,13 +385,14 @@ class Parser:
                 self.i = j + 2
         if params is None:
             return self.parse_expr()
-        if coll_type.kind is T.TypeKind.ARRAY:
-            ptypes = [coll_type.children[0]]
-        elif coll_type.kind is T.TypeKind.MAP:
-            ptypes = list(coll_type.children)[:len(params)]
-        else:
-            raise ValueError(
-                f"lambda over non-collection type {coll_type}")
+        if ptypes is None:
+            if coll_type.kind is T.TypeKind.ARRAY:
+                ptypes = [coll_type.children[0]]
+            elif coll_type.kind is T.TypeKind.MAP:
+                ptypes = list(coll_type.children)[:len(params)]
+            else:
+                raise ValueError(
+                    f"lambda over non-collection type {coll_type}")
         if len(params) != len(ptypes):
             raise ValueError(
                 f"lambda arity {len(params)} != expected {len(ptypes)}")
