@@ -1,0 +1,170 @@
+"""Collect-style aggregates: array_agg / set_agg / map_agg / histogram /
+approx_percentile (exact rank over value-sorted runs).
+
+Parity: velox/functions/prestosql/aggregates ArrayAggAggregate.cpp,
+SetAggAggregate.cpp, MapAggAggregate.cpp, HistogramAggregate.cpp,
+ApproxPercentileAggregate.cpp — via the sort-based collect pathway
+(exec/aggregation.py)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from velox_tpu.exec.task import Task
+from velox_tpu.testing.plan_builder import PlanBuilder
+
+
+def run_agg(t, keys, aggs):
+    plan = PlanBuilder().values([t]).single_aggregation(keys, aggs).plan()
+    return Task(plan).run()
+
+
+def base_table():
+    return pa.table({
+        "g": pa.array([1, 2, 1, 1, 2, 3, 1], pa.int64()),
+        "x": pa.array([5, 1, 5, None, 2, 9, 3], pa.int64()),
+        "k": pa.array(["a", "b", "a2", "c", "d", "e", "f"], pa.string()),
+    })
+
+
+def by_g(out):
+    return sorted(out.to_pylist(), key=lambda r: r["g"])
+
+
+def test_array_agg_grouped():
+    rows = by_g(run_agg(base_table(), ["g"], ["array_agg(x) as a"]))
+    # input order within group; nulls kept (Presto semantics)
+    assert [r["a"] for r in rows] == [[5, 5, None, 3], [1, 2], [9]]
+
+
+def test_set_agg_grouped():
+    rows = by_g(run_agg(base_table(), ["g"], ["set_agg(x) as s"]))
+    # distinct, value-sorted, null included once
+    assert [r["s"] for r in rows] == [[3, 5, None], [1, 2], [9]]
+
+
+def test_histogram_grouped():
+    rows = by_g(run_agg(base_table(), ["g"], ["histogram(x) as h"]))
+    assert [dict(r["h"]) for r in rows] == [
+        {3: 1, 5: 2}, {1: 1, 2: 1}, {9: 1}]
+
+
+def test_map_agg_grouped():
+    rows = by_g(run_agg(base_table(), ["g"], ["map_agg(k, x) as m"]))
+    assert [dict(r["m"]) for r in rows] == [
+        {"a": 5, "a2": 5, "c": None, "f": 3},
+        {"b": 1, "d": 2}, {"e": 9}]
+
+
+def test_map_agg_dedups_keys():
+    t = pa.table({
+        "g": pa.array([1, 1, 1], pa.int64()),
+        "k": pa.array(["a", "a", "b"], pa.string()),
+        "v": pa.array([10, 20, 30], pa.int64()),
+    })
+    rows = by_g(run_agg(t, ["g"], ["map_agg(k, v) as m"]))
+    m = dict(rows[0]["m"])
+    assert set(m) == {"a", "b"} and m["b"] == 30 and m["a"] in (10, 20)
+
+
+def test_approx_percentile_exact_vs_numpy():
+    rng = np.random.RandomState(11)
+    g = rng.randint(0, 5, 500)
+    x = rng.randint(-1000, 1000, 500).astype(np.int64)
+    t = pa.table({"g": pa.array(g, pa.int64()),
+                  "x": pa.array(x, pa.int64())})
+    for p in (0.25, 0.5, 0.9):
+        rows = by_g(run_agg(t, ["g"],
+                            [f"approx_percentile(x, {p}) as q"]))
+        for r in rows:
+            vals = np.sort(x[g == r["g"]])
+            want = vals[max(0, math.ceil(p * len(vals)) - 1)]
+            assert r["q"] == want, (r["g"], p)
+
+
+def test_collect_global_and_empty():
+    t = base_table()
+    out = run_agg(t, [], ["array_agg(x) as a",
+                          "approx_percentile(x, 0.5) as p50",
+                          "count(x) as c"])
+    (row,) = out.to_pylist()
+    assert row == {"a": [5, 1, 5, None, 2, 9, 3], "p50": 3, "c": 6}
+    # all rows filtered out by the aggregate mask -> empty/NULL collects
+    plan = (PlanBuilder().values([t])
+            .single_aggregation([], ["array_agg(x) filter (where x > 100) "
+                                     "as a"])
+            .plan())
+    (row,) = Task(plan).run().to_pylist()
+    assert row["a"] == []
+
+
+def test_collect_with_filter_mask():
+    rows = by_g(run_agg(
+        base_table(), ["g"],
+        ["set_agg(x) filter (where x < 5) as s",
+         "histogram(x) filter (where x >= 5) as h"]))
+    assert [r["s"] for r in rows] == [[3], [1, 2], []]
+    assert [dict(r["h"]) for r in rows] == [{5: 2}, {}, {9: 1}]
+
+
+def test_collect_multibatch():
+    t1 = pa.table({"g": pa.array([1, 2], pa.int64()),
+                   "x": pa.array([4, 7], pa.int64())})
+    t2 = pa.table({"g": pa.array([2, 1], pa.int64()),
+                   "x": pa.array([5, 6], pa.int64())})
+    plan = (PlanBuilder().values([t1, t2])
+            .single_aggregation(["g"], ["set_agg(x) as s",
+                                        "sum(x) as t"]).plan())
+    rows = by_g(Task(plan).run())
+    assert [r["s"] for r in rows] == [[4, 6], [5, 7]]
+    assert [r["t"] for r in rows] == [10, 12]
+
+
+def test_collect_rejects_partial_step():
+    from velox_tpu.core import plan as P
+    from velox_tpu.exec.aggregation import AggregationOperator
+    t = base_table()
+    plan = (PlanBuilder().values([t])
+            .single_aggregation(["g"], ["array_agg(x) as a"]).plan())
+    node = plan
+    bad = P.AggregationNode(
+        node.id, source=node.source, step=P.AggregationStep.PARTIAL,
+        grouping_keys=node.grouping_keys,
+        aggregate_names=node.aggregate_names, aggregates=node.aggregates)
+    with pytest.raises(NotImplementedError):
+        AggregationOperator(bad)
+
+
+def test_collect_vs_sqlite_oracle():
+    import sqlite3
+    rng = np.random.RandomState(3)
+    g = rng.randint(0, 7, 300)
+    x = rng.randint(0, 20, 300).astype(np.int64)
+    t = pa.table({"g": pa.array(g, pa.int64()),
+                  "x": pa.array(x, pa.int64())})
+    plan = (PlanBuilder().values([t]).single_aggregation(
+        ["g"], ["set_agg(x) as s", "histogram(x) as h",
+                "approx_percentile(x, 0.75) as q",
+                "count(x) filter (where x % 2 = 0) as ce"]).plan())
+    rows = sorted(Task(plan).run().to_pylist(), key=lambda r: r["g"])
+    con = sqlite3.connect(":memory:")
+    con.execute("create table t(g int, x int)")
+    con.executemany("insert into t values (?,?)",
+                    zip(g.tolist(), x.tolist()))
+    for r in rows:
+        gv = r["g"]
+        want_s = [v for (v,) in con.execute(
+            "select distinct x from t where g=? order by x", (gv,))]
+        assert r["s"] == want_s
+        want_h = dict(con.execute(
+            "select x, count(*) from t where g=? group by x", (gv,)))
+        assert dict(r["h"]) == want_h
+        vals = sorted(v for (v,) in con.execute(
+            "select x from t where g=?", (gv,)))
+        assert r["q"] == vals[max(0, math.ceil(0.75 * len(vals)) - 1)]
+        (want_ce,) = con.execute(
+            "select count(*) from t where g=? and x % 2 = 0",
+            (gv,)).fetchone()
+        assert r["ce"] == want_ce

@@ -78,6 +78,38 @@ class AggregationOperator(Operator):
         self._agg_names = list(node.aggregate_names)
         self._aggs = [resolve_aggregate(a.name, [i.dtype for i in a.inputs])
                       for a in self._agg_calls]
+        # collect-style aggregates (array_agg/set_agg/map_agg/histogram/
+        # approx_percentile) retain rows and finalize through the sort-based
+        # collect pathway below (no segment-combinable state)
+        from velox_tpu.functions.aggregates import (
+            ApproxPercentileAgg, CollectAgg,
+        )
+        self._collect_mode = any(
+            isinstance(a, CollectAgg) for a in self._aggs)
+        if self._collect_mode:
+            if self._step is not P.AggregationStep.SINGLE:
+                raise NotImplementedError(
+                    "collect aggregates support single-step aggregation "
+                    "only (no partial/final split)")
+            if any(st.width > 1 for a in self._aggs for st in a.states):
+                raise NotImplementedError(
+                    "vector-state aggregates cannot mix with collect "
+                    "aggregates")
+            for a, call in zip(self._aggs, self._agg_calls):
+                if isinstance(a, ApproxPercentileAgg):
+                    from velox_tpu.core import expressions as ex
+                    if not isinstance(call.inputs[1], ex.Constant):
+                        raise NotImplementedError(
+                            "approx_percentile: percentage must be a "
+                            "constant")
+                    c = call.inputs[1]
+                    p = float(c.value)
+                    if c.dtype.kind is T.TypeKind.DECIMAL:
+                        p /= 10.0 ** c.dtype.scale  # unscaled literal
+                    a.percentile = p
+            self._collect_rows: List[DeviceBatch] = []
+            self._collect_prep_fn = jax.jit(self._collect_prep)
+            self._collect_final_fn = jax.jit(self._collect_finalize)
         self._partials: List[DeviceBatch] = []
         self._outputs: List[DeviceBatch] = []
         self.error_scalars: List = []  # collected by Task._drive
@@ -220,6 +252,216 @@ class AggregationOperator(Operator):
         return DeviceBatch(cols, group_mask)
 
 
+    # ---- collect aggregates (array_agg/set_agg/map_agg/histogram/
+    # approx_percentile) ----------------------------------------------------
+    #
+    # Parity: prestosql ArrayAgg/SetAgg/MapAgg/Histogram/ApproxPercentile
+    # accumulators. TPU-first: instead of per-group growable accumulators,
+    # rows are RETAINED (prep step: keys + aggregate inputs evaluated and
+    # stored), then one finalize program radix-sorts rows by (group keys
+    # [+ value]) and emits per-group collections by prefix-compacting the
+    # sorted runs. approx_percentile is EXACT: rank-select over the
+    # value-sorted run.
+
+    def _collect_inputs(self, i: int):
+        from velox_tpu.functions.aggregates import ApproxPercentileAgg
+        call = self._agg_calls[i]
+        if isinstance(self._aggs[i], ApproxPercentileAgg):
+            return [call.inputs[0]]
+        return list(call.inputs)
+
+    def _collect_prep(self, batch: DeviceBatch) -> DeviceBatch:
+        """Evaluate keys + aggregate inputs; emit a row batch to retain."""
+        errs = []
+        if self._pre_fn is not None:
+            batch = self._pre_fn(batch)
+            if batch.errors is not None:
+                errs.append(batch.errors)
+        cap = batch.capacity
+        cols = {n: value_from_column(c) for n, c in batch.columns.items()}
+        out: Dict[str, DeviceColumn] = {}
+        for k in self._keys:
+            out[k.name] = cols[k.name].to_column(cap)
+        for i, call in enumerate(self._agg_calls):
+            exprs = self._collect_inputs(i)
+            if exprs:
+                es = ExprSet(exprs, None)
+                sink = []
+                vals = es.eval_batch(batch, err_sink=sink)
+                if sink and sink[0] is not None:
+                    errs.append(jnp.sum(sink[0] & batch.mask,
+                                        dtype=jnp.int32))
+                for j, v in enumerate(vals):
+                    out[f"__a{i}_{j}"] = v.to_column(cap)
+            if call.mask is not None:
+                m = ExprSet([call.mask], None).eval_batch(batch)[0]
+                out[f"__m{i}"] = m.to_column(cap)
+        res = DeviceBatch(out, batch.mask)
+        if errs:
+            res = DeviceBatch(res.columns, res.mask, errors=sum(errs))
+        return res
+
+    def _collect_finalize(self, merged: DeviceBatch) -> DeviceBatch:
+        from velox_tpu.functions.aggregates import CollectAgg
+        from velox_tpu.ops.wide import segmented_reduce_sorted
+        cap = merged.capacity
+        active = merged.mask
+        cols = {n: value_from_column(c) for n, c in merged.columns.items()}
+        keys = [cols[k.name] for k in self._keys]
+        perm, gid, boundary, act_s, num_groups = G.sorted_group_info(
+            keys, active, cap, self._key_ranges)
+        out_keys, gmask = G.group_keys_sorted(
+            keys, perm, gid, boundary, act_s, num_groups, cap)
+        out_cols: Dict[str, DeviceColumn] = {}
+        for k, v in zip(self._keys, out_keys):
+            out_cols[k.name] = v.to_column(cap)
+        ctx = EvalCtx(cols, cap)
+        for i, (out_name, agg) in enumerate(zip(self._agg_names,
+                                                self._aggs)):
+            row_active = active
+            mval = cols.get(f"__m{i}")
+            if mval is not None:
+                mm = mval.full_data(cap).astype(bool)
+                if mval.validity is not None:
+                    mm = mm & mval.full_validity(cap)
+                row_active = row_active & mm
+            args = []
+            j = 0
+            while f"__a{i}_{j}" in cols:
+                args.append(cols[f"__a{i}_{j}"])
+                j += 1
+            if isinstance(agg, CollectAgg):
+                out_cols[out_name] = self._collect_result(
+                    agg, args, row_active, keys, active,
+                    (perm, gid, boundary, act_s), gmask, cap)
+            else:
+                arrays = agg.map_raw(ctx, args, row_active)
+                gs = [segmented_reduce_sorted(
+                    a[perm], gid, boundary, act_s, cap, st.combine)
+                    for a, st in zip(arrays, agg.states)]
+                res = agg.extract(gs, gmask)
+                col = res.to_column(cap)
+                if res.dtype.is_string and col.dictionary is None:
+                    col = DeviceColumn(col.data, col.validity, col.dtype,
+                                       self._agg_dicts[i])
+                out_cols[out_name] = col
+        mask_out = gmask
+        if not self._keys:
+            # global aggregation: exactly one output row (NULL collect
+            # results when there was no input)
+            mask_out = jnp.zeros((cap,), bool).at[0].set(True)
+        return DeviceBatch(out_cols, mask_out)
+
+    def _collect_result(self, agg, args, row_active, keys, active,
+                        skeleton, gmask, cap) -> DeviceColumn:
+        from velox_tpu.ops.wide import (
+            scatter_unique_set, segmented_reduce_sorted,
+        )
+        kind = agg.collect_kind
+        v = args[0]
+
+        def _emit(vals, keep, gid, boundary, act_s):
+            """Prefix-compact sorted rows into child element columns +
+            per-group lengths (groups stay contiguous: rows are sorted by
+            group)."""
+            keep = keep & act_s
+            pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+            tgt = jnp.where(keep, pos, jnp.int32(cap))
+            children = []
+            for data, validity in vals:
+                d = scatter_unique_set(cap + 1, tgt, data)[:cap]
+                cv = None
+                if validity is not None:
+                    cv = jnp.ones((cap,), bool).at[tgt].set(
+                        validity, mode="drop")
+                children.append((d, cv))
+            lengths = segmented_reduce_sorted(
+                keep.astype(jnp.int32), gid, boundary, act_s, cap, "sum")
+            return children, lengths
+
+        if kind == "array_agg":
+            perm, gid, boundary, act_s = skeleton
+            keep = jnp.asarray(row_active)[perm]
+            vals = [(v.full_data(cap)[perm],
+                     None if v.validity is None
+                     else v.full_validity(cap)[perm])]
+            children, lengths = _emit(vals, keep, gid, boundary, act_s)
+            cd, cv = children[0]
+            et = agg.result_type.children[0]
+            child = DeviceColumn(cd, cv, et, v.dictionary)
+            return DeviceColumn(lengths, gmask, agg.result_type, None,
+                                (child,))
+
+        # value-sorted kinds: re-sort with this aggregate's value appended
+        # (group numbering matches the skeleton: same key words + active)
+        perm, gid, boundary, act_s, _, vb = G.sorted_group_info_vals(
+            keys, [v], active, cap, self._key_ranges)
+        pass_ = jnp.asarray(row_active)[perm] & act_s
+        data_s = v.full_data(cap)[perm]
+        val_s = (None if v.validity is None
+                 else v.full_validity(cap)[perm])
+        if kind in ("map_agg", "histogram", "approx_percentile") \
+                and val_s is not None:
+            pass_ = pass_ & val_s  # null keys/values are dropped
+
+        if kind == "approx_percentile":
+            children, lengths = _emit([(data_s, None)], pass_, gid,
+                                      boundary, act_s)
+            n = lengths
+            starts = jnp.cumsum(n) - n
+            rank = jnp.clip(
+                jnp.ceil(agg.percentile * n).astype(jnp.int32) - 1,
+                0, jnp.maximum(n - 1, 0))
+            idx = jnp.clip(starts + rank, 0, cap - 1)
+            data = children[0][0][idx]
+            return DeviceColumn(data, gmask & (n > 0), agg.result_type,
+                                v.dictionary)
+
+        # first passing row of each (group, value) run — dedup primitive
+        run_id = jnp.cumsum(vb.astype(jnp.int32)) - 1
+        c = jnp.cumsum(pass_.astype(jnp.int32))
+        ce = c - pass_.astype(jnp.int32)
+        run_start_ce = scatter_unique_set(
+            cap + 1, jnp.where(vb, run_id, jnp.int32(cap)), ce)[:cap]
+        first = pass_ & (ce == run_start_ce[run_id])
+
+        if kind == "set_agg":
+            children, lengths = _emit([(data_s, val_s)], first, gid,
+                                      boundary, act_s)
+            cd, cv = children[0]
+            et = agg.result_type.children[0]
+            child = DeviceColumn(cd, cv, et, v.dictionary)
+            return DeviceColumn(lengths, gmask, agg.result_type, None,
+                                (child,))
+
+        if kind == "map_agg":
+            w = args[1]
+            wd = w.full_data(cap)[perm]
+            wv = (None if w.validity is None
+                  else w.full_validity(cap)[perm])
+            children, lengths = _emit([(data_s, None), (wd, wv)], first,
+                                      gid, boundary, act_s)
+            kt, vt = agg.result_type.children
+            kchild = DeviceColumn(children[0][0], None, kt, v.dictionary)
+            vchild = DeviceColumn(children[1][0], children[1][1], vt,
+                                  w.dictionary)
+            return DeviceColumn(lengths, gmask, agg.result_type, None,
+                                (kchild, vchild))
+
+        # histogram: count passing rows per (group, value) run
+        is_end = jnp.concatenate([vb[1:], jnp.ones((1,), bool)])
+        run_end_c = scatter_unique_set(
+            cap + 1, jnp.where(is_end, run_id, jnp.int32(cap)), c)[:cap]
+        run_cnt = (run_end_c - run_start_ce)[run_id]
+        children, lengths = _emit(
+            [(data_s, None), (run_cnt.astype(jnp.int64), None)], first,
+            gid, boundary, act_s)
+        kt = agg.result_type.children[0]
+        kchild = DeviceColumn(children[0][0], None, kt, v.dictionary)
+        vchild = DeviceColumn(children[1][0], None, T.BIGINT, None)
+        return DeviceColumn(lengths, gmask, agg.result_type, None,
+                            (kchild, vchild))
+
     def _regroup_states(self, merged: DeviceBatch):
         cap = merged.capacity
         cols = {n: value_from_column(c) for n, c in merged.columns.items()}
@@ -285,6 +527,10 @@ class AggregationOperator(Operator):
                     col = batch.columns.get(inp.name)
                     if col is not None:
                         self._agg_dicts[j] = col.dictionary
+        if self._collect_mode:
+            self._collect_rows.append(self._strip_errs(
+                self._collect_prep_fn(batch)))
+            return
         if self._keys:
             if self._abandoned:
                 self._outputs.append(self._strip_errs(
@@ -355,6 +601,15 @@ class AggregationOperator(Operator):
 
     def no_more_input(self):
         super().no_more_input()
+        if self._collect_mode:
+            if self._collect_rows:
+                merged = (self._collect_rows[0]
+                          if len(self._collect_rows) == 1
+                          else concat_batches(self._collect_rows))
+                self._collect_rows = []
+                self._outputs.append(self._collect_final_fn(merged))
+            self._finished_inputs = True
+            return
         if self._keys:
             if self._host_runs:
                 self._partials = [hb.restore() for hb in self._host_runs] \

@@ -176,6 +176,66 @@ def sorted_group_info(keys: Sequence[EvalValue], active, capacity: int,
     return perm, gid, boundary, active_sorted, num_groups
 
 
+def sorted_group_info_vals(keys: Sequence[EvalValue],
+                           vals: Sequence[EvalValue], active, capacity: int,
+                           ranges=None):
+    """Like sorted_group_info, but rows within each key run are further
+    sorted by ``vals`` (ascending, nulls first). Returns the usual
+    5-tuple plus ``vboundary``: True where sorted position i starts a new
+    (key, value) run — the dedup/run-length primitive for set_agg /
+    map_agg / histogram (exec/aggregation.py collect pathway)."""
+    from velox_tpu.exec.sort import radix_sort_perm, sort_words, value_words
+
+    words, bits = sort_words(keys, None, capacity, active, ranges=ranges)
+    n_key_words = len(words)
+    for v in vals:
+        if v.validity is not None:
+            words.append((~v.full_validity(capacity)).astype(jnp.uint32))
+            bits.append(1)
+        vw = value_words(v, capacity)
+        words.extend(vw)
+        bits.extend([32] * len(vw))
+    perm = radix_sort_perm(words, bits, capacity)
+
+    def _runs(ws):
+        neq = jnp.zeros((capacity,), bool)
+        for w in ws:
+            wp = w[perm]
+            prev = jnp.concatenate([wp[:1], wp[:-1]])
+            neq = neq | (wp != prev)
+        return neq.at[0].set(True)
+
+    boundary = _runs(words[:n_key_words])
+    vboundary = _runs(words)
+    gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    active_sorted = jnp.asarray(active)[perm]
+    num_groups = jnp.sum((boundary & active_sorted).astype(jnp.int32))
+    return perm, gid, boundary, active_sorted, num_groups, vboundary
+
+
+def group_keys_sorted(keys: Sequence[EvalValue], perm, gid, boundary,
+                      active_sorted, num_groups, capacity: int):
+    """Dense per-group key columns (group g's key values), taken from each
+    group's first sorted row. Shared by reduce_sort_mode and the collect
+    aggregate pathway."""
+    from velox_tpu.ops.wide import scatter_unique_set
+    group_mask = jnp.arange(capacity, dtype=jnp.int32) < num_groups
+    target = jnp.where(boundary & active_sorted, gid, jnp.int32(capacity))
+    out_keys = []
+    for v in keys:
+        ks = v.full_data(capacity)[perm]
+        gd = scatter_unique_set(capacity + 1, target, ks)[:capacity]
+        if v.validity is not None:
+            vs = v.full_validity(capacity)[perm]
+            validity = jnp.zeros((capacity,), bool) \
+                .at[target].set(vs, mode="drop")
+            validity = validity | ~group_mask  # padding rows: non-null
+        else:
+            validity = None
+        out_keys.append(EvalValue(gd, validity, v.dtype, v.dictionary))
+    return out_keys, group_mask
+
+
 def row_group_ids(keys: Sequence[EvalValue], active, capacity: int,
                   ranges=None):
     """Per-row dense group ids in ORIGINAL row order.
@@ -206,9 +266,7 @@ def reduce_sort_mode(
     groups come out in key-sorted order and states land dense directly
     (no compaction scatter).
     """
-    from velox_tpu.ops.wide import (
-        scatter_unique_set, segmented_reduce_sorted,
-    )
+    from velox_tpu.ops.wide import segmented_reduce_sorted
     perm, gid, boundary, active_sorted, num_groups = sorted_group_info(
         keys, active, capacity, ranges)
     out_states = []
@@ -218,21 +276,9 @@ def reduce_sort_mode(
         # than this on TPU (ops/wide.py)
         out_states.append(segmented_reduce_sorted(
             data[perm], gid, boundary, active_sorted, capacity, combine))
-    group_mask = jnp.arange(capacity, dtype=jnp.int32) < num_groups
     # group keys = key values at each group's first sorted row
-    target = jnp.where(boundary & active_sorted, gid, jnp.int32(capacity))
-    out_keys = []
-    for v in keys:
-        ks = v.full_data(capacity)[perm]
-        gd = scatter_unique_set(capacity + 1, target, ks)[:capacity]
-        if v.validity is not None:
-            vs = v.full_validity(capacity)[perm]
-            validity = jnp.zeros((capacity,), bool) \
-                .at[target].set(vs, mode="drop")
-            validity = validity | ~group_mask  # padding rows: non-null
-        else:
-            validity = None
-        out_keys.append(EvalValue(gd, validity, v.dtype, v.dictionary))
+    out_keys, group_mask = group_keys_sorted(
+        keys, perm, gid, boundary, active_sorted, num_groups, capacity)
     return out_keys, out_states, group_mask
 
 

@@ -414,6 +414,76 @@ class ApproxDistinctAgg(AggregateFunction):
 
 
 # ---------------------------------------------------------------------------
+# Collect-style aggregates: results are per-group COLLECTIONS (or
+# order-statistics) rather than segment-combinable scalars. They have no
+# StateSpec states; the aggregation operator runs them through the
+# sort-based collect pathway (exec/aggregation.py): rows radix-sorted by
+# (group keys [+ value]) and elements emitted by prefix compaction of the
+# sorted runs. Parity: prestosql ArrayAggAggregate.cpp / SetAggAggregate /
+# MapAggAggregate / HistogramAggregate / ApproxPercentileAggregate — but
+# approx_percentile here is EXACT (rank over the sorted run), which
+# trivially satisfies any approximation bound.
+# ---------------------------------------------------------------------------
+
+
+class CollectAgg(AggregateFunction):
+    states: Tuple[StateSpec, ...] = ()
+    collect_kind: str = ""
+    # True: this aggregate's collect sort appends its value words (set_agg /
+    # map_agg / histogram / approx_percentile); False: skeleton (input)
+    # order (array_agg)
+    value_sorted = True
+
+
+class ArrayAgg(CollectAgg):
+    collect_kind = "array_agg"
+    value_sorted = False
+
+    def __init__(self, input_type: T.DataType):
+        self.name = "array_agg"
+        self.input_type = input_type
+        self.result_type = T.array(input_type)
+
+
+class SetAgg(CollectAgg):
+    collect_kind = "set_agg"
+
+    def __init__(self, input_type: T.DataType):
+        self.name = "set_agg"
+        self.input_type = input_type
+        self.result_type = T.array(input_type)
+
+
+class MapAgg(CollectAgg):
+    collect_kind = "map_agg"
+
+    def __init__(self, key_type: T.DataType, value_type: T.DataType):
+        self.name = "map_agg"
+        self.input_type = key_type
+        self.value_type = value_type
+        self.result_type = T.map_(key_type, value_type)
+
+
+class HistogramAgg(CollectAgg):
+    collect_kind = "histogram"
+
+    def __init__(self, input_type: T.DataType):
+        self.name = "histogram"
+        self.input_type = input_type
+        self.result_type = T.map_(input_type, T.BIGINT)
+
+
+class ApproxPercentileAgg(CollectAgg):
+    """approx_percentile(x, p): exact rank-based percentile over the
+    value-sorted group run (rank = ceil(p*n), 1-based lower value)."""
+    collect_kind = "approx_percentile"
+
+    def __init__(self, input_type: T.DataType):
+        self.name = "approx_percentile"
+        self.input_type = input_type
+        self.result_type = input_type
+        self.percentile = 0.5  # operator injects the constant argument
+
 
 def resolve_aggregate(name: str, input_types) -> AggregateFunction:
     name = name.lower()
@@ -444,4 +514,14 @@ def resolve_aggregate(name: str, input_types) -> AggregateFunction:
         return MinMaxByAgg(name, input_types[0], input_types[1])
     if name == "approx_distinct":
         return ApproxDistinctAgg(input_types[0])
+    if name == "array_agg":
+        return ArrayAgg(input_types[0])
+    if name == "set_agg":
+        return SetAgg(input_types[0])
+    if name == "map_agg":
+        return MapAgg(input_types[0], input_types[1])
+    if name == "histogram":
+        return HistogramAgg(input_types[0])
+    if name == "approx_percentile":
+        return ApproxPercentileAgg(input_types[0])
     raise KeyError(f"unknown aggregate function {name!r}")

@@ -31,8 +31,48 @@ def _parse_named(text: str, row_type):
     return name, e
 
 
-_AGG_RE = re.compile(
-    r"^\s*(\w+)\s*\((.*)\)\s*(?:as\s+(\w+))?\s*$", re.I | re.S)
+def _match_paren(s: str, i: int) -> int:
+    """Index of the ')' closing the '(' at s[i] (paren-depth scan)."""
+    depth = 0
+    for j in range(i, len(s)):
+        if s[j] == "(":
+            depth += 1
+        elif s[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise ValueError(f"unbalanced parentheses in {s!r}")
+
+
+def _parse_agg_spec(text: str):
+    """Parse 'name(args...) [filter (where cond)] [as out]' ->
+    (fname, arg_text, mask_text, out_name). Handles nested parens in
+    args (a regex cannot)."""
+    s = text.strip()
+    m = re.match(r"(\w+)\s*\(", s)
+    if not m:
+        raise ValueError(f"cannot parse aggregate {text!r}")
+    fname = m.group(1).lower()
+    j = _match_paren(s, m.end() - 1)
+    arg_text = s[m.end():j]
+    rest = s[j + 1:].strip()
+    mask_text = None
+    fm = re.match(r"filter\s*\(", rest, re.I)
+    if fm:
+        k = _match_paren(rest, fm.end() - 1)
+        inner = rest[fm.end():k].strip()
+        wm = re.match(r"where\s+", inner, re.I)
+        if not wm:
+            raise ValueError(f"FILTER clause must be (WHERE ...): {text!r}")
+        mask_text = inner[wm.end():].strip()
+        rest = rest[k + 1:].strip()
+    out_name = None
+    if rest:
+        am = re.match(r"as\s+(\w+)\s*$", rest, re.I)
+        if not am:
+            raise ValueError(f"cannot parse aggregate tail {rest!r}")
+        out_name = am.group(1)
+    return fname, arg_text, mask_text, out_name
 
 
 class PlanBuilder:
@@ -103,11 +143,7 @@ class PlanBuilder:
         keys = tuple(ex.field(k, rt.field_type(k)) for k in grouping_keys)
         agg_names, agg_calls = [], []
         for i, text in enumerate(aggregates):
-            m = _AGG_RE.match(text)
-            if not m:
-                raise ValueError(f"cannot parse aggregate {text!r}")
-            fname, arg_text, out_name = m.groups()
-            fname = fname.lower()
+            fname, arg_text, mask_text, out_name = _parse_agg_spec(text)
             arg_text = arg_text.strip()
             if arg_text in ("", "*"):
                 inputs = ()
@@ -115,11 +151,14 @@ class PlanBuilder:
                 inputs = tuple(
                     parse_expression(a.strip(), rt)
                     for a in _split_args(arg_text))
+            mask = (parse_expression(mask_text, rt)
+                    if mask_text is not None else None)
             from velox_tpu.functions.aggregates import resolve_aggregate
             fn = resolve_aggregate(fname, [x.dtype for x in inputs])
             agg_names.append(out_name or f"a{i}")
             agg_calls.append(P.AggregateCall(
-                name=fname, inputs=inputs, result_type=fn.result_type))
+                name=fname, inputs=inputs, result_type=fn.result_type,
+                mask=mask))
         self._node = P.AggregationNode(
             self._ids.next(), source=self._node, step=step,
             grouping_keys=keys, aggregate_names=tuple(agg_names),
@@ -206,11 +245,7 @@ class PlanBuilder:
         sk, orders = self._parse_orders(sort_keys)
         names, calls = [], []
         for i, text in enumerate(functions):
-            m = _AGG_RE.match(text)
-            if not m:
-                raise ValueError(f"cannot parse window function {text!r}")
-            fname, arg_text, out_name = m.groups()
-            fname = fname.lower()
+            fname, arg_text, _mask, out_name = _parse_agg_spec(text)
             args = tuple(
                 parse_expression(a.strip(), rt)
                 for a in _split_args(arg_text.strip()) if a.strip())
