@@ -192,3 +192,63 @@ def test_partitioned_join_skew_key_splitting():
     g = dist.sort_values(["pk", "pv"]).reset_index(drop=True)
     e = exp.sort_values(["pk", "pv"]).reset_index(drop=True)
     np.testing.assert_array_equal(g.bv.to_numpy(), e.bv.to_numpy())
+
+
+def test_distributed_orderby(conn):
+    plan = (PlanBuilder()
+            .table_scan("lineitem", ["l_orderkey", "l_quantity"],
+                        connector_id="tpch-dist")
+            .order_by(["l_quantity desc", "l_orderkey"])
+            .plan())
+    dist = DistributedTask(plan, make_mesh(8)).run().to_pandas()
+    serial = Task(plan).run().to_pandas()
+    assert len(dist) == len(serial)
+    np.testing.assert_array_equal(dist.l_orderkey, serial.l_orderkey)
+    np.testing.assert_array_equal(
+        [float(x) for x in dist.l_quantity],
+        [float(x) for x in serial.l_quantity])
+
+
+def test_distributed_limit(conn):
+    plan = (PlanBuilder()
+            .table_scan("lineitem", ["l_orderkey"],
+                        connector_id="tpch-dist")
+            .limit(100, offset=7)
+            .plan())
+    dist = DistributedTask(plan, make_mesh(8)).run().to_pandas()
+    assert len(dist) == 100
+
+
+def test_distributed_window(conn):
+    plan = (PlanBuilder()
+            .table_scan("lineitem",
+                        ["l_orderkey", "l_linenumber", "l_quantity"],
+                        connector_id="tpch-dist")
+            .window(["l_orderkey"], ["l_linenumber"],
+                    ["row_number() as rn", "sum(l_quantity) as rs"])
+            .plan())
+    dist = DistributedTask(plan, make_mesh(8)).run().to_pandas()
+    serial = Task(plan).run().to_pandas()
+    d = dist.sort_values(["l_orderkey", "l_linenumber"]) \
+        .reset_index(drop=True)
+    s = serial.sort_values(["l_orderkey", "l_linenumber"]) \
+        .reset_index(drop=True)
+    assert len(d) == len(s)
+    np.testing.assert_array_equal(d.rn, s.rn)
+    np.testing.assert_array_equal([float(x) for x in d.rs],
+                                  [float(x) for x in s.rs])
+
+
+def test_distributed_global_window(conn):
+    plan = (PlanBuilder()
+            .table_scan("lineitem", ["l_orderkey", "l_linenumber"],
+                        connector_id="tpch-dist")
+            .window([], ["l_orderkey", "l_linenumber"],
+                    ["row_number() as rn"])
+            .plan())
+    dist = DistributedTask(plan, make_mesh(8)).run().to_pandas()
+    serial = Task(plan).run().to_pandas()
+    d = dist.sort_values("rn").reset_index(drop=True)
+    s = serial.sort_values("rn").reset_index(drop=True)
+    assert len(d) == len(s)
+    np.testing.assert_array_equal(d.l_orderkey, s.l_orderkey)

@@ -151,3 +151,52 @@ def test_group_id():
     assert sorted(g0.a) == [1, 2, 3] and g0.b.isna().all()
     g2 = got[got.group_id == 2]
     assert len(g2) == 1 and int(g2.s.iloc[0]) == df.v.sum()
+
+
+def test_merge_join_duplicates_and_left():
+    left = pd.DataFrame({
+        "k": np.array([1, 1, 2, 5, 7, 7, 9], "int64"),
+        "lv": np.arange(7, dtype="int64")})
+    right = pd.DataFrame({
+        "rk": np.array([1, 2, 2, 7, 8], "int64"),
+        "rv": np.array([10, 20, 21, 70, 80], "int64")})
+    b = PlanBuilder()
+    bb = b.new_builder().values([pa.table(right)])
+    plan = (b.values([pa.table(left)])
+            .merge_join(["k"], ["rk"], bb, output=["k", "lv", "rv"],
+                        join_type="left").plan())
+    got = run(plan)
+    exp = left.merge(right, left_on="k", right_on="rk", how="left")
+    assert len(got) == len(exp)
+    assert got.lv.sum() == exp.lv.sum()
+    assert got.rv.fillna(0).sum() == exp.rv.fillna(0).sum()
+
+
+def test_merge_join_unsorted_build_raises():
+    from velox_tpu.common.errors import VeloxRuntimeError
+    left = pd.DataFrame({"k": np.array([1, 2], "int64")})
+    right = pd.DataFrame({"rk": np.array([5, 3, 4], "int64")})
+    b = PlanBuilder()
+    bb = b.new_builder().values([pa.table(right)])
+    plan = (b.values([pa.table(left)])
+            .merge_join(["k"], ["rk"], bb, output=["k", "rk"]).plan())
+    with pytest.raises(VeloxRuntimeError):
+        run(plan)
+
+
+def test_merge_join_multibatch_sorted_stream():
+    # two sorted build batches whose concatenation stays globally sorted
+    r1 = pd.DataFrame({"rk": np.array([1, 3, 5], "int64"),
+                       "rv": np.array([1, 3, 5], "int64")})
+    r2 = pd.DataFrame({"rk": np.array([6, 8], "int64"),
+                       "rv": np.array([6, 8], "int64")})
+    left = pd.DataFrame({"k": np.array([3, 5, 6, 7], "int64"),
+                         "lv": np.array([30, 50, 60, 70], "int64")})
+    b = PlanBuilder()
+    bb = b.new_builder().values([pa.table(r1), pa.table(r2)])
+    plan = (b.values([pa.table(left)])
+            .merge_join(["k"], ["rk"], bb, output=["k", "lv", "rv"])
+            .plan())
+    got = run(plan).sort_values("k")
+    assert got.k.tolist() == [3, 5, 6]
+    assert got.rv.tolist() == [3, 5, 6]

@@ -40,6 +40,9 @@ class QueryConfig:
     MAX_OUTPUT_BATCH_ROWS = "max_output_batch_rows"
     # join build -> probe scan min/max pushdown (Driver::pushdownFilters)
     DYNAMIC_FILTERS = "dynamic_filters_enabled"
+    # use StreamingAggregation when the agg input is sorted by its keys
+    # (parity: velox exec/StreamingAggregation.h:29)
+    STREAMING_AGG_ENABLED = "streaming_aggregation_enabled"
 
     _DEFAULTS: Dict[str, Any] = {
         AGG_COMPACT_THRESHOLD: 8,

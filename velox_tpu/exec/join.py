@@ -114,6 +114,36 @@ def build_sorted_table(b: DeviceBatch, key_fields) -> SortedBuild:
                        jnp.any(b.mask & ~usable), jnp.any(dup))
 
 
+def build_sorted_table_presorted(b: DeviceBatch, key_fields) -> SortedBuild:
+    """SortedBuild from input ALREADY sorted by the join keys (merge join):
+    usable rows compact stably to a prefix — NO radix sort. Parity: velox
+    MergeJoin's right-side accumulation (exec/MergeJoin.cpp), which never
+    hashes or sorts. Also returns nothing about order violations — callers
+    check ``presorted_is_sorted``."""
+    from velox_tpu.ops.wide import scatter_unique_set
+    cap = b.capacity
+    keys = _key_values(b, key_fields)
+    usable = _usable(b, keys)
+    n = jnp.sum(usable.astype(jnp.int32))
+    pos = jnp.cumsum(usable.astype(jnp.int32)) - 1
+    tgt = jnp.where(usable, pos, jnp.int32(cap))
+    perm = jnp.zeros((cap,), jnp.int32).at[tgt].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    packed = scatter_unique_set(cap + 1, tgt,
+                                pack_key_u64(keys, cap))[:cap]
+    in_prefix = jnp.arange(cap, dtype=jnp.int32) < n
+    packed = jnp.where(in_prefix, packed, _U64_MAX)
+    dup = (packed[1:] == packed[:-1]) & in_prefix[1:]
+    return SortedBuild(packed, perm, n, b, n.astype(jnp.int64),
+                       jnp.any(b.mask & ~usable), jnp.any(dup))
+
+
+def presorted_is_sorted(bt: SortedBuild):
+    """Device scalar: the compacted key prefix is non-decreasing (the
+    merge-join input contract)."""
+    return jnp.all(bt.sorted_key[1:] >= bt.sorted_key[:-1])
+
+
 def build_hash_table(b: DeviceBatch, key_fields) -> BuiltTable:
     """Pure traced build of the scatter-probe fallback table."""
     cap = b.capacity
@@ -644,3 +674,64 @@ class HashJoinOperator(Operator):
 
     def is_finished(self):
         return self._no_more_input and not self._outputs
+
+
+class MergeJoinOperator(HashJoinOperator):
+    """Sorted-input join. Parity: ``velox/exec/MergeJoin.h:45``.
+
+    TPU-first: with the build side already key-sorted, the table build is a
+    stable compaction (build_sorted_table_presorted — no radix sort), and
+    each probe is two binary searches over the packed build keys
+    (log2(N) dense gathers) instead of the merge-rank sort the hash join
+    uses for unsorted inputs. Probe-side sortedness is not required (each
+    probe row looks up independently), so this also serves plans where only
+    one side is sorted. All join types / filters / right phases inherit
+    from HashJoinOperator."""
+
+    def _lookup(self, batch: DeviceBatch, bt):
+        keys = _key_values(batch, self._node.left_keys)
+        probe_ok = _usable(batch, keys)
+        cap = batch.capacity
+        if isinstance(bt, SortedBuild):
+            pk = pack_key_u64(keys, cap)
+            lo = jnp.searchsorted(bt.sorted_key, pk,
+                                  side="left").astype(jnp.int32)
+            hi = jnp.searchsorted(bt.sorted_key, pk,
+                                  side="right").astype(jnp.int32)
+            counts = hi - lo
+            # guard the U64_MAX-padded tail (a real key CAN pack to MAX)
+            hit = probe_ok & (counts > 0) & (lo < bt.n_usable)
+            counts = jnp.where(hit, counts, 0)
+            return probe_ok, jnp.clip(lo, 0, bt.perm.shape[0] - 1), \
+                counts, hit
+        return super()._lookup(batch, bt)
+
+
+class MergeBuildStage:
+    """Accumulates the (pre-sorted) right side of a merge join; finish()
+    validates the sort contract once and returns a SortedBuild."""
+
+    def __init__(self, key_fields, offload_bytes=None):
+        from velox_tpu.common import metrics as M
+        from velox_tpu.exec.memory import OffloadBuffer
+        self._key_fields = list(key_fields)
+        self._buf = OffloadBuffer(offload_bytes,
+                                  metric_key=M.K_JOIN_BUILD_OFFLOADS)
+
+    def add_input(self, batch: DeviceBatch):
+        self._buf.add(batch)
+
+    def finish(self):
+        from velox_tpu.common.errors import VeloxRuntimeError
+        batches = self._buf.restore_all()
+        merged = concat_batches(batches) if batches else None
+        if merged is None:
+            raise RuntimeError("empty build side requires at least one "
+                               "(possibly empty) batch")
+        bt, ok = jax.jit(lambda b: (
+            (t := build_sorted_table_presorted(b, tuple(self._key_fields))),
+            presorted_is_sorted(t)))(merged)
+        if not bool(jax.device_get(ok)):
+            raise VeloxRuntimeError(
+                "merge join right side is not sorted by the join keys")
+        return bt

@@ -223,6 +223,24 @@ class Task:
             from velox_tpu.exec.fuse import chain_fn, collapse_chain
             chain = collapse_chain(node.source)
             qc = self.ctx.query_config
+            # input sorted by the grouping keys -> streaming aggregation
+            # (parity: velox StreamingAggregation.h:29, chosen when the
+            # source declares ordering)
+            if (chain.is_identity
+                    and isinstance(node.source, P.OrderByNode)
+                    and qc.get_bool(QC.STREAMING_AGG_ENABLED, True)):
+                from velox_tpu.exec.streaming_agg import (
+                    StreamingAggregationOperator, streaming_supported,
+                )
+                knames = {k.name for k in node.grouping_keys}
+                prefix = [k.name
+                          for k in node.source.keys[:len(knames)]]
+                if (len(node.source.keys) >= len(knames)
+                        and set(prefix) == knames
+                        and streaming_supported(node)):
+                    yield from self._drive(
+                        node.source, StreamingAggregationOperator(node))
+                    return
 
             def mk_agg(pre):
                 return AggregationOperator(
@@ -275,14 +293,17 @@ class Task:
         elif isinstance(node, P.NestedLoopJoinNode):
             yield from self._run_nested_loop_join(node)
         elif isinstance(node, P.MergeJoinNode):
-            # executed via the hash-join machinery (correct; sortedness
-            # not yet exploited)
-            hj = P.HashJoinNode(
-                node.id, left=node.left, right=node.right,
-                join_type=node.join_type, left_keys=node.left_keys,
-                right_keys=node.right_keys, filter=node.filter,
-                output_columns=node.output_columns)
-            yield from self._run_join(hj)
+            from velox_tpu.exec.sort import packable_words
+            if packable_words([k.dtype for k in node.right_keys]):
+                yield from self._run_merge_join(node)
+            else:
+                # wide key tuples: hash-join machinery (correct fallback)
+                hj = P.HashJoinNode(
+                    node.id, left=node.left, right=node.right,
+                    join_type=node.join_type, left_keys=node.left_keys,
+                    right_keys=node.right_keys, filter=node.filter,
+                    output_columns=node.output_columns)
+                yield from self._run_join(hj)
         elif isinstance(node, P.WindowNode):
             from velox_tpu.exec.window import WindowOperator
             yield from self._drive(node.source, WindowOperator(node))
@@ -379,6 +400,24 @@ class Task:
         probe.set_built_table(table)
         left = self._maybe_push_dynamic_filter(node, table)
         yield from self._drive(left, probe)
+
+    def _run_merge_join(self, node: P.MergeJoinNode
+                        ) -> Iterator[DeviceBatch]:
+        """Sorted-input join (parity: velox/exec/MergeJoin.h:45): the
+        pre-sorted right side compacts without sorting; probes binary-search
+        the packed build keys (exec/join.py MergeJoinOperator)."""
+        from velox_tpu.core.config import QueryConfig as QC
+        from velox_tpu.exec.join import MergeBuildStage, MergeJoinOperator
+        build = MergeBuildStage(
+            node.right_keys,
+            offload_bytes=self.ctx.query_config.get_int(
+                QC.JOIN_BUILD_OFFLOAD_BYTES, 4 << 30))
+        for batch in self._run_node(node.right):
+            build.add_input(batch)
+        table = build.finish()
+        probe = MergeJoinOperator(node)
+        probe.set_built_table(table)
+        yield from self._drive(node.left, probe)
 
     def _maybe_push_dynamic_filter(self, node: P.HashJoinNode, table
                                    ) -> P.PlanNode:

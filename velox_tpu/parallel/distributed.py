@@ -144,6 +144,12 @@ class DistributedTask:
         elif isinstance(node, (Pn.LocalPartitionNode,
                                Pn.PartitionedOutputNode)):
             yield from self._run_repartition(node)
+        elif isinstance(node, Pn.OrderByNode):
+            yield from self._run_orderby(node)
+        elif isinstance(node, Pn.LimitNode):
+            yield from self._run_limit(node)
+        elif isinstance(node, Pn.WindowNode):
+            yield from self._run_window(node)
         else:
             raise NotImplementedError(
                 f"distributed operator for {type(node).__name__}")
@@ -660,6 +666,92 @@ class DistributedTask:
             jax.shard_map(final, mesh=self.mesh, in_specs=P(DATA_AXIS),
                           out_specs=P(DATA_AXIS), check_vma=False))
         yield fin(buf)
+
+    # -- orderby / limit / window -------------------------------------------------
+
+    def _run_orderby(self, node: Pn.OrderByNode) -> Iterator[DeviceBatch]:
+        """Distributed ORDER BY: final sort on one device after a gather.
+        Parity: Presto/velox final ORDER BY stages are single-driver merges
+        of partial-sorted streams (exec/Merge.h) — here the gather is the
+        exchange and one radix sort replaces the k-way merge."""
+        from velox_tpu.exec.orderby import _key_ranges
+        waves = list(self._run_node(node.source))
+        if not waves:
+            return
+        merged = _concat_stacked(waves)
+        keys, orders = list(node.keys), list(node.orders)
+        rngs = _key_ranges(node, keys)
+        n = self.n
+
+        def final(local):
+            local = _squeeze0(local)
+            allb = X.broadcast_gather(local, n, DATA_AXIS)
+            s = sort_batch(allb, keys, orders, rngs)
+            dev = jax.lax.axis_index(DATA_AXIS)
+            return _expand0(s.with_mask(s.mask & (dev == 0)))
+
+        fn = jax.jit(jax.shard_map(
+            final, mesh=self.mesh, in_specs=P(DATA_AXIS),
+            out_specs=P(DATA_AXIS), check_vma=False))
+        yield fn(merged)
+
+    def _run_limit(self, node: Pn.LimitNode) -> Iterator[DeviceBatch]:
+        """Distributed LIMIT/OFFSET: global row positions via an
+        all_gather of per-device counts (no data movement; parity:
+        velox/exec/Limit.h over a gather exchange)."""
+        n = self.n
+        off, cnt = node.offset, node.count
+
+        def step(local, seen):
+            local = _squeeze0(local)
+            c = jnp.sum(local.mask.astype(jnp.int64))
+            counts = jax.lax.all_gather(c, DATA_AXIS)
+            dev = jax.lax.axis_index(DATA_AXIS)
+            before = jnp.sum(jnp.where(
+                jnp.arange(n) < dev, counts, jnp.int64(0)))
+            prefix = jnp.cumsum(local.mask.astype(jnp.int64)) - 1
+            pos = seen + before + prefix
+            keep = local.mask & (pos >= off) & (pos < off + cnt)
+            return _expand0(local.with_mask(keep)), seen + jnp.sum(counts)
+
+        fn = jax.jit(jax.shard_map(
+            step, mesh=self.mesh, in_specs=(P(DATA_AXIS), P()),
+            out_specs=(P(DATA_AXIS), P()), check_vma=False))
+        seen = jnp.zeros((), jnp.int64)
+        for stacked in self._run_node(node.source):
+            out, seen = fn(stacked, seen)
+            yield out
+
+    def _run_window(self, node: Pn.WindowNode) -> Iterator[DeviceBatch]:
+        """Distributed window: reshard by partition keys so each device
+        owns whole partitions, then the serial sort-based window build runs
+        per shard (exec/window.py). A window with no partition keys is one
+        global partition: gather + compute on device 0."""
+        from velox_tpu.exec.window import WindowOperator
+        op = WindowOperator(node)
+        waves = list(self._run_node(node.source))
+        if not waves:
+            return
+        merged = _concat_stacked(waves)
+        key_names = [k.name for k in node.partition_keys]
+        if key_names:
+            window = self._count_window(merged, key_names)
+            resharded = self._reshard(merged, key_names, window)
+            yield jax.jit(jax.vmap(op._compute))(resharded)
+            return
+        n = self.n
+
+        def final(local):
+            local = _squeeze0(local)
+            allb = X.broadcast_gather(local, n, DATA_AXIS)
+            out = op._compute(allb)
+            dev = jax.lax.axis_index(DATA_AXIS)
+            return _expand0(out.with_mask(out.mask & (dev == 0)))
+
+        fn = jax.jit(jax.shard_map(
+            final, mesh=self.mesh, in_specs=P(DATA_AXIS),
+            out_specs=P(DATA_AXIS), check_vma=False))
+        yield fn(merged)
 
     # -- repartition ------------------------------------------------------------------
 
