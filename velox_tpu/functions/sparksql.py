@@ -7,6 +7,7 @@ plus aliases onto the shared implementations (functions/lib parity).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -116,3 +117,339 @@ register("add_months",
          lambda ts: T.DATE if len(ts) == 2
          and ts[0].kind in _DATELIKE and ts[1].is_integral
          else None, _add_months_eval)
+
+
+# ---------------------------------------------------------------------------
+# Spark murmur3 hash parity. Parity: velox/functions/sparksql/Hash.cpp
+# (Murmur3Hash: hashInt32/hashInt64/hashFloat/hashDouble/hashBytes, seed 42,
+# seed chains across arguments, NULL leaves the seed unchanged) — required
+# for Gluten-compatible shuffles.
+#
+# TPU-first: the whole mixer runs on uint32 lanes (wrapping multiplies) —
+# one fused elementwise program per hash() call. Strings hash in
+# dictionary-block space: each dictionary entry's utf8 bytes expand ONCE on
+# the host into Spark's block sequence (aligned 4-byte LE words, then each
+# tail byte sign-extended as its own block); rows gather their entry's
+# block row and fold it with a fori loop.
+# ---------------------------------------------------------------------------
+
+_MM_C1 = np.uint32(0xCC9E2D51)
+_MM_C2 = np.uint32(0x1B873593)
+
+
+def _rotl32(x, r):
+    return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
+
+
+def _mm_mix_k1(k1):
+    k1 = (k1 * _MM_C1).astype(jnp.uint32)
+    k1 = _rotl32(k1, 15)
+    return (k1 * _MM_C2).astype(jnp.uint32)
+
+
+def _mm_mix_h1(h1, k1):
+    h1 = (h1 ^ k1).astype(jnp.uint32)
+    h1 = _rotl32(h1, 13)
+    return (h1 * np.uint32(5) + np.uint32(0xE6546B64)).astype(jnp.uint32)
+
+
+def _mm_fmix(h1, length):
+    h1 = h1 ^ jnp.asarray(length, jnp.uint32)
+    h1 = h1 ^ (h1 >> np.uint32(16))
+    h1 = (h1 * np.uint32(0x85EBCA6B)).astype(jnp.uint32)
+    h1 = h1 ^ (h1 >> np.uint32(13))
+    h1 = (h1 * np.uint32(0xC2B2AE35)).astype(jnp.uint32)
+    return h1 ^ (h1 >> np.uint32(16))
+
+
+def _mm_hash_i32(u32, seed):
+    return _mm_fmix(_mm_mix_h1(seed, _mm_mix_k1(u32)), 4)
+
+
+def _mm_hash_i64(i64, seed):
+    u = i64.astype(jnp.uint64)
+    lo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (u >> jnp.uint64(32)).astype(jnp.uint32)
+    h1 = _mm_mix_h1(seed, _mm_mix_k1(lo))
+    h1 = _mm_mix_h1(h1, _mm_mix_k1(hi))
+    return _mm_fmix(h1, 8)
+
+
+def _double_bits(x):
+    """IEEE-754 double bits WITHOUT bitcast (unsupported f64<->i64 on the
+    TPU x64 path): sign/exponent/mantissa reconstructed arithmetically.
+    Denormals are flushed to zero (acceptable for hash partitioning)."""
+    x = jnp.where(x == 0.0, 0.0, x)           # -0.0 -> 0.0 (Spark)
+    sign = jnp.where(jnp.signbit(x), jnp.uint64(1) << jnp.uint64(63),
+                     jnp.uint64(0))
+    ax = jnp.abs(x)
+    m, e = jnp.frexp(ax)                      # m in [0.5, 1)
+    mant = jnp.round((m * 2.0 - 1.0) * (2.0 ** 52)).astype(jnp.uint64)
+    expb = jnp.clip(e + 1022, 1, 2046).astype(jnp.uint64)
+    bits = sign | (expb << jnp.uint64(52)) | mant
+    bits = jnp.where(ax == 0.0, jnp.uint64(0), bits)
+    bits = jnp.where(jnp.isinf(ax),
+                     sign | jnp.uint64(0x7FF0000000000000), bits)
+    bits = jnp.where(jnp.isnan(x), jnp.uint64(0x7FF8000000000000), bits)
+    return bits.astype(jnp.int64)
+
+
+def _spark_string_blocks(dictionary):
+    """(blocks[n, maxB] int32, nblocks[n] int32, bytelen[n] int32) —
+    Spark's hashUnsafeBytes block sequence per dictionary entry."""
+    rows = []
+    lens = []
+    for v in dictionary.values:
+        b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        words = [int.from_bytes(b[i:i + 4], "little")
+                 for i in range(0, len(b) - len(b) % 4, 4)]
+        for t in b[len(b) - len(b) % 4:]:
+            words.append(t - 256 if t >= 128 else t)  # signed byte
+        rows.append(words)
+        lens.append(len(b))
+    max_b = max((len(r) for r in rows), default=0)
+    blocks = np.zeros((len(rows), max(max_b, 1)), np.int64)
+    nb = np.zeros((len(rows),), np.int32)
+    for i, r in enumerate(rows):
+        blocks[i, :len(r)] = np.asarray(r, np.int64)
+        nb[i] = len(r)
+    return (blocks.astype(np.uint32).astype(np.int64),  # u32 payload
+            nb, np.asarray(lens, np.int32))
+
+
+def _hash_one_column(v, seed, ctx):
+    from velox_tpu import types as T
+    cap = ctx.capacity
+    k = v.dtype.kind
+    if v.dtype.is_string:
+        blocks, nb, blen = _spark_string_blocks(v.dictionary)
+        blocks_d = jnp.asarray(blocks.astype(np.uint32))
+        nb_d = jnp.asarray(nb)
+        blen_d = jnp.asarray(blen)
+        ids = jnp.clip(v.full_data(cap).astype(jnp.int32), 0,
+                       max(len(nb) - 1, 0))
+        row_blocks = blocks_d[ids]            # (cap, maxB) uint32
+        row_nb = nb_d[ids]
+        max_b = int(blocks.shape[1])
+
+        def body(b, h1):
+            k1 = _mm_mix_k1(row_blocks[:, b])
+            return jnp.where(b < row_nb, _mm_mix_h1(h1, k1), h1)
+
+        h1 = jax.lax.fori_loop(0, max_b, body, seed)
+        return _mm_fmix(h1, blen_d[ids].astype(jnp.uint32))
+    data = v.full_data(cap)
+    if k in (T.TypeKind.BOOLEAN, T.TypeKind.TINYINT, T.TypeKind.SMALLINT,
+             T.TypeKind.INTEGER, T.TypeKind.DATE):
+        u = jax.lax.bitcast_convert_type(
+            data.astype(jnp.int32), jnp.uint32)
+        return _mm_hash_i32(u, seed)
+    if k is T.TypeKind.REAL:
+        f = data.astype(jnp.float32)
+        f = jnp.where(f == 0.0, jnp.float32(0.0), f)
+        u = jax.lax.bitcast_convert_type(f, jnp.uint32)
+        u = jnp.where(jnp.isnan(f), jnp.uint32(0x7FC00000), u)
+        return _mm_hash_i32(u, seed)
+    if k is T.TypeKind.DOUBLE:
+        return _mm_hash_i64(_double_bits(data.astype(jnp.float64)), seed)
+    if k in (T.TypeKind.BIGINT, T.TypeKind.TIMESTAMP,
+             T.TypeKind.DECIMAL):
+        return _mm_hash_i64(data.astype(jnp.int64), seed)
+    raise NotImplementedError(f"spark hash over {v.dtype}")
+
+
+def _spark_hash_eval(ctx, out_dtype, args):
+    import jax as _jax  # noqa: F401
+    cap = ctx.capacity
+    seed = jnp.full((cap,), 42, jnp.uint32)
+    for v in args:
+        h = _hash_one_column(v, seed, ctx)
+        if v.validity is not None:
+            valid = v.full_validity(cap)
+            h = jnp.where(valid, h, seed)     # NULL: seed unchanged
+        seed = h
+    out = jax.lax.bitcast_convert_type(seed, jnp.int32)
+    return EvalValue(out, None, T.INTEGER)
+
+
+register("hash", lambda ts: T.INTEGER if ts else None, _spark_hash_eval)
+
+
+# ---------------------------------------------------------------------------
+# Spark xxhash64 parity. Parity: velox/functions/sparksql/Hash.cpp
+# (XxHash64: seed 42, chains across arguments, NULL passes the seed).
+# uint64 lane arithmetic (emulated 32-bit pairs on TPU, exact).
+# ---------------------------------------------------------------------------
+
+_XP1 = np.uint64(0x9E3779B185EBCA87)
+_XP2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XP3 = np.uint64(0x165667B19E3779F9)
+_XP4 = np.uint64(0x85EBCA77C2B2AE63)
+_XP5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _rotl64(x, r):
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _xx_fmix(h):
+    h = h ^ (h >> np.uint64(33))
+    h = (h * _XP2).astype(jnp.uint64)
+    h = h ^ (h >> np.uint64(29))
+    h = (h * _XP3).astype(jnp.uint64)
+    return h ^ (h >> np.uint64(32))
+
+
+def _xx_hash_i32(u32, seed):
+    h = (seed + _XP5 + np.uint64(4)).astype(jnp.uint64)
+    h = h ^ (u32.astype(jnp.uint64) * _XP1).astype(jnp.uint64)
+    h = (_rotl64(h, 23) * _XP2 + _XP3).astype(jnp.uint64)
+    return _xx_fmix(h)
+
+
+def _xx_hash_i64(u64, seed):
+    h = (seed + _XP5 + np.uint64(8)).astype(jnp.uint64)
+    h = h ^ (_rotl64((u64 * _XP2).astype(jnp.uint64), 31)
+             * _XP1).astype(jnp.uint64)
+    h = (_rotl64(h, 27) * _XP1 + _XP4).astype(jnp.uint64)
+    return _xx_fmix(h)
+
+
+def _xx_string_words(dictionary):
+    """(words[n, W] uint64 little-endian 8-byte blocks, bytelen[n] int32);
+    W padded so stripe/tail indexing never leaves the array."""
+    lens = []
+    packed = []
+    for v in dictionary.values:
+        b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        lens.append(len(b))
+        pad = b + b"\0" * ((-len(b)) % 8)
+        packed.append([int.from_bytes(pad[i:i + 8], "little")
+                       for i in range(0, len(pad), 8)])
+    max_w = max((len(p) for p in packed), default=0) + 5
+    max_w += (-max_w) % 4
+    words = np.zeros((len(packed), max_w), np.uint64)
+    for i, p in enumerate(packed):
+        words[i, :len(p)] = np.asarray(p, np.uint64)
+    return words, np.asarray(lens, np.int32)
+
+
+def _xx_hash_bytes(row_words, length, seed):
+    """XXH64 over per-row byte strings laid out as uint64 word rows.
+    row_words: (cap, W) uint64; length: (cap,) int32; seed: (cap,) u64."""
+    L = length.astype(jnp.uint64)
+    nstripes = (length // 32).astype(jnp.int32)
+    max_stripes = row_words.shape[1] // 4
+
+    def wcol(idx):
+        return jnp.take_along_axis(row_words, idx[:, None], axis=1)[:, 0]
+
+    def stripe_step(v, k):
+        return (_rotl64((v + (k * _XP2).astype(jnp.uint64))
+                        .astype(jnp.uint64), 31) * _XP1).astype(jnp.uint64)
+
+    v1 = (seed + _XP1 + _XP2).astype(jnp.uint64)
+    v2 = (seed + _XP2).astype(jnp.uint64)
+    v3 = seed
+    v4 = (seed - _XP1).astype(jnp.uint64)
+
+    def sbody(s, vs):
+        v1, v2, v3, v4 = vs
+        base = jnp.full_like(nstripes, 4 * s)
+        cond = s < nstripes
+        nv = [stripe_step(v, wcol(base + j))
+              for j, v in enumerate((v1, v2, v3, v4))]
+        return tuple(jnp.where(cond, n, o)
+                     for n, o in zip(nv, (v1, v2, v3, v4)))
+
+    v1, v2, v3, v4 = jax.lax.fori_loop(
+        0, max_stripes, sbody, (v1, v2, v3, v4))
+    merged = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12)
+              + _rotl64(v4, 18)).astype(jnp.uint64)
+    for v in (v1, v2, v3, v4):
+        merged = merged ^ (_rotl64((v * _XP2).astype(jnp.uint64), 31)
+                           * _XP1).astype(jnp.uint64)
+        merged = (merged * _XP1 + _XP4).astype(jnp.uint64)
+    h = jnp.where(nstripes > 0, merged,
+                  (seed + _XP5).astype(jnp.uint64))
+    h = (h + L).astype(jnp.uint64)
+    # tail 8-byte words (at most 3)
+    rem = length % 32
+    n8 = rem // 8
+    w0 = nstripes * 4
+
+    def rbody(j, h):
+        k = wcol(w0 + j)
+        nh = h ^ (_rotl64((k * _XP2).astype(jnp.uint64), 31)
+                  * _XP1).astype(jnp.uint64)
+        nh = (_rotl64(nh, 27) * _XP1 + _XP4).astype(jnp.uint64)
+        return jnp.where(j < n8, nh, h)
+
+    h = jax.lax.fori_loop(0, 3, rbody, h)
+    # tail 4-byte chunk
+    kw = wcol(w0 + n8)
+    rem4 = rem % 8
+    has4 = rem4 >= 4
+    k4 = (kw & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint64)
+    nh = h ^ (k4 * _XP1).astype(jnp.uint64)
+    nh = (_rotl64(nh, 23) * _XP2 + _XP3).astype(jnp.uint64)
+    h = jnp.where(has4, nh, h)
+    # tail bytes (at most 3), offset past the 4-byte chunk when taken
+    nbytes = rem4 - jnp.where(has4, 4, 0)
+    boff = jnp.where(has4, 4, 0).astype(jnp.uint64)
+
+    def bbody(j, h):
+        shift = ((boff + j) * jnp.uint64(8))
+        byte = (kw >> shift) & jnp.uint64(0xFF)
+        nh = (_rotl64(h ^ (byte * _XP5).astype(jnp.uint64), 11)
+              * _XP1).astype(jnp.uint64)
+        return jnp.where(j < nbytes, nh, h)
+
+    h = jax.lax.fori_loop(0, 3, bbody, h)
+    return _xx_fmix(h)
+
+
+def _xx_one_column(v, seed, ctx):
+    cap = ctx.capacity
+    k = v.dtype.kind
+    if v.dtype.is_string:
+        words, blen = _xx_string_words(v.dictionary)
+        ids = jnp.clip(v.full_data(cap).astype(jnp.int32), 0,
+                       max(len(blen) - 1, 0))
+        return _xx_hash_bytes(jnp.asarray(words)[ids],
+                              jnp.asarray(blen)[ids], seed)
+    data = v.full_data(cap)
+    if k in (T.TypeKind.BOOLEAN, T.TypeKind.TINYINT, T.TypeKind.SMALLINT,
+             T.TypeKind.INTEGER, T.TypeKind.DATE):
+        u = jax.lax.bitcast_convert_type(
+            data.astype(jnp.int32), jnp.uint32)
+        return _xx_hash_i32(u, seed)
+    if k is T.TypeKind.REAL:
+        f = data.astype(jnp.float32)
+        f = jnp.where(f == 0.0, jnp.float32(0.0), f)
+        u = jax.lax.bitcast_convert_type(f, jnp.uint32)
+        u = jnp.where(jnp.isnan(f), jnp.uint32(0x7FC00000), u)
+        return _xx_hash_i32(u, seed)
+    if k is T.TypeKind.DOUBLE:
+        bits = _double_bits(data.astype(jnp.float64))
+        return _xx_hash_i64(bits.astype(jnp.uint64), seed)
+    if k in (T.TypeKind.BIGINT, T.TypeKind.TIMESTAMP, T.TypeKind.DECIMAL):
+        return _xx_hash_i64(data.astype(jnp.int64).astype(jnp.uint64),
+                            seed)
+    raise NotImplementedError(f"xxhash64 over {v.dtype}")
+
+
+def _spark_xxhash64_eval(ctx, out_dtype, args):
+    cap = ctx.capacity
+    seed = jnp.full((cap,), 42, jnp.uint64)
+    for v in args:
+        h = _xx_one_column(v, seed, ctx)
+        if v.validity is not None:
+            h = jnp.where(v.full_validity(cap), h, seed)
+        seed = h
+    out = jax.lax.bitcast_convert_type(seed, jnp.int64)
+    return EvalValue(out, None, T.BIGINT)
+
+
+register("xxhash64", lambda ts: T.BIGINT if ts else None,
+         _spark_xxhash64_eval)
