@@ -260,3 +260,117 @@ def _from_unixtime_eval(ctx, out_dtype, args):
 register("from_unixtime",
          lambda ts: T.TIMESTAMP if len(ts) == 1 and ts[0].is_numeric
          else None, _from_unixtime_eval)
+
+
+# ---------------------------------------------------------------------------
+# IANA time zones. Parity: velox/type/tz/TimeZoneMap.h + prestosql datetime
+# functions with zone arguments.
+#
+# TPU-first: a zone's TZif transition table (RFC 8536, read from the system
+# tzdata) becomes two small device arrays (transition instants + UTC offsets);
+# per row the offset is offsets[searchsorted(transitions, ts)] — one binary
+# search over a few hundred entries, fully traced. Zone names must be
+# constants (they select the baked table at trace time).
+# ---------------------------------------------------------------------------
+
+import os as _os
+import struct as _struct
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _tz_table(name: str):
+    """(transitions_micros int64[n+1], offsets_seconds int32[n+1]) from the
+    TZif file: offsets[i] applies to instants in
+    [transitions[i], transitions[i+1]). transitions[0] = -inf sentinel."""
+    for base in ("/usr/share/zoneinfo",
+                 _os.path.join(_os.path.dirname(
+                     __import__("tzdata").__file__), "zoneinfo")):
+        path = _os.path.join(base, name)
+        if _os.path.exists(path):
+            break
+    else:
+        raise ValueError(f"unknown time zone {name!r}")
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"TZif":
+        raise ValueError(f"{name}: not a TZif file")
+
+    def parse_block(off, tsize, fmt):
+        (isutcnt, isstdcnt, leapcnt, timecnt, typecnt, charcnt
+         ) = _struct.unpack(">6I", data[off + 20:off + 44])
+        p = off + 44
+        times = _struct.unpack(f">{timecnt}{fmt}",
+                               data[p:p + timecnt * tsize])
+        p += timecnt * tsize
+        idx = data[p:p + timecnt]
+        p += timecnt
+        types = [_struct.unpack(">lBB", data[p + i * 6:p + i * 6 + 6])
+                 for i in range(typecnt)]
+        p += typecnt * 6 + charcnt + leapcnt * (tsize + 4) \
+            + isstdcnt + isutcnt
+        return times, idx, types, p
+
+    version = data[4:5]
+    times, idx, types, end = parse_block(0, 4, "l")
+    if version in (b"2", b"3"):
+        times, idx, types, _ = parse_block(end, 8, "q")
+    if not types:
+        raise ValueError(f"{name}: empty zone data")
+    # offset before the first transition: the first non-DST type (TZif
+    # convention), else type 0
+    first = next((t for t in types if not t[1]), types[0])
+    offs = [first[0]] + [types[i][0] for i in idx]
+    trans = [-(1 << 62)] + [t * 1_000_000 for t in times]
+    return (np.asarray(trans, np.int64), np.asarray(offs, np.int32))
+
+
+def _tz_offset_seconds(ts_micros, tz_name: str):
+    """Traced per-row UTC offset (seconds) of the zone at each instant."""
+    trans, offs = _tz_table(tz_name)
+    i = jnp.searchsorted(jnp.asarray(trans), ts_micros, side="right") - 1
+    return jnp.asarray(offs)[jnp.clip(i, 0, len(offs) - 1)]
+
+
+def _const_str(v) -> str:
+    s = v.py_value if hasattr(v, "py_value") else None
+    if s is None:
+        raise ValueError("time zone argument must be a constant string")
+    return s
+
+
+def _at_timezone_eval(ctx, out_dtype, args):
+    ts, tz = args
+    data = ts.full_data(ctx.capacity).astype(jnp.int64)
+    off = _tz_offset_seconds(data, _const_str(tz))
+    local = data + off.astype(jnp.int64) * 1_000_000
+    return EvalValue(local, ts.validity, T.TIMESTAMP)
+
+
+register("at_timezone",
+         lambda ts: T.TIMESTAMP if len(ts) == 2
+         and ts[0].kind is T.TypeKind.TIMESTAMP else None,
+         _at_timezone_eval)
+
+
+def _tz_part_eval(minute: bool):
+    def eval_fn(ctx, out_dtype, args):
+        ts, tz = args
+        data = ts.full_data(ctx.capacity).astype(jnp.int64)
+        off = _tz_offset_seconds(data, _const_str(tz))
+        # Presto truncates toward zero: -9:30 -> hour -9, minute -30
+        sign = jnp.where(off < 0, -1, 1)
+        a = jnp.abs(off)
+        val = sign * ((a % 3600) // 60 if minute else a // 3600)
+        return EvalValue(val.astype(jnp.int64), ts.validity, T.BIGINT)
+    return eval_fn
+
+
+register("timezone_hour",
+         lambda ts: T.BIGINT if len(ts) == 2
+         and ts[0].kind is T.TypeKind.TIMESTAMP else None,
+         _tz_part_eval(False))
+register("timezone_minute",
+         lambda ts: T.BIGINT if len(ts) == 2
+         and ts[0].kind is T.TypeKind.TIMESTAMP else None,
+         _tz_part_eval(True))
