@@ -41,8 +41,20 @@ class HiveSplit(ConnectorSplit):
     row_group_hi: int = 0  # exclusive
 
 
+def _path_partitions(path: str) -> Dict[str, str]:
+    """Hive partition values from ``key=value`` path segments."""
+    out: Dict[str, str] = {}
+    for seg in os.path.dirname(path).split(os.sep):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = v
+    return out
+
+
 class HiveTable:
-    """A registered file-backed table (list of parquet files)."""
+    """A registered file-backed table (list of parquet files). Hive
+    ``key=value`` directory segments become VARCHAR partition columns
+    (parity: HiveConnectorSplit partitionKeys)."""
 
     def __init__(self, name: str, paths: List[str]):
         import pyarrow.parquet as pq
@@ -51,10 +63,15 @@ class HiveTable:
         if not self.paths:
             raise ValueError(f"hive table {name!r}: no files")
         self.schema_arrow = pq.read_schema(self.paths[0])
-        self.row_type = T.from_arrow_schema(self.schema_arrow) \
-            if hasattr(T, "from_arrow_schema") else T.row(
-                self.schema_arrow.names,
-                [T.from_arrow(f.type) for f in self.schema_arrow])
+        self.partitions = {p: _path_partitions(p) for p in self.paths}
+        self.partition_cols = sorted(
+            {k for ps in self.partitions.values() for k in ps})
+        names = (list(self.schema_arrow.names)
+                 + [c for c in self.partition_cols
+                    if c not in self.schema_arrow.names])
+        types = [T.from_arrow(f.type) for f in self.schema_arrow] \
+            + [T.VARCHAR] * (len(names) - len(self.schema_arrow.names))
+        self.row_type = T.row(names, types)
         self._dictionaries: Optional[Dict[str, Dictionary]] = None
         self._max_row_group_rows: Optional[int] = None
 
@@ -76,6 +93,10 @@ class HiveTable:
                         uniq[c].update(v for v in vals if v is not None)
                 for c in str_cols:
                     out[c] = Dictionary(sorted(uniq[c]))
+            for c in self.partition_cols:
+                vals = {ps.get(c) for ps in self.partitions.values()}
+                out[c] = Dictionary(sorted(v for v in vals
+                                           if v is not None))
             self._dictionaries = out
         return self._dictionaries
 
@@ -130,24 +151,80 @@ class HiveDataSource(DataSource):
         if cached is not None:
             return cached
         pf = pq.ParquetFile(split.path)
+        pcols = [c for c in self._columns
+                 if c in self._table.partition_cols]
+        fcols = [c for c in self._columns if c not in pcols]
         t = pf.read_row_groups(
             list(range(split.row_group_lo, split.row_group_hi)),
-            columns=self._columns)
+            columns=fcols)
+        if pcols:
+            # partition values are path metadata -> constant columns
+            import pyarrow as pa
+            part = self._table.partitions[split.path]
+            for c in pcols:
+                t = t.append_column(
+                    c, pa.array([part.get(c)] * t.num_rows, pa.string()))
+            t = t.select(self._columns)
         batch = from_arrow(t, capacity=self._capacity,
                            dictionaries=self.dictionaries())
         DataCache.instance().put(ckey, batch)
         return batch
 
 
-class HiveDataSink(DataSink):
-    """Writes device batches to a parquet file.
-    Parity: connectors/hive/HiveDataSink.h:427 (appendData/close)."""
+def _np_murmur3(cols: List[np.ndarray]) -> np.ndarray:
+    """Vectorized Spark murmur3 over int-valued columns (host side, for
+    bucket assignment at write time; mirrors functions/sparksql.py)."""
+    c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
 
-    def __init__(self, path: str):
+    def rotl(x, r):
+        return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
+
+    def mix(h1, k1):
+        k1 = rotl(k1 * c1, 15) * c2
+        h1 = rotl(h1 ^ k1, 13)
+        return h1 * np.uint32(5) + np.uint32(0xE6546B64)
+
+    h = np.full(len(cols[0]), 42, np.uint32)
+    nbytes = 0
+    with np.errstate(over="ignore"):
+        for c in cols:
+            u = c.astype(np.int64).view(np.uint64) \
+                if c.dtype.itemsize == 8 else \
+                c.astype(np.int32).view(np.uint32).astype(np.uint64)
+            if c.dtype.itemsize == 8:
+                h = mix(h, (u & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+                h = mix(h, (u >> np.uint64(32)).astype(np.uint32))
+                nbytes = 8
+            else:
+                h = mix(h, u.astype(np.uint32))
+                nbytes = 4
+            h = h ^ np.uint32(nbytes)
+            h ^= h >> np.uint32(16)
+            h *= np.uint32(0x85EBCA6B)
+            h ^= h >> np.uint32(13)
+            h *= np.uint32(0xC2B2AE35)
+            h ^= h >> np.uint32(16)
+    return h
+
+
+class HiveDataSink(DataSink):
+    """Writes device batches to parquet files — plain, hive-partitioned
+    (``key=value`` directories, partition columns dropped from file data),
+    and/or bucketed (rows hashed on the bucket keys into
+    ``bucket_count`` files per partition).
+    Parity: connectors/hive/HiveDataSink.h:206-276 (HiveInsertTableHandle
+    partitioned/bucketed writes)."""
+
+    def __init__(self, path: str, partition_keys: Sequence[str] = (),
+                 bucket_count: int = 0, bucket_keys: Sequence[str] = ()):
         self.path = path
+        self.partition_keys = list(partition_keys)
+        self.bucket_count = int(bucket_count)
+        self.bucket_keys = list(bucket_keys)
         self._tables = []
         self.rows_written = 0
         self.bytes_written = 0
+        self.files_written: List[str] = []
 
     def append(self, batch: DeviceBatch) -> None:
         from velox_tpu.vector.device import to_arrow
@@ -155,16 +232,56 @@ class HiveDataSink(DataSink):
         self._tables.append(t)
         self.rows_written += t.num_rows
 
+    def _write_file(self, table, path):
+        import pyarrow.parquet as pq
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        pq.write_table(table, path)
+        self.bytes_written += os.path.getsize(path)
+        self.files_written.append(path)
+
+    def _write_buckets(self, table, dirpath):
+        import pyarrow as pa
+        cols = [np.asarray(table.column(k).combine_chunks()
+                           .fill_null(0)) for k in self.bucket_keys]
+        bucket = _np_murmur3(cols).view(np.int32) % self.bucket_count
+        bucket = np.abs(bucket)
+        for b in range(self.bucket_count):
+            sel = table.filter(pa.array(bucket == b))
+            if sel.num_rows:
+                self._write_file(
+                    sel, os.path.join(dirpath, f"{b:05d}_0_part.parquet"))
+
     def close(self):
         import pyarrow as pa
-        import pyarrow.parquet as pq
         if not self._tables:
             return
         table = pa.concat_tables(self._tables)
-        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        pq.write_table(table, self.path)
-        self.bytes_written = os.path.getsize(self.path)
         self._tables = []
+        if not self.partition_keys and not self.bucket_count:
+            self._write_file(table, self.path)
+            return
+        if not self.partition_keys:
+            self._write_buckets(table, self.path)
+            return
+        # hive layout: one key=value directory level per partition key;
+        # partition columns are path metadata, not file data
+        import pandas as pd
+        pcols = {k: table.column(k).to_pylist()
+                 for k in self.partition_keys}
+        df = pd.DataFrame(pcols)
+        data = table.drop_columns(self.partition_keys)
+        for combo, idx in df.groupby(self.partition_keys,
+                                     dropna=False).groups.items():
+            if len(self.partition_keys) == 1:
+                combo = (combo,)
+            segs = [f"{k}={v}" for k, v in zip(self.partition_keys, combo)]
+            dirpath = os.path.join(self.path, *segs)
+            sub = data.take(pa.array(np.asarray(idx, np.int64)))
+            if self.bucket_count:
+                self._write_buckets(sub, dirpath)
+            else:
+                self._write_file(
+                    sub, os.path.join(dirpath, "part-0.parquet"))
 
 
 class HiveConnector(Connector):
@@ -176,7 +293,8 @@ class HiveConnector(Connector):
 
     def register_table(self, name: str, path_or_glob: str) -> HiveTable:
         if os.path.isdir(path_or_glob):
-            paths = globmod.glob(os.path.join(path_or_glob, "*.parquet"))
+            paths = globmod.glob(os.path.join(
+                path_or_glob, "**", "*.parquet"), recursive=True)
         else:
             paths = globmod.glob(path_or_glob) or [path_or_glob]
         t = HiveTable(name, paths)
@@ -190,8 +308,10 @@ class HiveConnector(Connector):
         cap = ctx.get("hive.batch_capacity") if ctx is not None else None
         return HiveDataSource(self._tables[table], columns, cap)
 
-    def create_data_sink(self, path: str) -> HiveDataSink:
-        return HiveDataSink(path)
+    def create_data_sink(self, path: str, partition_keys=(),
+                         bucket_count=0, bucket_keys=()) -> HiveDataSink:
+        return HiveDataSink(path, partition_keys, bucket_count,
+                            bucket_keys)
 
     def default_splits(self, table: str, ctx=None) -> List[HiveSplit]:
         return self._tables[table].splits()

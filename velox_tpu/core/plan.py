@@ -254,10 +254,14 @@ class HashJoinNode(PlanNode):
 @dataclass(frozen=True)
 class TableWriteNode(PlanNode):
     """Write input rows through a connector DataSink.
-    Parity: core/PlanNode.h:700."""
+    Parity: core/PlanNode.h:700; partition/bucket spec parity:
+    connectors/hive/HiveDataSink.h:206-276 (HiveInsertTableHandle)."""
     source: PlanNode = None
     connector_id: str = "hive"
     target_path: str = ""
+    partition_keys: Tuple[str, ...] = ()
+    bucket_count: int = 0
+    bucket_keys: Tuple[str, ...] = ()
 
     @property
     def sources(self):

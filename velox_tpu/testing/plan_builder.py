@@ -313,10 +313,15 @@ class PlanBuilder:
         return self
 
     def table_write(self, target_path: str,
-                    connector_id: str = "hive") -> "PlanBuilder":
+                    connector_id: str = "hive",
+                    partition_keys: Sequence[str] = (),
+                    bucket_count: int = 0,
+                    bucket_keys: Sequence[str] = ()) -> "PlanBuilder":
         self._node = P.TableWriteNode(
             self._ids.next(), source=self._node,
-            connector_id=connector_id, target_path=target_path)
+            connector_id=connector_id, target_path=target_path,
+            partition_keys=tuple(partition_keys),
+            bucket_count=bucket_count, bucket_keys=tuple(bucket_keys))
         return self
 
     def merge_join(self, left_keys, right_keys, build: "PlanBuilder",
