@@ -156,3 +156,86 @@ def test_bucketed_write(tmp_path):
     for f1, f2 in zip(files, files2):
         assert pq.read_table(f1).column("k").to_pylist() == \
             pq.read_table(f2).column("k").to_pylist()
+
+
+def test_row_group_stats_pruning(tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from velox_tpu.common import metrics as M
+    from velox_tpu.connectors.hive import register_hive
+    # three files with disjoint value ranges -> a range filter must prune
+    root = tmp_path / "t"
+    root.mkdir()
+    for i, lo in enumerate((0, 1000, 2000)):
+        df = pd.DataFrame({"x": np.arange(lo, lo + 100, dtype="int64"),
+                           "v": np.ones(100, dtype="int64")})
+        pq.write_table(pa.table(df), str(root / f"f{i}.parquet"))
+    conn = register_hive("hive-prune-test")
+    conn.register_table("t", str(root))
+    plan = (PlanBuilder()
+            .table_scan("t", ["x", "v"], connector_id="hive-prune-test",
+                        filter="x >= 1000 and x < 1050")
+            .single_aggregation([], ["count(*) as c", "sum(x) as s"])
+            .plan())
+    before = M.reporter().snapshot()["counters"].get(
+        M.K_SPLITS_PRUNED, 0)
+    out = Task(plan).run().to_pylist()
+    pruned = M.reporter().snapshot()["counters"].get(
+        M.K_SPLITS_PRUNED, 0) - before
+    assert out[0]["c"] == 50
+    assert out[0]["s"] == sum(range(1000, 1050))
+    assert pruned == 2  # files f0 and f2 skipped by stats
+
+
+def test_partition_pruning_via_stats(tmp_path):
+    import numpy as np
+    import pandas as pd
+    from velox_tpu.connectors.hive import register_hive
+    df = pd.DataFrame({
+        "region": ["eu"] * 50 + ["us"] * 50,
+        "v": np.arange(100, dtype="int64")})
+    root = str(tmp_path / "p")
+    plan = (PlanBuilder().values([pa.table(df)])
+            .table_write(root, partition_keys=["region"]).plan())
+    Task(plan).run()
+    conn = register_hive("hive-prune2-test")
+    conn.register_table("p", root)
+    plan2 = (PlanBuilder()
+             .table_scan("p", ["region", "v"],
+                         connector_id="hive-prune2-test",
+                         filter="region = 'eu'")
+             .single_aggregation([], ["count(*) as c"]).plan())
+    out = Task(plan2).run().to_pylist()
+    assert out[0]["c"] == 50
+
+
+def test_custom_filesystem_scan(tmp_path):
+    """Storage-adapter path: scan through an explicit pyarrow filesystem
+    (SubTreeFileSystem stands in for S3/GCS — same code path as
+    FileSystem.from_uri resolution)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+    from velox_tpu.connectors.hive import register_hive
+    df = pd.DataFrame({"x": np.arange(50, dtype="int64")})
+    (tmp_path / "d").mkdir()
+    pq.write_table(pa.table(df), str(tmp_path / "d" / "f.parquet"))
+    sub = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    conn = register_hive("hive-fs-test")
+    conn.register_table("t", "d", filesystem=sub)
+    plan = (PlanBuilder().table_scan("t", ["x"],
+                                     connector_id="hive-fs-test")
+            .single_aggregation([], ["sum(x) as s", "count(*) as c"])
+            .plan())
+    out = Task(plan).run().to_pylist()
+    assert out[0] == {"s": sum(range(50)), "c": 50}
+
+
+def test_unreachable_remote_uri_raises():
+    import pytest
+    from velox_tpu.connectors.hive import register_hive
+    conn = register_hive("hive-bad-uri")
+    with pytest.raises(Exception):
+        conn.register_table("t", "badscheme://bucket/path")

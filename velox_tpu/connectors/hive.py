@@ -54,15 +54,19 @@ def _path_partitions(path: str) -> Dict[str, str]:
 class HiveTable:
     """A registered file-backed table (list of parquet files). Hive
     ``key=value`` directory segments become VARCHAR partition columns
-    (parity: HiveConnectorSplit partitionKeys)."""
+    (parity: HiveConnectorSplit partitionKeys). ``fs`` is a pyarrow
+    filesystem for remote storage (S3/GCS adapters — parity:
+    connectors/hive/storage_adapters/)."""
 
-    def __init__(self, name: str, paths: List[str]):
+    def __init__(self, name: str, paths: List[str], fs=None):
         import pyarrow.parquet as pq
         self.name = name
+        self.fs = fs
         self.paths = sorted(paths)
         if not self.paths:
             raise ValueError(f"hive table {name!r}: no files")
-        self.schema_arrow = pq.read_schema(self.paths[0])
+        self.schema_arrow = pq.read_schema(self.paths[0],
+                                           filesystem=fs)
         self.partitions = {p: _path_partitions(p) for p in self.paths}
         self.partition_cols = sorted(
             {k for ps in self.partitions.values() for k in ps})
@@ -86,7 +90,8 @@ class HiveTable:
             if str_cols:
                 uniq = {c: set() for c in str_cols}
                 for p in self.paths:
-                    t = pq.read_table(p, columns=str_cols)
+                    t = pq.read_table(p, columns=str_cols,
+                                      filesystem=self.fs)
                     for c in str_cols:
                         col = t.column(c)
                         vals = pc.unique(col.combine_chunks()).to_pylist()
@@ -105,7 +110,7 @@ class HiveTable:
             import pyarrow.parquet as pq
             m = 1
             for p in self.paths:
-                md = pq.ParquetFile(p).metadata
+                md = pq.ParquetFile(p, filesystem=self.fs).metadata
                 for i in range(md.num_row_groups):
                     m = max(m, md.row_group(i).num_rows)
             self._max_row_group_rows = m
@@ -115,7 +120,8 @@ class HiveTable:
         import pyarrow.parquet as pq
         out = []
         for p in self.paths:
-            n = pq.ParquetFile(p).metadata.num_row_groups
+            n = pq.ParquetFile(p, filesystem=self.fs).metadata \
+                .num_row_groups
             for i in range(n):
                 out.append(HiveSplit("hive", p, i, i + 1))
         return out
@@ -144,13 +150,17 @@ class HiveDataSource(DataSource):
             return None
         self._done.add(key)
         from velox_tpu.connectors.cache import DataCache
-        mtime = os.path.getmtime(split.path)  # invalidate on rewrite
+        fs = self._table.fs
+        if fs is None:
+            mtime = os.path.getmtime(split.path)  # invalidate on rewrite
+        else:
+            mtime = fs.get_file_info(split.path).mtime_ns
         ckey = ("hive", split.path, mtime, split.row_group_lo,
                 split.row_group_hi, tuple(self._columns), self._capacity)
         cached = DataCache.instance().get(ckey)
         if cached is not None:
             return cached
-        pf = pq.ParquetFile(split.path)
+        pf = pq.ParquetFile(split.path, filesystem=fs)
         pcols = [c for c in self._columns
                  if c in self._table.partition_cols]
         fcols = [c for c in self._columns if c not in pcols]
@@ -291,13 +301,40 @@ class HiveConnector(Connector):
         super().__init__(connector_id)
         self._tables: Dict[str, HiveTable] = {}
 
-    def register_table(self, name: str, path_or_glob: str) -> HiveTable:
-        if os.path.isdir(path_or_glob):
-            paths = globmod.glob(os.path.join(
-                path_or_glob, "**", "*.parquet"), recursive=True)
+    def register_table(self, name: str, path_or_glob: str,
+                       filesystem=None) -> HiveTable:
+        """Register parquet files as a table. ``path_or_glob`` may be a
+        local path/glob, an ``s3://``/``gs://`` URI (resolved via
+        pyarrow.fs — parity: connectors/hive/storage_adapters/s3fs,
+        gcs), or any path paired with an explicit pyarrow
+        ``filesystem``."""
+        fs = filesystem
+        path = path_or_glob
+        if fs is None and "://" in path_or_glob \
+                and not path_or_glob.startswith("file://"):
+            from pyarrow import fs as pafs
+            try:
+                fs, path = pafs.FileSystem.from_uri(path_or_glob)
+            except Exception as e:  # no credentials / unsupported scheme
+                raise ValueError(
+                    f"cannot open {path_or_glob!r}: {e}") from e
+        if fs is not None:
+            from pyarrow import fs as pafs
+            info = fs.get_file_info(path)
+            if info.type == pafs.FileType.Directory:
+                sel = pafs.FileSelector(path, recursive=True)
+                paths = [f.path for f in fs.get_file_info(sel)
+                         if f.path.endswith(".parquet")]
+            else:
+                paths = [path]
+            t = HiveTable(name, paths, fs=fs)
         else:
-            paths = globmod.glob(path_or_glob) or [path_or_glob]
-        t = HiveTable(name, paths)
+            if os.path.isdir(path):
+                paths = globmod.glob(os.path.join(
+                    path, "**", "*.parquet"), recursive=True)
+            else:
+                paths = globmod.glob(path) or [path]
+            t = HiveTable(name, paths)
         self._tables[name] = t
         return t
 
@@ -316,8 +353,129 @@ class HiveConnector(Connector):
     def default_splits(self, table: str, ctx=None) -> List[HiveSplit]:
         return self._tables[table].splits()
 
+    def prune_splits(self, table: str, splits: List[HiveSplit],
+                     filter_expr) -> List[HiveSplit]:
+        """Drop splits whose parquet row-group statistics (or hive
+        partition values) cannot satisfy the pushed-down filter.
+        Parity: dwio ScanSpec stride skipping + partition pruning.
+        Conservative: a split is dropped only when its stats PROVE no row
+        matches; missing stats keep the split."""
+        import pyarrow.parquet as pq
+        ranges = extract_column_ranges(filter_expr)
+        if not ranges:
+            return splits
+        t = self._tables[table]
+        md_cache: Dict[str, object] = {}
+        name_idx: Dict[str, Dict[str, int]] = {}
+        kept = []
+        for s in splits:
+            part = t.partitions.get(s.path, {})
+            drop = False
+            for col, (lo, hi) in ranges.items():
+                if col in part:
+                    v = part[col]
+                    if lo is not None and str(v) == v and v < str(lo):
+                        drop = True
+                    if hi is not None and str(v) == v and v > str(hi):
+                        drop = True
+                    if lo is not None and lo == hi and v != str(lo):
+                        drop = True
+                if drop:
+                    break
+            if not drop:
+                md = md_cache.get(s.path)
+                if md is None:
+                    md = pq.ParquetFile(s.path,
+                                        filesystem=t.fs).metadata
+                    md_cache[s.path] = md
+                    name_idx[s.path] = {
+                        md.schema.column(i).name: i
+                        for i in range(md.num_columns)}
+                idx = name_idx[s.path]
+                for rg_i in range(s.row_group_lo, s.row_group_hi):
+                    rg = md.row_group(rg_i)
+                    for col, (lo, hi) in ranges.items():
+                        ci = idx.get(col)
+                        if ci is None:
+                            continue
+                        st = rg.column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        try:
+                            if lo is not None and st.max < lo:
+                                drop = True
+                            if hi is not None and st.min > hi:
+                                drop = True
+                        except TypeError:
+                            continue  # incomparable literal: keep
+                    if drop:
+                        break
+            if not drop:
+                kept.append(s)
+        if len(kept) < len(splits):
+            from velox_tpu.common import metrics as M
+            M.record_counter(M.K_SPLITS_PRUNED,
+                             len(splits) - len(kept))
+        return kept
+
 
 def register_hive(connector_id: str = "hive") -> HiveConnector:
     conn = HiveConnector(connector_id)
     register_connector(conn)
     return conn
+
+
+# ---------------------------------------------------------------------------
+# Row-group statistics pruning. Parity: dwio/common/ScanSpec filters +
+# parquet row-group stats (the reference skips strides whose min/max cannot
+# satisfy the pushed-down filter).
+# ---------------------------------------------------------------------------
+
+def extract_column_ranges(expr) -> Dict[str, Tuple]:
+    """Conjunctive (lo, hi) bounds per column from a pushed-down filter:
+    walks AND trees of ``col <cmp> literal`` / BETWEEN. None bound = open."""
+    from velox_tpu.core import expressions as ex
+    out: Dict[str, List] = {}
+
+    def bound(col, lo, hi):
+        cur = out.setdefault(col, [None, None])
+        if lo is not None:
+            cur[0] = lo if cur[0] is None else max(cur[0], lo)
+        if hi is not None:
+            cur[1] = hi if cur[1] is None else min(cur[1], hi)
+
+    def lit(e):
+        return e.value if isinstance(e, ex.Constant) else None
+
+    def walk(e):
+        if not isinstance(e, ex.Call):
+            return
+        if e.name == "and":
+            for a in e.args:
+                walk(a)
+            return
+        if e.name == "between" and isinstance(e.args[0], ex.FieldAccess):
+            lo, hi = lit(e.args[1]), lit(e.args[2])
+            bound(e.args[0].name, lo, hi)
+            return
+        if e.name in ("eq", "lt", "lte", "gt", "gte") and len(e.args) == 2:
+            a, b = e.args
+            flip = {"lt": "gt", "lte": "gte", "gt": "lt", "gte": "lte",
+                    "eq": "eq"}
+            if isinstance(b, ex.FieldAccess) and lit(a) is not None:
+                a, b = b, a
+                name = flip[e.name]
+            elif isinstance(a, ex.FieldAccess) and lit(b) is not None:
+                name = e.name
+            else:
+                return
+            v = lit(b)
+            if name == "eq":
+                bound(a.name, v, v)
+            elif name in ("lt", "lte"):
+                bound(a.name, None, v)
+            else:
+                bound(a.name, v, None)
+
+    walk(expr)
+    return {k: tuple(v) for k, v in out.items()}

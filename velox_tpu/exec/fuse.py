@@ -87,6 +87,9 @@ def collapse_chain(node: P.PlanNode) -> FusedChain:
         # strip the filter from the scan node: it is now part of the chain
         import dataclasses
         bare = dataclasses.replace(node, filter=None)
+        # keep the original predicate visible for split pruning
+        # (Task._make_scan reads it; execution uses the fused chain)
+        object.__setattr__(bare, "prune_filter", node.filter)
         return FusedChain(bare, node.filter, names, exprs)
     st = node.output_type()
     names = list(st.names)

@@ -374,6 +374,12 @@ class Task:
         source = conn.create_data_source(node.table, node.columns, self.ctx)
         splits = self.ctx.get(f"splits.{node.id}") \
             or conn.default_splits(node.table, self.ctx)
+        pf = node.filter if node.filter is not None \
+            else getattr(node, "prune_filter", None)
+        if pf is not None and hasattr(conn, "prune_splits"):
+            # file/row-group statistics pruning (dwio ScanSpec filters +
+            # parquet row-group stats; connectors/hive.py)
+            splits = conn.prune_splits(node.table, splits, pf)
         return TableScanOperator(node, source, splits)
 
     def _run_nested_loop_join(self, node) -> Iterator[DeviceBatch]:
