@@ -239,3 +239,69 @@ def test_unreachable_remote_uri_raises():
     conn = register_hive("hive-bad-uri")
     with pytest.raises(Exception):
         conn.register_table("t", "badscheme://bucket/path")
+
+
+def test_grouped_execution(tmp_path):
+    """GroupedTask over a bucketed table: per-group pipelines produce the
+    same result as one monolithic run (parity: velox grouped execution,
+    exec/Task.h:151)."""
+    import numpy as np
+    import pandas as pd
+    from velox_tpu.connectors.hive import register_hive
+    from velox_tpu.exec.task import GroupedTask
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({"k": rng.randint(0, 40, 400).astype("int64"),
+                       "v": rng.randint(0, 100, 400).astype("int64")})
+    root = str(tmp_path / "bt")
+    Task(PlanBuilder().values([pa.table(df)])
+         .table_write(root, bucket_count=4, bucket_keys=["k"])
+         .plan()).run()
+    conn = register_hive("hive-grouped-test")
+    conn.register_table("t", root)
+    plan = (PlanBuilder()
+            .table_scan("t", ["k", "v"], connector_id="hive-grouped-test")
+            .single_aggregation(["k"], ["sum(v) as s", "count(*) as c"])
+            .plan())
+    gt = GroupedTask(plan)
+    got = gt.run().to_pandas().sort_values("k").reset_index(drop=True)
+    assert gt.n_groups > 1
+    assert len(gt.group_tasks) == gt.n_groups
+    exp = (df.groupby("k").agg(s=("v", "sum"), c=("v", "count"))
+           .reset_index())
+    assert got.k.tolist() == exp.k.tolist()
+    assert got.s.tolist() == exp.s.tolist()
+    assert got.c.tolist() == exp.c.tolist()
+
+
+def test_grouped_execution_join_with_mixed_scan(tmp_path):
+    """Bucketed probe side + unbucketed (broadcast) build side."""
+    import numpy as np
+    import pandas as pd
+    from velox_tpu.connectors.hive import register_hive
+    from velox_tpu.exec.task import GroupedTask
+    probe = pd.DataFrame({"k": np.arange(100, dtype="int64") % 10,
+                          "v": np.arange(100, dtype="int64")})
+    dim = pd.DataFrame({"dk": np.arange(10, dtype="int64"),
+                        "name": np.arange(10, dtype="int64") * 1000})
+    proot, droot = str(tmp_path / "p"), str(tmp_path / "d")
+    Task(PlanBuilder().values([pa.table(probe)])
+         .table_write(proot, bucket_count=3, bucket_keys=["k"])
+         .plan()).run()
+    Task(PlanBuilder().values([pa.table(dim)])
+         .table_write(droot + "/f.parquet").plan()).run()
+    conn = register_hive("hive-grouped-join")
+    conn.register_table("probe", proot)
+    conn.register_table("dim", droot)
+    b = PlanBuilder()
+    bb = (b.new_builder()
+          .table_scan("dim", ["dk", "name"],
+                      connector_id="hive-grouped-join"))
+    plan = (b.table_scan("probe", ["k", "v"],
+                         connector_id="hive-grouped-join")
+            .hash_join(["k"], ["dk"], bb, output=["k", "v", "name"])
+            .plan())
+    got = GroupedTask(plan).run().to_pandas()
+    exp = probe.merge(dim, left_on="k", right_on="dk")
+    assert len(got) == len(exp)
+    assert got.v.sum() == exp.v.sum()
+    assert got.name.sum() == exp.name.sum()

@@ -80,6 +80,7 @@ K_SKEW_SPLITS = "velox_tpu.exchange.skew_key_splits"
 K_JOIN_BUILD_OFFLOADS = "velox_tpu.join.build_host_offloads"
 K_SORT_OFFLOADS = "velox_tpu.sort.host_offloads"
 K_SPLITS_PRUNED = "velox_tpu.scan.splits_pruned"
+K_GROUPED_EXECUTIONS = "velox_tpu.task.grouped_executions"
 K_EXCHANGE_PAGES = "velox_tpu.exchange.pages"
 K_EXCHANGE_BYTES = "velox_tpu.exchange.bytes"
 K_TRACE_BATCHES = "velox_tpu.trace.batches_recorded"

@@ -353,6 +353,23 @@ class HiveConnector(Connector):
     def default_splits(self, table: str, ctx=None) -> List[HiveSplit]:
         return self._tables[table].splits()
 
+    def split_groups(self, table: str) -> Optional[List[List[HiveSplit]]]:
+        """Bucket-aligned split groups for grouped execution (exec/task.py
+        GroupedTask; parity velox Task.h:151). Bucket files are named
+        ``{bucket:05d}_0_*.parquet`` (HiveDataSink); the same bucket id
+        across partitions lands in one group. None if not bucketed."""
+        import re
+        t = self._tables[table]
+        by_bucket: Dict[int, List[HiveSplit]] = {}
+        for s in t.splits():
+            m = re.match(r"^(\d{5})_", os.path.basename(s.path))
+            if not m:
+                return None
+            by_bucket.setdefault(int(m.group(1)), []).append(s)
+        if len(by_bucket) < 2:
+            return None
+        return [by_bucket[b] for b in sorted(by_bucket)]
+
     def prune_splits(self, table: str, splits: List[HiveSplit],
                      filter_expr) -> List[HiveSplit]:
         """Drop splits whose parquet row-group statistics (or hive

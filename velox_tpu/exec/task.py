@@ -554,3 +554,83 @@ class Task:
                 break
             st.output_batches += 1
             yield out
+
+
+class GroupedTask:
+    """Grouped execution: run the plan once per leaf split group.
+
+    Role parity: ``velox/exec/Task.h:151-171`` + ``TaskStructs.h:89``
+    (ExecutionMode::kGrouped): leaf splits are partitioned into groups
+    (hive bucket files) and the pipeline executes group-by-group, so
+    group-local state (join builds, aggregation tables) is bounded by one
+    group's data instead of the whole table — the HBM-budget tool for
+    bucketed tables.
+
+    TPU-first: each group is a fresh serial Task with its scans pinned to
+    the group's splits via the ``splits.{node_id}`` context mechanism.
+    Scans on unbucketed tables are "mixed" (velox's mixed grouped
+    execution): their full split list is replicated into every group —
+    correct for broadcast-style build sides. Result correctness requires
+    the plan's join/group keys to align with the table bucketing, exactly
+    as in the reference.
+    """
+
+    def __init__(self, plan: P.PlanNode, ctx: Optional[QueryCtx] = None):
+        self.plan = plan
+        self.ctx = ctx or QueryCtx()
+        self.group_tasks: List[Task] = []
+        self._scan_groups = self._collect_groups()
+
+    def _scan_nodes(self) -> List[P.TableScanNode]:
+        out = []
+
+        def walk(n):
+            if isinstance(n, P.TableScanNode):
+                out.append(n)
+            for s in n.sources:
+                walk(s)
+        walk(self.plan)
+        return out
+
+    def _collect_groups(self):
+        from velox_tpu.connectors.connector import get_connector
+        groups: Dict[str, List] = {}
+        n_groups = None
+        for node in self._scan_nodes():
+            conn = get_connector(node.connector_id)
+            sg = conn.split_groups(node.table) \
+                if hasattr(conn, "split_groups") else None
+            if sg:
+                if n_groups is None:
+                    n_groups = len(sg)
+                elif len(sg) != n_groups:
+                    raise ValueError(
+                        "grouped execution: scans have mismatched "
+                        f"group counts ({len(sg)} vs {n_groups})")
+                groups[node.id] = sg
+        if n_groups is None:
+            raise ValueError("grouped execution: no bucketed scan found")
+        self.n_groups = n_groups
+        return groups
+
+    def run(self):
+        import pyarrow as pa
+        tables = []
+        for g in range(self.n_groups):
+            cfg = dict(self.ctx.config)
+            for node in self._scan_nodes():
+                if node.id in self._scan_groups:
+                    cfg[f"splits.{node.id}"] = \
+                        self._scan_groups[node.id][g]
+            task = Task(self.plan, QueryCtx(cfg))
+            self.group_tasks.append(task)
+            t = task.run()
+            if t.num_rows:
+                tables.append(t)
+        from velox_tpu.common import metrics as M
+        M.record_counter(M.K_GROUPED_EXECUTIONS)
+        if not tables:
+            schema = T.to_arrow(self.plan.output_type())
+            return pa.table({n: pa.array([], type=f.type)
+                             for n, f in zip(schema.names, schema)})
+        return pa.concat_tables(tables)
