@@ -335,7 +335,7 @@ class HashJoinOperator(Operator):
         run_start = (kw_s != prev).at[0].set(True)
         # builds before the run start == builds with key < run key
         base = jnp.where(run_start, nb_before, jnp.int32(0))
-        base = jax.lax.associative_scan(jnp.maximum, base)
+        base = jax.lax.cummax(base)
         lo_m = base
         hi_m = nb_before
         # scatter probe rows' (lo, count) back to probe-row order

@@ -196,26 +196,24 @@ class WindowOperator(Operator):
         pid = jnp.cumsum(new_part.astype(jnp.int64)) - 1  # partition index
         # index of this row's partition start / end (inclusive)
         pstart = jnp.where(new_part, iota, 0)
-        pstart = jax.lax.associative_scan(jnp.maximum, pstart)
+        pstart = jax.lax.cummax(pstart)
         # partition end: next partition's start - 1 (or last active row)
         is_last = iota == jnp.maximum(n_rows - 1, 0)
         pend_rev = jnp.where(
             jnp.concatenate([new_part[1:], jnp.ones((1,), bool)]) | is_last,
             iota, jnp.int64(cap))
-        pend = jax.lax.associative_scan(
-            jnp.minimum, pend_rev, reverse=True)
+        pend = jax.lax.cummin(pend_rev, reverse=True)
         pend = jnp.minimum(pend, jnp.maximum(n_rows - 1, 0))
         pos = iota - pstart          # 0-based position within partition
         psize = pend - pstart + 1
 
         # peer group start (for rank/cume_dist/RANGE CURRENT_ROW)
         peer_start = jnp.where(new_peer, iota, 0)
-        peer_start = jax.lax.associative_scan(jnp.maximum, peer_start)
+        peer_start = jax.lax.cummax(peer_start)
         is_peer_end = jnp.concatenate(
             [new_peer[1:], jnp.ones((1,), bool)]) | is_last
         peer_end = jnp.where(is_peer_end, iota, jnp.int64(cap))
-        peer_end = jax.lax.associative_scan(jnp.minimum, peer_end,
-                                            reverse=True)
+        peer_end = jax.lax.cummin(peer_end, reverse=True)
         peer_end = jnp.minimum(peer_end, jnp.maximum(n_rows - 1, 0))
 
         out_cols: Dict[str, DeviceColumn] = dict(s.columns)
@@ -485,7 +483,7 @@ class RowNumberOperator(Operator):
         newg = jnp.concatenate([jnp.ones((1,), bool),
                                 s_sorted[1:] != s_sorted[:-1]])
         gstart = jnp.where(newg, jnp.arange(cap), 0)
-        gstart = jax.lax.associative_scan(jnp.maximum, gstart)
+        gstart = jax.lax.cummax(gstart)
         rank_sorted = jnp.arange(cap) - gstart
         rank = jnp.zeros((cap,), jnp.int64).at[order].set(rank_sorted)
         base = counts[jnp.clip(slots, 0, S - 1)]
@@ -557,7 +555,7 @@ class TopNRowNumberOperator(Operator):
             new_part = new_part | (d != prev)
         new_part = new_part & s.mask
         pstart = jnp.where(new_part, iota, 0)
-        pstart = jax.lax.associative_scan(jnp.maximum, pstart)
+        pstart = jax.lax.cummax(pstart)
         rn = iota - pstart + 1
         mask = s.mask & (rn <= node.limit)
         cols = dict(s.columns)

@@ -58,7 +58,10 @@ def segmented_reduce_sorted(data, gid, boundary, active_sorted,
     prefix of length `capacity`.
 
     sum: dense cumsum + end-of-run scatter + adjacent difference.
-    min/max: segmented associative scan + end-of-run scatter.
+    min/max: segmented Hillis-Steele doubling scan (a shift + select per
+    power of two; jax.lax.associative_scan with a pair combiner measured
+    MINUTES of XLA:TPU compile at 3M rows vs seconds for this form) +
+    end-of-run scatter.
     """
     is_end = jnp.concatenate([boundary[1:], jnp.ones((1,), bool)])
     idx_end = jnp.where(is_end & active_sorted, gid, jnp.int32(capacity))
@@ -68,13 +71,25 @@ def segmented_reduce_sorted(data, gid, boundary, active_sorted,
         prev = jnp.concatenate([jnp.zeros_like(ends[:1]), ends[:-1]])
         return ends - prev
     op = jnp.minimum if combine == "min" else jnp.maximum
-
-    def comb(a, b):
-        va, ba = a
-        vb, bb = b
-        cond = bb if vb.ndim == va.ndim == 1 else bb[:, None]
-        v = jnp.where(cond, vb, op(va, vb))
-        return (v, ba | bb)
-
-    scanned, _ = jax.lax.associative_scan(comb, (data, boundary))
-    return scatter_unique_set(capacity + 1, idx_end, scanned)[:capacity]
+    if jnp.issubdtype(data.dtype, jnp.floating):
+        ident = jnp.asarray(jnp.inf if combine == "min" else -jnp.inf,
+                            data.dtype)
+    else:
+        info = jnp.iinfo(data.dtype)
+        ident = jnp.asarray(info.max if combine == "min" else info.min,
+                            data.dtype)
+    iota = jnp.arange(capacity, dtype=jnp.int32)
+    run_start = jax.lax.cummax(jnp.where(boundary, iota, jnp.int32(0)))
+    off = iota - run_start
+    x = data
+    k = 1
+    while k < capacity:
+        pad_shape = (k,) + x.shape[1:]
+        shifted = jnp.concatenate(
+            [jnp.full(pad_shape, ident, x.dtype), x[:-k]], axis=0)
+        take = off >= k
+        if x.ndim > 1:
+            take = take[:, None]
+        x = jnp.where(take, op(x, shifted), x)
+        k <<= 1
+    return scatter_unique_set(capacity + 1, idx_end, x)[:capacity]
