@@ -41,3 +41,11 @@ def test_expression_fuzzer():
 def test_aggregation_fuzzer():
     checked = AggregationFuzzer(seed=7, rows=300).run(iterations=12)
     assert checked == 12
+
+
+def test_plan_fuzzer_vs_sqlite():
+    """Random filter/project/aggregate plans row-compared against SQLite
+    (testing/plan_fuzzer.py; parity: velox exec fuzzers)."""
+    from velox_tpu.testing.plan_fuzzer import run_many
+    results = run_many(range(20))
+    assert len(results) == 20
