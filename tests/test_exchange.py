@@ -85,3 +85,43 @@ def test_broadcast_output():
         got = Task(exch, ctx).run().to_pandas()
         np.testing.assert_array_equal(np.sort(got.a), df.a)
     OutputBufferManager.instance().remove("bcast-task")
+
+
+def test_output_buffer_flow_control():
+    """Ack/credit protocol: consumed pages free memory; past max_bytes
+    unacked pages overflow to disk; memory stays bounded.
+    Parity: exec/OutputBuffer.h acknowledge/delete + maxSize."""
+    from velox_tpu.exec.exchange import OutputBuffer
+    buf = OutputBuffer(1, max_bytes=10_000)
+    page = b"x" * 1000
+    for _ in range(50):
+        buf.enqueue(0, page)
+    assert buf.bytes_in_memory <= 10_000  # the rest overflowed to disk
+    # consume in chunks with implicit acks
+    got, seq = 0, 0
+    while got < 50:
+        pages, _ = buf.get(0, seq)
+        assert pages, (got, seq)
+        take = pages[:7]
+        got += len(take)
+        seq += len(take)
+        for p in take:
+            assert p == page
+    buf.get(0, seq)  # final ack
+    assert buf.bytes_in_memory == 0
+
+
+def test_output_buffer_reread_before_ack():
+    """Un-acked pages can be re-fetched (at-least-once delivery until
+    acknowledged), acked pages are gone."""
+    from velox_tpu.exec.exchange import OutputBuffer
+    buf = OutputBuffer(1)
+    for i in range(5):
+        buf.enqueue(0, bytes([i]))
+    p1, _ = buf.get(0, 0)
+    p2, _ = buf.get(0, 0)       # same sequence: same pages again
+    assert p1 == p2 and len(p1) == 5
+    p3, _ = buf.get(0, 3)       # acks 0..2
+    assert p3 == [bytes([3]), bytes([4])]
+    p4, _ = buf.get(0, 3)
+    assert p4 == p3

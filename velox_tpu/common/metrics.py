@@ -81,6 +81,7 @@ K_JOIN_BUILD_OFFLOADS = "velox_tpu.join.build_host_offloads"
 K_SORT_OFFLOADS = "velox_tpu.sort.host_offloads"
 K_SPLITS_PRUNED = "velox_tpu.scan.splits_pruned"
 K_GROUPED_EXECUTIONS = "velox_tpu.task.grouped_executions"
+K_EXCHANGE_OVERFLOWS = "velox_tpu.exchange.page_overflows"
 K_EXCHANGE_PAGES = "velox_tpu.exchange.pages"
 K_EXCHANGE_BYTES = "velox_tpu.exchange.bytes"
 K_TRACE_BATCHES = "velox_tpu.trace.batches_recorded"

@@ -32,17 +32,62 @@ from velox_tpu.serializers import PageSerde
 from velox_tpu.vector.device import DeviceBatch, default_capacity, from_arrow
 
 
-class OutputBuffer:
-    """Per-task destination-partitioned page queues.
-    Parity: exec/OutputBuffer.h (kinds partitioned/broadcast/arbitrary)."""
+class _SpilledPage:
+    """A page overflowed to disk (flow-control memory bound)."""
 
-    def __init__(self, num_destinations: int, kind: str = "partitioned"):
+    __slots__ = ("path", "size")
+
+    def __init__(self, page: bytes):
+        import tempfile
+        f = tempfile.NamedTemporaryFile(prefix="vtx_page_", delete=False)
+        f.write(page)
+        f.close()
+        self.path = f.name
+        self.size = len(page)
+
+    def load(self) -> bytes:
+        with open(self.path, "rb") as f:
+            return f.read()
+
+    def drop(self):
+        import os
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
+
+
+class OutputBuffer:
+    """Per-task destination-partitioned page queues with FLOW CONTROL.
+    Parity: exec/OutputBuffer.h (kinds partitioned/broadcast/arbitrary;
+    maxSize producer bound + consumer acknowledgeResults/deleteResults).
+
+    ``get(dest, sequence)`` implicitly ACKS every page before
+    ``sequence`` — acked pages are dropped and their bytes credited back
+    (the reference's ack/delete protocol). Producers never block (the
+    serial driver would deadlock); past ``max_bytes`` of unacked pages,
+    new pages overflow to disk and reload on consumption, so memory stays
+    bounded under a slow consumer."""
+
+    def __init__(self, num_destinations: int, kind: str = "partitioned",
+                 max_bytes: int = 64 << 20):
         self.kind = kind
-        self._queues: List[List[bytes]] = [[] for _ in
-                                           range(num_destinations)]
+        self.max_bytes = max_bytes
+        self._queues: List[List] = [[] for _ in range(num_destinations)]
+        self._acked = [0] * num_destinations  # absolute seq of q[0]
+        self.bytes_in_memory = 0
         self._finished = False
         self._lock = threading.Lock()
         self._rr = 0
+
+    def _admit(self, q: List, page: bytes):
+        from velox_tpu.common import metrics as M
+        if self.bytes_in_memory + len(page) > self.max_bytes:
+            M.record_counter(M.K_EXCHANGE_OVERFLOWS)
+            q.append(_SpilledPage(page))
+        else:
+            self.bytes_in_memory += len(page)
+            q.append(page)
 
     def enqueue(self, destination: int, page: bytes):
         from velox_tpu.common import metrics as M
@@ -51,22 +96,44 @@ class OutputBuffer:
         with self._lock:
             if self.kind == "broadcast":
                 for q in self._queues:
-                    q.append(page)
+                    self._admit(q, page)
             elif self.kind == "arbitrary":
-                self._queues[self._rr % len(self._queues)].append(page)
+                self._admit(self._queues[self._rr % len(self._queues)],
+                            page)
                 self._rr += 1
             else:
-                self._queues[destination].append(page)
+                self._admit(self._queues[destination], page)
 
     def no_more_data(self):
         with self._lock:
             self._finished = True
 
-    def get(self, destination: int, sequence: int):
-        """Pages from `sequence` on + at_end flag (pull + implicit ack)."""
+    def ack(self, destination: int, sequence: int):
+        """Drop pages before absolute index `sequence`; return credit.
+        Parity: OutputBuffer::acknowledge (exec/OutputBuffer.h:157)."""
         with self._lock:
+            self._ack_locked(destination, sequence)
+
+    def _ack_locked(self, destination: int, sequence: int):
+        q = self._queues[destination]
+        drop = min(max(sequence - self._acked[destination], 0), len(q))
+        for e in q[:drop]:
+            if isinstance(e, _SpilledPage):
+                e.drop()
+            else:
+                self.bytes_in_memory -= len(e)
+        del q[:drop]
+        self._acked[destination] += drop
+
+    def get(self, destination: int, sequence: int):
+        """Pages from absolute index `sequence` on + at_end flag. Pages
+        before `sequence` are implicitly acknowledged and dropped."""
+        with self._lock:
+            self._ack_locked(destination, sequence)
             q = self._queues[destination]
-            pages = q[sequence:]
+            start = sequence - self._acked[destination]
+            pages = [e.load() if isinstance(e, _SpilledPage) else e
+                     for e in q[max(start, 0):]]
             return pages, self._finished
 
     @property
