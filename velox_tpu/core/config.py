@@ -43,6 +43,9 @@ class QueryConfig:
     # use StreamingAggregation when the agg input is sorted by its keys
     # (parity: velox exec/StreamingAggregation.h:29)
     STREAMING_AGG_ENABLED = "streaming_aggregation_enabled"
+    # background split preload depth (0 = synchronous scans); parity:
+    # velox split prefetch on the I/O executor
+    SCAN_PREFETCH_DEPTH = "scan_prefetch_depth"
 
     _DEFAULTS: Dict[str, Any] = {
         AGG_COMPACT_THRESHOLD: 8,

@@ -108,15 +108,58 @@ class TableScanOperator(SourceOperator):
     """Parity: velox/exec/TableScan.cpp:75 — pulls splits from the task,
     hands them to a connector DataSource, yields device batches. The
     pushed-down filter (node.filter) is fused into the first downstream
-    superstep by the planner."""
+    superstep by the planner.
 
-    def __init__(self, node: P.TableScanNode, data_source, splits):
+    With ``prefetch > 0`` a background thread preloads the next splits
+    (host decode/generation + device upload) into a BOUNDED queue while
+    the device pipeline runs — the split-preload executor
+    (parity: velox's split prefetch on the I/O executor,
+    connectors/hive/HiveDataSource prefetch) and the bounded local
+    exchange queue in one. One producer thread: connector sources need
+    no internal locking."""
+
+    _DONE = object()
+
+    def __init__(self, node: P.TableScanNode, data_source, splits,
+                 prefetch: int = 2):
         super().__init__(node)
         self._source = data_source
         self._splits = list(splits)
         self._i = 0
+        self._queue = None
+        self._error = None
+        self._exhausted = False
+        if prefetch > 0 and len(self._splits) > 1:
+            import queue as _qm
+            import threading as _tm
+            self._queue = _qm.Queue(maxsize=prefetch)
+            self._thread = _tm.Thread(target=self._produce, daemon=True)
+            self._thread.start()
+
+    def _produce(self):
+        try:
+            for split in self._splits:
+                while True:
+                    out = self._source.next(split)
+                    if out is None:
+                        break
+                    self._queue.put(out)
+        except BaseException as e:  # surfaced on the consumer side
+            self._error = e
+        finally:
+            self._queue.put(self._DONE)
 
     def get_output(self):
+        if self._queue is not None:
+            if self._exhausted:
+                return None
+            item = self._queue.get()
+            if item is self._DONE:
+                self._exhausted = True
+                if self._error is not None:
+                    raise self._error
+                return None
+            return item
         while self._i < len(self._splits):
             split = self._splits[self._i]
             out = self._source.next(split)
@@ -127,6 +170,8 @@ class TableScanOperator(SourceOperator):
         return None
 
     def is_finished(self):
+        if self._queue is not None:
+            return self._exhausted
         return self._i >= len(self._splits)
 
 

@@ -380,7 +380,9 @@ class Task:
             # file/row-group statistics pruning (dwio ScanSpec filters +
             # parquet row-group stats; connectors/hive.py)
             splits = conn.prune_splits(node.table, splits, pf)
-        return TableScanOperator(node, source, splits)
+        from velox_tpu.core.config import QueryConfig as QC
+        depth = self.ctx.query_config.get_int(QC.SCAN_PREFETCH_DEPTH, 2)
+        return TableScanOperator(node, source, splits, prefetch=depth)
 
     def _run_nested_loop_join(self, node) -> Iterator[DeviceBatch]:
         from velox_tpu.exec.batch_utils import concat_batches
