@@ -462,7 +462,13 @@ def extract_column_ranges(expr) -> Dict[str, Tuple]:
             cur[1] = hi if cur[1] is None else min(cur[1], hi)
 
     def lit(e):
-        return e.value if isinstance(e, ex.Constant) else None
+        if not isinstance(e, ex.Constant):
+            return None
+        # scaled DECIMAL literals (0.05 stored as 5) are NOT comparable to
+        # raw file statistics -> never prune on them
+        if e.dtype.kind is T.TypeKind.DECIMAL:
+            return None
+        return e.value
 
     def walk(e):
         if not isinstance(e, ex.Call):

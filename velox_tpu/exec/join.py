@@ -194,8 +194,11 @@ class HashBuildStage:
         if merged is None:
             raise RuntimeError("empty build side requires at least one "
                                "(possibly empty) batch")
-        return jax.jit(
-            lambda b: build_table(b, tuple(self._key_fields)))(merged)
+        from velox_tpu.exec.jit_cache import cached_jit
+        kf = tuple(self._key_fields)
+        fn = cached_jit(("build_table", kf),
+                        lambda: jax.jit(lambda b: build_table(b, kf)))
+        return fn(merged)
 
 
 _NEEDS_RIGHT_PHASE = (P.JoinType.RIGHT, P.JoinType.FULL,
@@ -256,9 +259,18 @@ class HashJoinOperator(Operator):
         self._unique_build = not bool(jax.device_get(bt.has_dup_keys))
         if jt in _NEEDS_RIGHT_PHASE:
             self._matched = jnp.zeros((bt.batch.capacity,), bool)
-        self._fast_fn = jax.jit(self._probe_fast)
-        self._count_fn = jax.jit(self._probe_counts)
-        self._emit_fn = jax.jit(self._emit_chunk)
+        # probe programs cached across Task instances: the traced bodies
+        # read only the plan node, node-derived ranges, and the two flags
+        # in the key (exec/jit_cache.py)
+        from velox_tpu.exec.jit_cache import cached_jit
+        key = (type(self).__name__, self._node, self._unique_build,
+               isinstance(bt, SortedBuild))
+        self._fast_fn = cached_jit(key + ("fast",),
+                                   lambda: jax.jit(self._probe_fast))
+        self._count_fn = cached_jit(key + ("count",),
+                                    lambda: jax.jit(self._probe_counts))
+        self._emit_fn = cached_jit(key + ("emit",),
+                                   lambda: jax.jit(self._emit_chunk))
 
     # ---- table access (sorted vs scatter-probe) ------------------------------
 
@@ -728,9 +740,14 @@ class MergeBuildStage:
         if merged is None:
             raise RuntimeError("empty build side requires at least one "
                                "(possibly empty) batch")
-        bt, ok = jax.jit(lambda b: (
-            (t := build_sorted_table_presorted(b, tuple(self._key_fields))),
-            presorted_is_sorted(t)))(merged)
+        from velox_tpu.exec.jit_cache import cached_jit
+        kf = tuple(self._key_fields)
+        fn = cached_jit(
+            ("build_presorted", kf),
+            lambda: jax.jit(lambda b: (
+                (t := build_sorted_table_presorted(b, kf)),
+                presorted_is_sorted(t))))
+        bt, ok = fn(merged)
         if not bool(jax.device_get(ok)):
             raise VeloxRuntimeError(
                 "merge join right side is not sorted by the join keys")

@@ -60,8 +60,10 @@ class OrderByOperator(Operator):
                                      metric_key=M.K_SORT_OFFLOADS)
         self._out: Optional[DeviceBatch] = None
         rngs = _key_ranges(node, self._keys)
-        self._sort_fn = jax.jit(
-            lambda b: sort_batch(b, self._keys, self._orders, rngs))
+        from velox_tpu.exec.jit_cache import cached_jit
+        self._sort_fn = cached_jit(
+            ("orderby", node), lambda: jax.jit(
+                lambda b: sort_batch(b, self._keys, self._orders, rngs)))
 
     def add_input(self, batch):
         self._buffer.add(batch)
@@ -105,7 +107,9 @@ class TopNOperator(Operator):
                 & s.mask
             return s.with_mask(keep)
 
-        self._merge_fn = jax.jit(_merge)
+        from velox_tpu.exec.jit_cache import cached_jit
+        self._merge_fn = cached_jit(("topn", node),
+                                    lambda: jax.jit(_merge))
 
     def add_input(self, batch):
         self._topk = self._merge_fn(self._topk, batch)

@@ -78,8 +78,22 @@ class StreamingAggregationOperator(Operator):
         self._carry = None
         self._key_dicts: List = [None] * len(self._keys)
         self._agg_dicts: List = [None] * len(self._aggs)
-        self._step_fn = jax.jit(self._batch_step)
-        self._flush_fn = jax.jit(self._flush)
+        # cache traced programs across Tasks unless string dictionaries
+        # would be baked at trace time (mirrors exec/aggregation.py)
+        cacheable = not any(k.dtype.is_string for k in self._keys) \
+            and not any(c.inputs and c.inputs[0].dtype.is_string
+                        for c in self._agg_calls)
+        if cacheable:
+            from velox_tpu.exec.jit_cache import cached_jit
+            self._step_fn = cached_jit(
+                ("streaming_agg", node, pre_fn is None),
+                lambda: jax.jit(self._batch_step))
+            self._flush_fn = cached_jit(
+                ("streaming_agg_flush", node),
+                lambda: jax.jit(self._flush))
+        else:
+            self._step_fn = jax.jit(self._batch_step)
+            self._flush_fn = jax.jit(self._flush)
 
     # ---- carry pytree ------------------------------------------------------
 

@@ -128,7 +128,9 @@ class WindowOperator(Operator):
         self._node = node
         self._batches: List[DeviceBatch] = []
         self._out: Optional[DeviceBatch] = None
-        self._fn = jax.jit(self._compute)
+        from velox_tpu.exec.jit_cache import cached_jit
+        self._fn = cached_jit((type(self).__name__, node),
+                              lambda: jax.jit(self._compute))
 
     def add_input(self, batch):
         self._batches.append(batch)
@@ -460,7 +462,9 @@ class RowNumberOperator(Operator):
         self._out: Optional[DeviceBatch] = None
         self._table = None
         self._counts = None
-        self._fn = jax.jit(self._step)
+        from velox_tpu.exec.jit_cache import cached_jit
+        self._fn = cached_jit((type(self).__name__, node),
+                              lambda: jax.jit(self._step))
 
     def _step(self, batch: DeviceBatch, table, counts):
         from velox_tpu.exec import hashtable as H
@@ -534,7 +538,9 @@ class TopNRowNumberOperator(Operator):
         self._node = node
         self._batches: List[DeviceBatch] = []
         self._out: Optional[DeviceBatch] = None
-        self._fn = jax.jit(self._compute)
+        from velox_tpu.exec.jit_cache import cached_jit
+        self._fn = cached_jit((type(self).__name__, node),
+                              lambda: jax.jit(self._compute))
 
     def _compute(self, batch: DeviceBatch) -> DeviceBatch:
         node = self._node
