@@ -121,7 +121,10 @@ class AggregationOperator(Operator):
         cacheable = not any(
             a.inputs and a.inputs[0].dtype.is_string
             for a in self._agg_calls)
-        cache_key = (node, pre_fn is None)
+        # key includes the resolved stats ranges: the traced steps bake
+        # them in, and re-registering a table under the same name can
+        # change them (jit_cache.py contract)
+        cache_key = (node, pre_fn is None, self._key_ranges)
         cached = _AGG_JIT_CACHE.get(cache_key) if cacheable else None
         if cached is None:
             cached = (jax.jit(self._partial_step),

@@ -160,15 +160,23 @@ def sorted_group_info(keys: Sequence[EvalValue], active, capacity: int,
       active_sorted  = active mask permuted
       num_groups     = traced count of active groups (gids 0..n-1)
     """
-    from velox_tpu.exec.sort import radix_sort_perm, sort_words
+    from velox_tpu.exec.sort import sort_perm_key, sort_words
 
     words, bits = sort_words(keys, None, capacity, active, ranges=ranges)
-    perm = radix_sort_perm(words, bits, capacity)
-    ws = [w[perm] for w in words]
-    neq = jnp.zeros((capacity,), bool)
-    for w in ws:
-        prev = jnp.concatenate([w[:1], w[:-1]])
-        neq = neq | (w != prev)
+    perm, skey = sort_perm_key(words, bits, capacity)
+    if skey is not None:
+        # sorted key lanes came back from lax.sort: boundaries without
+        # re-gathering any word
+        neq = jnp.zeros((capacity,), bool)
+        for w in skey:
+            prev = jnp.concatenate([w[:1], w[:-1]])
+            neq = neq | (w != prev)
+    else:
+        neq = jnp.zeros((capacity,), bool)
+        for w in words:
+            ws = w[perm]
+            prev = jnp.concatenate([ws[:1], ws[:-1]])
+            neq = neq | (ws != prev)
     boundary = neq.at[0].set(True)
     gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
     active_sorted = jnp.asarray(active)[perm]
@@ -184,10 +192,14 @@ def sorted_group_info_vals(keys: Sequence[EvalValue],
     5-tuple plus ``vboundary``: True where sorted position i starts a new
     (key, value) run — the dedup/run-length primitive for set_agg /
     map_agg / histogram (exec/aggregation.py collect pathway)."""
-    from velox_tpu.exec.sort import radix_sort_perm, sort_words, value_words
+    from velox_tpu.exec.sort import (
+        lane_bit_widths, lane_prefix_neq, sort_perm_key, sort_words,
+        value_words,
+    )
 
     words, bits = sort_words(keys, None, capacity, active, ranges=ranges)
     n_key_words = len(words)
+    key_bits = int(sum(bits))
     for v in vals:
         if v.validity is not None:
             words.append((~v.full_validity(capacity)).astype(jnp.uint32))
@@ -195,18 +207,23 @@ def sorted_group_info_vals(keys: Sequence[EvalValue],
         vw = value_words(v, capacity)
         words.extend(vw)
         bits.extend([32] * len(vw))
-    perm = radix_sort_perm(words, bits, capacity)
+    perm, skey = sort_perm_key(words, bits, capacity)
 
-    def _runs(ws):
-        neq = jnp.zeros((capacity,), bool)
-        for w in ws:
-            wp = w[perm]
-            prev = jnp.concatenate([wp[:1], wp[:-1]])
-            neq = neq | (wp != prev)
-        return neq.at[0].set(True)
+    if skey is not None:
+        lw = lane_bit_widths(int(sum(bits)))
+        boundary = lane_prefix_neq(skey, lw, key_bits)
+        vboundary = lane_prefix_neq(skey, lw, int(sum(bits)))
+    else:
+        def _runs(ws):
+            neq = jnp.zeros((capacity,), bool)
+            for w in ws:
+                wp = w[perm]
+                prev = jnp.concatenate([wp[:1], wp[:-1]])
+                neq = neq | (wp != prev)
+            return neq.at[0].set(True)
 
-    boundary = _runs(words[:n_key_words])
-    vboundary = _runs(words)
+        boundary = _runs(words[:n_key_words])
+        vboundary = _runs(words)
     gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
     active_sorted = jnp.asarray(active)[perm]
     num_groups = jnp.sum((boundary & active_sorted).astype(jnp.int32))

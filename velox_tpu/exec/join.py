@@ -263,8 +263,10 @@ class HashJoinOperator(Operator):
         # read only the plan node, node-derived ranges, and the two flags
         # in the key (exec/jit_cache.py)
         from velox_tpu.exec.jit_cache import cached_jit
+        # _join_key_ranges in the key: the probe programs bake these
+        # stats-derived ranges at trace time (jit_cache.py contract)
         key = (type(self).__name__, self._node, self._unique_build,
-               isinstance(bt, SortedBuild))
+               isinstance(bt, SortedBuild), self._join_key_ranges)
         self._fast_fn = cached_jit(key + ("fast",),
                                    lambda: jax.jit(self._probe_fast))
         self._count_fn = cached_jit(key + ("count",),
@@ -335,16 +337,24 @@ class HashJoinOperator(Operator):
         rng = (tuple(ranges) + (None,)) if ranges is not None else None
         words, bits = sort_words(merged_keys, None, m, both_ok,
                                  ranges=rng)
-        perm = radix_sort_perm(words, bits, m)
+        from velox_tpu.exec.sort import (
+            lane_bit_widths, lane_prefix_neq, sort_perm_key,
+        )
+        perm, skey = sort_perm_key(words, bits, m)
         is_build = (perm < bcap) & both_ok[perm]
         nb_before = jnp.cumsum(is_build.astype(jnp.int32)) - \
             is_build.astype(jnp.int32)
-        # key-run starts: compare ONE packed key word gathered by perm
-        # (the 1-bit src word must not split runs)
-        kw = pack_key_u64(merged_keys[:-1], m)
-        kw_s = kw[perm]
-        prev = jnp.concatenate([kw_s[:1], kw_s[:-1]])
-        run_start = (kw_s != prev).at[0].set(True)
+        if skey is not None:
+            # key-run starts from the SORTED lanes, dropping the trailing
+            # 1-bit src word (which must not split runs) — no gather
+            total = int(sum(bits))
+            run_start = lane_prefix_neq(skey, lane_bit_widths(total),
+                                        total - 1)
+        else:
+            kw = pack_key_u64(merged_keys[:-1], m)
+            kw_s = kw[perm]
+            prev = jnp.concatenate([kw_s[:1], kw_s[:-1]])
+            run_start = (kw_s != prev).at[0].set(True)
         # builds before the run start == builds with key < run key
         base = jnp.where(run_start, nb_before, jnp.int32(0))
         base = jax.lax.cummax(base)
@@ -710,8 +720,11 @@ class MergeJoinOperator(HashJoinOperator):
                                   side="left").astype(jnp.int32)
             hi = jnp.searchsorted(bt.sorted_key, pk,
                                   side="right").astype(jnp.int32)
+            # guard the U64_MAX-padded tail (a real key CAN pack to MAX):
+            # clamp the run to the usable prefix so counts never cover
+            # padding rows
+            hi = jnp.minimum(hi, bt.n_usable.astype(hi.dtype))
             counts = hi - lo
-            # guard the U64_MAX-padded tail (a real key CAN pack to MAX)
             hit = probe_ok & (counts > 0) & (lo < bt.n_usable)
             counts = jnp.where(hit, counts, 0)
             return probe_ok, jnp.clip(lo, 0, bt.perm.shape[0] - 1), \

@@ -67,6 +67,11 @@ class Operator:
     def is_finished(self) -> bool:
         raise NotImplementedError
 
+    def close(self) -> None:
+        """Release operator resources (threads, buffers). Called by the
+        Task at the end of run(), including on error paths. Parity:
+        Operator::close (exec/Operator.h)."""
+
 
 class SourceOperator(Operator):
     """Source operators take no input."""
@@ -133,21 +138,49 @@ class TableScanOperator(SourceOperator):
             import queue as _qm
             import threading as _tm
             self._queue = _qm.Queue(maxsize=prefetch)
+            self._stop = _tm.Event()
             self._thread = _tm.Thread(target=self._produce, daemon=True)
             self._thread.start()
+
+    def _put(self, item) -> bool:
+        """Bounded put that gives up when the consumer abandoned the scan
+        (LIMIT pushdown / downstream error): without the stop check the
+        producer thread blocks forever on a full queue and leaks itself
+        plus `prefetch` device batches per abandoned scan."""
+        import queue as _qm
+        while not self._stop.is_set():
+            try:
+                self._queue.put(item, timeout=0.1)
+                return True
+            except _qm.Full:
+                continue
+        return False
 
     def _produce(self):
         try:
             for split in self._splits:
+                if self._stop.is_set():
+                    return
                 while True:
                     out = self._source.next(split)
                     if out is None:
                         break
-                    self._queue.put(out)
+                    if not self._put(out):
+                        return
         except BaseException as e:  # surfaced on the consumer side
             self._error = e
         finally:
-            self._queue.put(self._DONE)
+            self._put(self._DONE)
+
+    def close(self):
+        if self._queue is not None and not self._exhausted:
+            self._stop.set()
+            # drain so a producer blocked in put() observes the stop
+            try:
+                while True:
+                    self._queue.get_nowait()
+            except Exception:
+                pass
 
     def get_output(self):
         if self._queue is not None:

@@ -61,8 +61,10 @@ class OrderByOperator(Operator):
         self._out: Optional[DeviceBatch] = None
         rngs = _key_ranges(node, self._keys)
         from velox_tpu.exec.jit_cache import cached_jit
+        # rngs in the key: the traced body bakes connector column stats,
+        # which can change if a table is re-registered (jit_cache contract)
         self._sort_fn = cached_jit(
-            ("orderby", node), lambda: jax.jit(
+            ("orderby", node, rngs), lambda: jax.jit(
                 lambda b: sort_batch(b, self._keys, self._orders, rngs)))
 
     def add_input(self, batch):
@@ -98,17 +100,27 @@ class TopNOperator(Operator):
         rngs = _key_ranges(node, self._keys)
 
         def _merge(buf: Optional[DeviceBatch], batch: DeviceBatch):
+            """Key-ONLY sort: sort (packed key, iota), slice the top
+            buf_cap indices, and gather full rows just for those — the
+            payload never rides the sort (round 3; full-payload sorts
+            cost ~16 ms/M per column in gathers)."""
+            from velox_tpu.exec.sort import radix_sort_perm
             merged = concat_batches([buf, batch]) if buf is not None \
                 else batch
-            s = sort_batch(merged, self._keys, self._orders, rngs)
-            s = slice_batch(s, 0, min(self._buf_cap, s.capacity))
-            # only the first n rows survive
-            keep = (jnp.arange(s.capacity, dtype=jnp.int32) < self._n) \
-                & s.mask
+            cap = merged.capacity
+            key_vals = [value_from_column(merged.columns[k.name])
+                        for k in self._keys]
+            words, bits = sort_words(key_vals, self._orders, cap,
+                                     merged.mask, ranges=rngs)
+            perm = radix_sort_perm(words, bits, cap)
+            k = min(self._buf_cap, cap)
+            top = perm[:k]
+            s = take(merged, top, merged.mask[top])
+            keep = (jnp.arange(k, dtype=jnp.int32) < self._n) & s.mask
             return s.with_mask(keep)
 
         from velox_tpu.exec.jit_cache import cached_jit
-        self._merge_fn = cached_jit(("topn", node),
+        self._merge_fn = cached_jit(("topn", node, rngs),
                                     lambda: jax.jit(_merge))
 
     def add_input(self, batch):

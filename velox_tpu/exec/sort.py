@@ -173,6 +173,98 @@ def sort_words(
     return words, bits
 
 
+def pack_words_u64(words: List, bits: List[int]):
+    """Pack order-preserving words into as few uint64 lanes as possible
+    (words[0] most significant). Returns the list of u64 lane arrays."""
+    lanes: List = []
+    fields = list(zip(words, bits))
+    # greedy msb-first fill of 64-bit lanes
+    cur = None
+    cur_bits = 0
+    for w, nb in fields:
+        v = w.astype(jnp.uint64)
+        while nb > 0:
+            take = min(64 - cur_bits, nb)
+            piece = (v >> np.uint64(nb - take)) \
+                & np.uint64((1 << take) - 1) if nb > take else \
+                (v & np.uint64((1 << take) - 1))
+            cur = piece if cur is None else \
+                ((cur << np.uint64(take)) | piece)
+            cur_bits += take
+            nb -= take
+            if cur_bits == 64:
+                lanes.append(cur)
+                cur, cur_bits = None, 0
+    if cur_bits:
+        lanes.append(cur)
+    return lanes
+
+
+# lax.sort operand-count ceiling: XLA:TPU compile time explodes with
+# many operands (15-operand sort measured 586 s); <=4 u64 key lanes plus
+# the payload keeps compiles in the tens of seconds, one-time per shape
+# via the persistent compile cache.
+_LAX_SORT_MAX_KEY_LANES = 4
+
+
+def sort_perm_key(words: List, bits: List[int], capacity: int):
+    """(perm, sorted_key_or_None): stable sort permutation, plus the
+    packed sorted key lanes when the lax.sort path ran (so callers can
+    derive run boundaries without re-gathering key words).
+
+    TPU-first (round 3): ``lax.sort`` over <=4 packed u64 key lanes + an
+    i32 iota payload measured ~9.5 ms per million rows on this chip —
+    ~25x faster than the hand-built counting radix sort (which pays
+    ~28 ms/M PER 8-bit pass in scatters alone). Compile cost (tens of
+    seconds for multi-operand sorts) is one-time via the persistent
+    compile cache. Wider keys fall back to the radix path.
+    """
+    total = int(sum(bits))
+    if total == 0:
+        iota = jnp.arange(capacity, dtype=jnp.int32)
+        return iota, None
+    lanes = pack_words_u64(words, bits)
+    if len(lanes) <= _LAX_SORT_MAX_KEY_LANES:
+        iota = jnp.arange(capacity, dtype=jnp.int32)
+        out = jax.lax.sort(tuple(lanes) + (iota,),
+                           num_keys=len(lanes), is_stable=True)
+        return out[-1], list(out[:-1])
+    return _radix_fallback_perm(words, bits, capacity), None
+
+
+def lane_prefix_neq(lanes: List, lane_bits: List[int], prefix_bits: int):
+    """Row-boundary mask over SORTED packed key lanes: True at row i when
+    the first ``prefix_bits`` of row i's key differ from row i-1's.
+    ``lane_bits[j]`` is the bit width held by lane j (64 except possibly
+    the last). Position 0 is always True."""
+    neq = None
+    consumed = 0
+    for lane, nb in zip(lanes, lane_bits):
+        if consumed >= prefix_bits:
+            break
+        take = min(nb, prefix_bits - consumed)
+        w = lane >> np.uint64(nb - take) if take < nb else lane
+        prev = jnp.concatenate([w[:1], w[:-1]])
+        d = w != prev
+        neq = d if neq is None else (neq | d)
+        consumed += take
+    if neq is None:
+        n = lanes[0].shape[0] if lanes else 0
+        neq = jnp.zeros((n,), bool)
+    return neq.at[0].set(True)
+
+
+def lane_bit_widths(total_bits: int) -> List[int]:
+    """Per-lane bit widths produced by pack_words_u64 for a key of
+    ``total_bits`` bits."""
+    out = []
+    rem = total_bits
+    while rem > 0:
+        out.append(min(64, rem))
+        rem -= 64
+    return out
+
+
 def _scatter_sort_perm(words: List, bits: List[int], capacity: int):
     """Stable radix sort with ONE scatter per pass and ZERO N-gathers.
 
@@ -242,9 +334,18 @@ def _xla_pass_positions(d, capacity: int):
 def radix_sort_perm(words: List, bits: List[int], capacity: int,
                     bits_per_pass: int = 8):
     """Stable permutation sorting rows by unsigned words (lexicographic,
-    words[0] most significant). Scatter-only when the key fits a u64
-    alongside the row id; the general fallback keeps the classic
-    gather-digits-by-perm loop."""
+    words[0] most significant). Round 3: delegates to the lax.sort fast
+    path (sort_perm_key); the counting-radix machinery below remains as
+    the fallback for very wide keys."""
+    perm, _ = sort_perm_key(words, bits, capacity)
+    return perm
+
+
+def _radix_fallback_perm(words: List, bits: List[int], capacity: int,
+                         bits_per_pass: int = 8):
+    """Counting radix sort (pre-round-3 default; now the wide-key
+    fallback). Scatter-only when the key fits a u64 alongside the row
+    id; the general path keeps the classic gather-digits-by-perm loop."""
     total = int(sum(bits))
     pbits = max(1, capacity - 1).bit_length()
     if total + pbits <= 64 and total > 0:

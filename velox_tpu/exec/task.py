@@ -143,9 +143,16 @@ class Task:
         from velox_tpu.common import metrics as M
         from velox_tpu.vector.device import to_arrow
         t0 = time.perf_counter()
-        tables = [to_arrow(self._compact_for_output(b))
-                  for b in self.batches()]
-        self._close_traces()
+        try:
+            tables = [to_arrow(self._compact_for_output(b))
+                      for b in self.batches()]
+        finally:
+            for op in self.operators:
+                try:
+                    op.close()
+                except Exception:
+                    pass
+            self._close_traces()
         self.check_errors()
         M.record_counter(M.K_TASK_QUERIES)
         M.record_histogram(M.K_QUERY_WALL_MS,
@@ -264,7 +271,19 @@ class Task:
         elif isinstance(node, P.TopNNode):
             yield from self._drive(node.source, TopNOperator(node))
         elif isinstance(node, P.LimitNode):
-            yield from self._drive(node.source, LimitOperator(node))
+            # OrderBy + Limit(offset=0) => TopN: a bounded key-only sort
+            # per batch instead of a full sort with payload gathers
+            # (parity: the Limit-over-OrderBy plans Presto lowers to
+            # TopNNode, core/PlanNode.h:1871)
+            if (isinstance(node.source, P.OrderByNode)
+                    and node.offset == 0 and 0 < node.count <= (1 << 20)):
+                ob = node.source
+                tn = P.TopNNode(f"{node.id}-topn", source=ob.source,
+                                keys=ob.keys, orders=ob.orders,
+                                count=node.count)
+                yield from self._drive(ob.source, TopNOperator(tn))
+            else:
+                yield from self._drive(node.source, LimitOperator(node))
         elif isinstance(node, P.HashJoinNode):
             yield from self._run_join(node)
         elif isinstance(node, P.TableWriteNode):

@@ -128,9 +128,20 @@ class WindowOperator(Operator):
         self._node = node
         self._batches: List[DeviceBatch] = []
         self._out: Optional[DeviceBatch] = None
+        self._flags = None
+        self._trace_flags: List = []
         from velox_tpu.exec.jit_cache import cached_jit
         self._fn = cached_jit((type(self).__name__, node),
-                              lambda: jax.jit(self._compute))
+                              lambda: jax.jit(self._compute_flagged))
+
+    def _compute_flagged(self, batch: DeviceBatch):
+        """_compute plus any in-trace sanity flags (RANGE-k composite
+        overflow) accumulated during tracing."""
+        self._trace_flags = []
+        out = self._compute(batch)
+        flags = sum(self._trace_flags) if self._trace_flags \
+            else jnp.int32(0)
+        return out, flags
 
     def add_input(self, batch):
         self._batches.append(batch)
@@ -140,10 +151,26 @@ class WindowOperator(Operator):
         if self._batches:
             merged = concat_batches(self._batches)
             self._batches = []
-            self._out = self._fn(merged)
+            self._out, self._flags = self._fn(merged)
 
     def get_output(self):
         out, self._out = self._out, None
+        if out is not None and self._flags is not None:
+            # only RANGE-k windows ever set flags; the fetch is one
+            # scalar right before output extraction syncs anyway
+            k_bounds = (BoundType.PRECEDING, BoundType.FOLLOWING)
+            has_range_k = any(
+                (fr := getattr(c, "frame", None)) is not None
+                and fr.frame_type is FrameType.RANGE
+                and (fr.start_type in k_bounds or fr.end_type in k_bounds)
+                for c in self._node.functions)
+            if has_range_k and int(jax.device_get(self._flags)):
+                from velox_tpu.common.errors import VeloxRuntimeError
+                raise VeloxRuntimeError(
+                    "RANGE k-PRECEDING/FOLLOWING: partition count x "
+                    "ORDER BY key span overflows the int64 composite; "
+                    "narrow the key range or reduce partitions")
+            self._flags = None
         return out
 
     def is_finished(self):
@@ -343,6 +370,14 @@ class WindowOperator(Operator):
         kmin = jnp.min(jnp.where(s.mask, key, jnp.iinfo(jnp.int64).max))
         kmax = jnp.max(jnp.where(s.mask, key, jnp.iinfo(jnp.int64).min))
         span = kmax - kmin + 1
+        # overflow guard: pid_max * (span + 2^33) must stay inside int64
+        # (huge key spans x many partitions would silently wrap and give
+        # wrong frame bounds); the flag rides the traced output and the
+        # operator raises after one device fetch
+        pid_max = jnp.max(jnp.where(s.mask, pid, 0))
+        safe = pid_max <= (jnp.int64(1) << 62) // (span + 2 * (1 << 32))
+        self._trace_flags.append(
+            jnp.where(safe, jnp.int32(0), jnp.int32(1)))
         comp = pid * (span + 2 * (1 << 32)) + (key - kmin) + (1 << 32)
         # inactive (padding) rows sort last in the batch; force their
         # composites to +inf so the array stays monotone for searchsorted

@@ -178,7 +178,10 @@ def _mm_hash_i64(i64, seed):
 def _double_bits(x):
     """IEEE-754 double bits WITHOUT bitcast (unsupported f64<->i64 on the
     TPU x64 path): sign/exponent/mantissa reconstructed arithmetically.
-    Denormals are flushed to zero (acceptable for hash partitioning)."""
+    Denormals (|x| < 2^-1022) are explicitly flushed to zero — a
+    documented deviation from Spark, which hashes their true bit
+    patterns; normal values remain bit-exact."""
+    x = jnp.where(jnp.abs(x) < 2.0 ** -1022, 0.0, x)  # flush denormals
     x = jnp.where(x == 0.0, 0.0, x)           # -0.0 -> 0.0 (Spark)
     sign = jnp.where(jnp.signbit(x), jnp.uint64(1) << jnp.uint64(63),
                      jnp.uint64(0))
