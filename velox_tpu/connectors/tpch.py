@@ -107,10 +107,12 @@ NATION_REGION = [0, 1, 1, 1, 4, 0, 3, 3, 2, 2, 4, 4, 2, 4, 0, 0, 0, 1, 2, 3,
                  4, 2, 3, 3, 1]
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 
-# comment words for deterministic filler text (small stable dictionary)
+# comment words for deterministic filler text (small stable dictionary).
+# "green" and "forest" are real dbgen p_name words (dists.dss colors) —
+# included so Q9 ('%green%') and Q20 ('forest%') select real rows.
 _WORDS = ("final deposits regular quickly express ironic carefully pending"
           " furiously bold packages requests accounts theodolites platelets"
-          " instructions foxes dependencies pinto beans").split()
+          " instructions foxes dependencies pinto beans green forest").split()
 
 # RNG stream ids per (table, column) — table * 64 + column slot.
 _S = {

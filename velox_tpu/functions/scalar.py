@@ -484,9 +484,20 @@ def _require_dict(v: EvalValue, fname: str) -> Dictionary:
 
 
 def _dict_map(v: EvalValue, f, out_dtype=T.VARCHAR) -> EvalValue:
+    """Dictionary-space transform with DEDUPLICATION: f may collapse
+    distinct inputs to one output (substr, lower, trim), and duplicate
+    values in a dictionary break id-space equality and grouping — so the
+    output dictionary is unique+sorted and the row ids are remapped via
+    one device gather."""
     d = _require_dict(v, "string function")
-    new_dict = Dictionary([f(x) for x in d.values])
-    return EvalValue(v.data, v.validity, out_dtype, new_dict)
+    vals = [f(x) for x in d.values]
+    uniq = sorted(set(vals))
+    new_id = {x: i for i, x in enumerate(uniq)}
+    remap = np.array([new_id[x] for x in vals], dtype=np.int32)
+    new_dict = Dictionary(uniq)
+    new_dict.is_sorted = True
+    data = jnp.asarray(remap)[v.data]
+    return EvalValue(data, v.validity, out_dtype, new_dict)
 
 
 def _dict_lookup(v: EvalValue, f, out_dtype) -> EvalValue:

@@ -39,14 +39,22 @@ def _dict_map_nullable(v: EvalValue, f) -> EvalValue:
     d = _require_dict(v, "string function")
     vals = [f(x) for x in d.values]
     null_ids = np.array([x is None for x in vals], dtype=bool)
-    new_dict = Dictionary(["" if x is None else x for x in vals])
+    # dedup + remap like scalar._dict_map: duplicate dictionary values
+    # break id-space equality and grouping
+    strs = ["" if x is None else x for x in vals]
+    uniq = sorted(set(strs))
+    new_id = {x: i for i, x in enumerate(uniq)}
+    remap = np.array([new_id[x] for x in strs], dtype=np.int32)
+    new_dict = Dictionary(uniq)
+    new_dict.is_sorted = True
+    data = jnp.asarray(remap)[v.data]
     if null_ids.any():
         is_null = jnp.asarray(null_ids)[v.data]
         validity = ~is_null if v.validity is None else \
             (v.validity & ~is_null)
     else:
         validity = v.validity
-    return EvalValue(v.data, validity, T.VARCHAR, new_dict)
+    return EvalValue(data, validity, T.VARCHAR, new_dict)
 
 
 def _const_str(arg: EvalValue, fname: str) -> str:

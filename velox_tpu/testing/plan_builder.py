@@ -406,6 +406,15 @@ class PlanBuilder:
         """A builder sharing this one's id generator (for join builds)."""
         return PlanBuilder(self._ids)
 
+    def tee(self) -> "PlanBuilder":
+        """A new builder rooted at this builder's CURRENT node — plan-DAG
+        reuse for correlated-subquery rewrites (e.g. TPC-H Q2's min-cost
+        join-back). The serial Task re-executes the shared subtree per
+        consumer."""
+        nb = PlanBuilder(self._ids)
+        nb._node = self._node
+        return nb
+
 
 def _split_args(s: str) -> List[str]:
     out, depth, cur = [], 0, []
