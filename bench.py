@@ -36,15 +36,36 @@ def days(iso):
 
 
 def engine_wall(plan_fn):
-    """(cold_s, warm_s, result_table) for a plan through a fresh Task."""
+    """(cold_s, warm_s, result_table, warm_task) for a fresh Task."""
     from velox_tpu.exec.task import Task
     t0 = time.perf_counter()
     Task(plan_fn()).run()
     cold = time.perf_counter() - t0
     t0 = time.perf_counter()
-    out = Task(plan_fn()).run()
+    task = Task(plan_fn())
+    out = task.run()
     warm = time.perf_counter() - t0
-    return cold, warm, out
+    return cold, warm, out, task
+
+
+def measure_hbm_bw():
+    """Achievable device HBM bandwidth (bytes/s) via a jitted stream
+    copy — the roofline denominator (BASELINE.md: >=70%-of-roofline
+    target). Read + write of a 512 MB buffer, best of 3."""
+    import jax
+    import jax.numpy as jnp
+    n = 1 << 27  # 512 MB of int32
+    a = jnp.ones((n,), jnp.int32)
+    f = jax.jit(lambda x: x + 1)
+    y = f(a)
+    jax.device_get(y[0])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        y = f(a)
+        jax.device_get(y[0])
+        best = min(best, time.perf_counter() - t0)
+    return 2.0 * n * 4 / best
 
 
 def cpu_wall(fn, iters=3):
@@ -138,12 +159,17 @@ def main():
         ("q18_sf1", lambda: tpch_plan(18), cpu_q18),
     ]
 
+    try:
+        hbm_bw = measure_hbm_bw()
+    except Exception:
+        hbm_bw = None
+
     detail = {}
     ratios = []
     rates = []
     for name, plan_fn, cpu_fn in configs:
         try:
-            cold, warm, out = engine_wall(plan_fn)
+            cold, warm, out, task = engine_wall(plan_fn)
             cpu_dt, _ = cpu_wall(cpu_fn)
             detail[name] = {
                 "engine_cold_s": round(cold, 3),
@@ -153,6 +179,14 @@ def main():
                 "vs_baseline": cpu_dt / warm,
                 "out_rows": out.num_rows,
             }
+            if hbm_bw:
+                hbm_bytes = task.total_hbm_bytes()
+                ideal_s = hbm_bytes / hbm_bw
+                detail[name].update({
+                    "hbm_bytes_model": hbm_bytes,
+                    "hbm_bw_gbps": round(hbm_bw / 1e9, 1),
+                    "pct_of_roofline": round(100.0 * ideal_s / warm, 2),
+                })
             ratios.append(cpu_dt / warm)
             rates.append(li_rows / warm)
         except Exception as e:  # keep the bench line even on failures

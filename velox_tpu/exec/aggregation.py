@@ -138,6 +138,21 @@ class AggregationOperator(Operator):
         # Fold accumulated partial runs when this many pile up — the in-HBM
         # analogue of velox's spill-run merging (GroupingSet.cpp:1043).
         self._compact_threshold = compact_threshold
+        # SINGLE-shot mode (round 3): per-batch partial grouping pays a
+        # full sort per batch AND a full-capacity concat at the end (the
+        # partial output keeps the input capacity), so for SINGLE/FINAL/
+        # INTERMEDIATE steps it is strictly more sorted rows than ONE
+        # sort over the buffered rows. Buffer per-row state batches
+        # (SINGLE evaluates keys+addends per batch via the passthrough
+        # program; FINAL/INTERMEDIATE inputs already ARE state batches)
+        # and group once at the end. Memory stays bounded by folding to
+        # a grouped run past _single_merge_max_rows (the spill analogue).
+        self._single_shot = (bool(self._keys) and not self._collect_mode
+                             and not host_offload
+                             and self._step is not
+                             P.AggregationStep.PARTIAL)
+        self._single_merge_max_rows = 1 << 24
+        self._buffered_rows = 0
         # string aggregate outputs need the input dictionary carried over
         self._agg_dicts: List = [None] * len(self._aggs)
         # adaptive partial-agg abandonment (parity: velox
@@ -535,6 +550,19 @@ class AggregationOperator(Operator):
                 self._collect_prep_fn(batch)))
             return
         if self._keys:
+            if self._single_shot:
+                if self._step is P.AggregationStep.SINGLE:
+                    self._partials.append(self._strip_errs(
+                        self._passthrough_fn(batch)))
+                else:  # FINAL/INTERMEDIATE: already state batches
+                    self._partials.append(batch)
+                self._buffered_rows += batch.capacity
+                if self._buffered_rows > self._single_merge_max_rows:
+                    merged = self._shrink(self._compact_fn(
+                        concat_batches(self._partials)))
+                    self._partials = [merged]
+                    self._buffered_rows = merged.capacity
+                return
             if self._abandoned:
                 self._outputs.append(self._strip_errs(
                     self._passthrough_fn(batch)))
@@ -619,19 +647,26 @@ class AggregationOperator(Operator):
                     + self._partials
                 self._host_runs = []
             if self._partials:
-                # hierarchical run merge: fold runs k at a time so peak HBM
-                # is bounded by k runs + one table, instead of one giant
-                # concat of every run (a 2M-row-split Q3 SF1 needed 22.6G
-                # that way). Parity: velox's multi-level spill merge
-                # (kMaxSpillLevel recursion).
-                k = 4
-                runs = self._partials
-                self._partials = []
-                while len(runs) > 1:
-                    head, runs = runs[:k], runs[k:]
-                    folded = self._compact_fn(concat_batches(head))
-                    runs.append(self._shrink(folded))
-                self._outputs.append(self._merge_fn(runs[0]))
+                total_cap = sum(b.capacity for b in self._partials)
+                if total_cap <= self._single_merge_max_rows:
+                    # one sort over everything buffered (round 3)
+                    self._outputs.append(self._merge_fn(
+                        concat_batches(self._partials)))
+                    self._partials = []
+                else:
+                    # hierarchical run merge: fold runs k at a time so
+                    # peak HBM is bounded by k runs + one table, instead
+                    # of one giant concat of every run (a 2M-row-split Q3
+                    # SF1 needed 22.6G that way). Parity: velox's
+                    # multi-level spill merge (kMaxSpillLevel recursion).
+                    k = 4
+                    runs = self._partials
+                    self._partials = []
+                    while len(runs) > 1:
+                        head, runs = runs[:k], runs[k:]
+                        folded = self._compact_fn(concat_batches(head))
+                        runs.append(self._shrink(folded))
+                    self._outputs.append(self._merge_fn(runs[0]))
         else:
             self._outputs = [self._extract_global()]
         self._finished_inputs = True

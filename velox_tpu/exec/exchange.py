@@ -125,16 +125,29 @@ class OutputBuffer:
         del q[:drop]
         self._acked[destination] += drop
 
-    def get(self, destination: int, sequence: int):
+    def get(self, destination: int, sequence: int,
+            max_bytes: Optional[int] = None):
         """Pages from absolute index `sequence` on + at_end flag. Pages
-        before `sequence` are implicitly acknowledged and dropped."""
+        before `sequence` are implicitly acknowledged and dropped.
+        ``max_bytes`` bounds the response (at least one page is returned
+        when available) — the consumer-side credit unit (parity:
+        ExchangeSource::request(maxBytes), exec/ExchangeClient.h:104)."""
         with self._lock:
             self._ack_locked(destination, sequence)
             q = self._queues[destination]
-            start = sequence - self._acked[destination]
-            pages = [e.load() if isinstance(e, _SpilledPage) else e
-                     for e in q[max(start, 0):]]
-            return pages, self._finished
+            start = max(sequence - self._acked[destination], 0)
+            pages = []
+            total = 0
+            for e in q[start:]:
+                size = e.size if isinstance(e, _SpilledPage) else len(e)
+                if pages and max_bytes is not None \
+                        and total + size > max_bytes:
+                    break
+                pages.append(e.load() if isinstance(e, _SpilledPage)
+                             else e)
+                total += size
+            at_end = self._finished and start + len(pages) >= len(q)
+            return pages, at_end
 
     @property
     def finished(self) -> bool:
@@ -180,8 +193,10 @@ class ExchangeSource:
     """Pulls pages for one (remote task, destination).
     Parity: exec/ExchangeSource.h:23."""
 
-    def next(self):
-        """-> (pages: List[bytes], at_end: bool)."""
+    def next(self, max_bytes: Optional[int] = None):
+        """-> (pages: List[bytes], at_end: bool). ``max_bytes`` is the
+        consumer's credit for this request (parity:
+        ExchangeSource::request(maxBytes, maxWait))."""
         raise NotImplementedError
 
 
@@ -194,9 +209,9 @@ class LocalExchangeSource(ExchangeSource):
         self.destination = destination
         self._seq = 0
 
-    def next(self):
+    def next(self, max_bytes: Optional[int] = None):
         buf = OutputBufferManager.instance().get(self.task_id)
-        pages, at_end = buf.get(self.destination, self._seq)
+        pages, at_end = buf.get(self.destination, self._seq, max_bytes)
         self._seq += len(pages)
         return pages, at_end
 
@@ -268,24 +283,37 @@ class ExchangeOperator(SourceOperator):
     """Consumes pages from remote tasks' output buffers.
     Parity: exec/Exchange.h:38 + ExchangeClient."""
 
+    # consumer-side queue bound — parity with the reference's 32MB
+    # ExchangeClient queue (exec/ExchangeClient.h:27)
+    MAX_QUEUE_BYTES = 32 << 20
+
     def __init__(self, node: "P.ExchangeNode", remote_task_ids: List[str],
                  destination: int, capacity: Optional[int] = None,
-                 dictionaries=None):
+                 dictionaries=None, max_queue_bytes: Optional[int] = None):
         super().__init__(node)
         self._sources = [_SOURCE_FACTORY(t, destination)
                          for t in remote_task_ids]
         self._pending: List[bytes] = []
+        self._pending_bytes = 0
+        self._max_queue_bytes = max_queue_bytes or self.MAX_QUEUE_BYTES
         self._done = [False] * len(self._sources)
         self._serde = PageSerde()
         self._capacity = capacity
         self._dictionaries = dictionaries or {}
 
     def _poll(self):
+        """Credit-based re-request: each source gets at most the queue
+        headroom; polling stops once the bounded queue is full (parity:
+        ExchangeClient::next re-request scheduling, ExchangeClient.h:104)."""
         for i, s in enumerate(self._sources):
             if self._done[i]:
                 continue
-            pages, at_end = s.next()
+            credit = self._max_queue_bytes - self._pending_bytes
+            if credit <= 0 and self._pending:
+                return
+            pages, at_end = s.next(max(credit, 1))
             self._pending.extend(pages)
+            self._pending_bytes += sum(len(p) for p in pages)
             if at_end:
                 self._done[i] = True
 
@@ -295,6 +323,7 @@ class ExchangeOperator(SourceOperator):
         if not self._pending:
             return None
         page = self._pending.pop(0)
+        self._pending_bytes -= len(page)
         return self._serde.deserialize(page, capacity=self._capacity,
                                        dictionaries=self._dictionaries)
 

@@ -34,6 +34,11 @@ class OperatorStats:
     input_rows: int = 0
     output_batches: int = 0
     output_rows: int = 0
+    # static batch footprints (DeviceBatch.nbytes) — the roofline
+    # accounting unit: every operator reads its input bytes and writes
+    # its output bytes through HBM at least once
+    input_bytes: int = 0
+    output_bytes: int = 0
     add_input_wall_ns: int = 0
     get_output_wall_ns: int = 0
     finish_wall_ns: int = 0

@@ -166,6 +166,14 @@ class Task:
     def stats(self):
         return [op.stats.as_dict() for op in self.operators]
 
+    def total_hbm_bytes(self) -> int:
+        """Lower-bound HBM traffic model: every operator reads its input
+        batches and writes its output batches at least once. The roofline
+        denominator for bench.py's pct_of_roofline (BASELINE.md's >=70%
+        target)."""
+        return sum(op.stats.input_bytes + op.stats.output_bytes
+                   for op in self.operators)
+
     def print_plan_with_stats(self) -> str:
         """Plan tree annotated with per-operator stats.
         Parity: velox printPlanWithStats (exec/tests/utils/
@@ -182,7 +190,9 @@ class Task:
                       + st.finish_wall_ns) / 1e6
                 lines.append(
                     f"{pad}    {st.operator_type}: in={st.input_batches} "
-                    f"out={st.output_batches} batches, {ms:.1f} ms")
+                    f"out={st.output_batches} batches "
+                    f"({st.input_bytes / 1e6:.0f}/"
+                    f"{st.output_bytes / 1e6:.0f} MB), {ms:.1f} ms")
             for s in node.sources:
                 lines.extend(fmt(s, indent + 1))
             return lines
@@ -542,6 +552,7 @@ class Task:
             op.add_input(batch)
             st.add_input_wall_ns += time.perf_counter_ns() - t0
             st.input_batches += 1
+            st.input_bytes += batch.nbytes
             while True:
                 t0 = time.perf_counter_ns()
                 out = op.get_output()
@@ -549,6 +560,7 @@ class Task:
                 if out is None:
                     break
                 st.output_batches += 1
+                st.output_bytes += out.nbytes
                 yield out
         t0 = time.perf_counter_ns()
         op.no_more_input()
@@ -558,6 +570,7 @@ class Task:
             if out is None:
                 break
             st.output_batches += 1
+            st.output_bytes += out.nbytes
             yield out
         # operators that evaluate expressions inside their own jitted
         # steps (aggregation pre-chains / agg inputs) expose their error
@@ -574,6 +587,7 @@ class Task:
             if out is None:
                 break
             st.output_batches += 1
+            st.output_bytes += out.nbytes
             yield out
 
 

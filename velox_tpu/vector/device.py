@@ -178,6 +178,24 @@ class DeviceBatch:
         """Traced count of active rows."""
         return jnp.sum(self.mask, dtype=jnp.int32)
 
+    @property
+    def nbytes(self) -> int:
+        """Static device-memory footprint of this batch (data + validity
+        + mask bytes, recursing into complex-type children) — the HBM
+        traffic unit for roofline accounting (OperatorStats bytes,
+        exec/task.py)."""
+        def col_bytes(c) -> int:
+            n = int(c.data.size) * c.data.dtype.itemsize
+            if c.validity is not None:
+                n += int(c.validity.size) * c.validity.dtype.itemsize
+            for ch in (c.children or ()):
+                n += col_bytes(ch)
+            return n
+        total = int(self.mask.size) * self.mask.dtype.itemsize
+        for c in self.columns.values():
+            total += col_bytes(c)
+        return total
+
     def row_type(self) -> T.DataType:
         names = list(self.columns)
         return T.row(names, [self.columns[n].dtype for n in names])
