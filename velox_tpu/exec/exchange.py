@@ -242,14 +242,30 @@ class PartitionedOutputOperator(Operator):
         self._serde = PageSerde()
         self._key_names = [k.name for k in node.keys]
 
-        def _dest(batch: DeviceBatch):
+        def _bucketize(batch: DeviceBatch):
+            """Device-side destination bucketize: one stable sort by
+            destination id groups each destination's rows contiguously
+            (the radix-partition analogue of Destination::advance,
+            exec/PartitionedOutput.cpp:23-70) so the host emits pages by
+            zero-copy slicing instead of per-destination row scans."""
+            from velox_tpu.exec.batch_utils import take
             from velox_tpu.expression.eval import value_from_column
             from velox_tpu.parallel.exchange import partition_ids
+            n, cap = self._n, batch.capacity
             keys = [value_from_column(batch.columns[k])
                     for k in self._key_names]
-            return partition_ids(keys, batch.capacity, self._n)
+            dest = partition_ids(keys, cap, n).astype(jnp.int32)
+            dest = jnp.where(batch.mask, dest, jnp.int32(n))
+            iota = jnp.arange(cap, dtype=jnp.int64)
+            packed = jnp.sort((dest.astype(jnp.int64) << 32) | iota)
+            perm = (packed & 0xFFFFFFFF).astype(jnp.int32)
+            out = take(batch, perm, (packed >> 32) < n)
+            counts = jnp.zeros((n,), jnp.int32).at[dest].add(
+                1, mode="drop")
+            return out, counts
 
-        self._dest_fn = jax.jit(_dest) if self._key_names else None
+        self._bucketize_fn = (jax.jit(_bucketize)
+                              if self._key_names else None)
 
     def add_input(self, batch: DeviceBatch):
         from velox_tpu.vector.device import to_arrow
@@ -257,16 +273,16 @@ class PartitionedOutputOperator(Operator):
             page = self._serde.serialize(batch)
             self._buffer.enqueue(0, page)
             return
-        dest = np.asarray(jax.device_get(self._dest_fn(batch)))
-        mask = np.asarray(jax.device_get(batch.mask))
-        table = to_arrow(batch)
-        dest_active = dest[mask]
+        out, counts = self._bucketize_fn(batch)
+        counts = np.asarray(jax.device_get(counts))
+        table = to_arrow(out)  # active rows, destination-contiguous
+        off = 0
         for d in range(self._n):
-            idx = np.nonzero(dest_active == d)[0]
-            if len(idx) == 0:
-                continue
-            self._buffer.enqueue(d, self._serde.serialize_table(
-                table.take(idx)))
+            c = int(counts[d])
+            if c:
+                self._buffer.enqueue(d, self._serde.serialize_table(
+                    table.slice(off, c)))
+            off += c
 
     def no_more_input(self):
         super().no_more_input()

@@ -362,7 +362,8 @@ class Task:
             cap = self.ctx.get("exchange.batch_capacity")
             dicts = self.ctx.get(f"exchange.{node.id}.dictionaries")
             yield from self._drive_source(ExchangeOperator(
-                node, remotes, dest, cap, dicts))
+                node, remotes, dest, cap, dicts,
+                self.ctx.get("exchange.max_queue_bytes")))
         else:
             raise NotImplementedError(f"no operator for {type(node).__name__}")
 
