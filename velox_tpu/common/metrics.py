@@ -87,3 +87,5 @@ K_EXCHANGE_BYTES = "velox_tpu.exchange.bytes"
 K_TRACE_BATCHES = "velox_tpu.trace.batches_recorded"
 K_COMPILED_PROGRAMS = "velox_tpu.jit.programs"
 K_QUERY_WALL_MS = "velox_tpu.task.wall_ms"
+K_MEM_RECLAIMS = "velox_tpu.memory.reclaims"
+K_MEM_RECLAIMED_BYTES = "velox_tpu.memory.reclaimed_bytes"

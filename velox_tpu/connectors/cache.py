@@ -26,6 +26,7 @@ class DataCache:
     _instance: Optional["DataCache"] = None
 
     def __init__(self, budget_bytes: int = DEFAULT_BUDGET):
+        from velox_tpu.exec.memory import MemoryArbitrator, MemoryPool
         self.budget = budget_bytes
         self.used = 0
         self.hits = 0
@@ -33,6 +34,12 @@ class DataCache:
         self._entries: "OrderedDict[Tuple, Tuple[DeviceBatch, int]]" = \
             OrderedDict()
         self._lock = threading.Lock()
+        # cached scans are re-loadable: first in line for arbitration
+        # (parity: AsyncDataCache shrink under memory pressure,
+        # common/caching/AsyncDataCache.h:698)
+        self._pool = MemoryPool.device_root()
+        MemoryArbitrator.instance().register(
+            self, MemoryArbitrator.PRI_CACHE)
 
     @classmethod
     def instance(cls) -> "DataCache":
@@ -57,15 +64,35 @@ class DataCache:
         with self._lock:
             old = self._entries.pop(key, None)
             if old is not None:
-                self.used -= old[1]
+                self._drop_bytes(old[1])
             while self.used + n > self.budget and self._entries:
                 _, (_, sz) = self._entries.popitem(last=False)
-                self.used -= sz
+                self._drop_bytes(sz)
+            if not self._pool.reserve(n):
+                # HBM root capped: don't cache rather than oust operator
+                # state (the arbitrator can't help — WE are its first
+                # eviction target)
+                return
             self._entries[key] = (batch, n)
             self.used += n
 
+    def _drop_bytes(self, n: int):
+        self.used -= n
+        self._pool.release(n)
+
+    def reclaim(self, needed: int) -> int:
+        """Arbitrator hook: evict LRU entries until `needed` freed."""
+        with self._lock:
+            freed = 0
+            while self._entries and freed < needed:
+                _, (_, sz) = self._entries.popitem(last=False)
+                self._drop_bytes(sz)
+                freed += sz
+            return freed
+
     def clear(self):
         with self._lock:
+            self._pool.release(self.used)
             self._entries.clear()
             self.used = 0
 

@@ -38,6 +38,10 @@ class QueryConfig:
     TRACE_NODE_IDS = "query_trace_node_ids"  # comma list; empty = all
     # velox kMaxOutputBatchRows
     MAX_OUTPUT_BATCH_ROWS = "max_output_batch_rows"
+    # per-query HBM cap; crossing it triggers arbitration (scan-cache
+    # eviction, then force-offload of operator state to host RAM) —
+    # parity: MemoryArbitrator capacity (common/memory/MemoryArbitrator.h)
+    QUERY_HBM_CAP_BYTES = "query_hbm_cap_bytes"
     # join build -> probe scan min/max pushdown (Driver::pushdownFilters)
     DYNAMIC_FILTERS = "dynamic_filters_enabled"
     # use StreamingAggregation when the agg input is sorted by its keys

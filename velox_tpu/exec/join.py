@@ -178,12 +178,13 @@ class HashBuildStage:
     it, batches spill to host RAM and return for the build (parity:
     velox Spiller kHashJoinBuild, exec/Spiller.h:29)."""
 
-    def __init__(self, key_fields, offload_bytes=None):
+    def __init__(self, key_fields, offload_bytes=None, pool=None):
         from velox_tpu.common import metrics as M
         from velox_tpu.exec.memory import OffloadBuffer
         self._key_fields = list(key_fields)
         self._buf = OffloadBuffer(offload_bytes,
-                                  metric_key=M.K_JOIN_BUILD_OFFLOADS)
+                                  metric_key=M.K_JOIN_BUILD_OFFLOADS,
+                                  pool=pool)
 
     def add_input(self, batch: DeviceBatch):
         self._buf.add(batch)
@@ -736,12 +737,13 @@ class MergeBuildStage:
     """Accumulates the (pre-sorted) right side of a merge join; finish()
     validates the sort contract once and returns a SortedBuild."""
 
-    def __init__(self, key_fields, offload_bytes=None):
+    def __init__(self, key_fields, offload_bytes=None, pool=None):
         from velox_tpu.common import metrics as M
         from velox_tpu.exec.memory import OffloadBuffer
         self._key_fields = list(key_fields)
         self._buf = OffloadBuffer(offload_bytes,
-                                  metric_key=M.K_JOIN_BUILD_OFFLOADS)
+                                  metric_key=M.K_JOIN_BUILD_OFFLOADS,
+                                  pool=pool)
 
     def add_input(self, batch: DeviceBatch):
         self._buf.add(batch)

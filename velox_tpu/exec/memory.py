@@ -56,8 +56,10 @@ class HostBatch:
 
 class MemoryPool:
     """Hierarchical usage tracking with a soft cap.
-    Parity: common/memory/MemoryPool.h (tracking; arbitration is the
-    operators' offload hooks)."""
+    Parity: common/memory/MemoryPool.h (tracking) — reclaim triggering
+    lives in MemoryArbitrator below."""
+
+    _device_root: Optional["MemoryPool"] = None
 
     def __init__(self, name: str, cap_bytes: Optional[int] = None,
                  parent: Optional["MemoryPool"] = None):
@@ -67,25 +69,119 @@ class MemoryPool:
         self.used = 0
         self.peak = 0
 
+    @classmethod
+    def device_root(cls) -> "MemoryPool":
+        """Process-wide root modelling total HBM consumption (scan cache
+        + operator state). Parity: the MemoryManager root pool
+        (common/memory/Memory.h:175). Cap set via set_device_cap()."""
+        if cls._device_root is None:
+            cls._device_root = cls("device-root")
+        return cls._device_root
+
+    @classmethod
+    def set_device_cap(cls, cap_bytes: Optional[int]):
+        cls.device_root().cap_bytes = cap_bytes
+
+    def _over_cap(self, n: int) -> bool:
+        p: Optional[MemoryPool] = self
+        while p is not None:
+            if p.cap_bytes is not None and p.used + n > p.cap_bytes:
+                return True
+            p = p.parent
+        return False
+
     def reserve(self, n: int) -> bool:
-        """Account n bytes; False if this would exceed the cap (caller
-        should offload)."""
-        if self.cap_bytes is not None and self.used + n > self.cap_bytes:
+        """Account n bytes; False if this (or an ancestor cap) would be
+        exceeded (caller should offload)."""
+        if self._over_cap(n):
             return False
-        self.used += n
-        self.peak = max(self.peak, self.used)
-        if self.parent is not None:
-            self.parent.reserve(n)
+        p: Optional[MemoryPool] = self
+        while p is not None:
+            p.used += n
+            p.peak = max(p.peak, p.used)
+            p = p.parent
         return True
 
+    def reserve_or_reclaim(self, n: int) -> bool:
+        """reserve(); on cap overflow ask the arbitrator to free memory
+        (evict scan cache, force-offload other operators' buffers) and
+        retry ONCE. Parity: MemoryArbitrator::growCapacity triggering
+        reclaim (common/memory/MemoryArbitrator.h:46,
+        SharedArbitrator.h:53)."""
+        if self.reserve(n):
+            return True
+        MemoryArbitrator.instance().reclaim(n)
+        return self.reserve(n)
+
     def release(self, n: int):
-        self.used = max(0, self.used - n)
-        if self.parent is not None:
-            self.parent.release(n)
+        p: Optional[MemoryPool] = self
+        while p is not None:
+            p.used = max(0, p.used - n)
+            p = p.parent
+        return None
 
     def stats(self) -> Dict:
         return {"name": self.name, "used": self.used, "peak": self.peak,
                 "cap": self.cap_bytes}
+
+
+class MemoryArbitrator:
+    """Process-wide reclaim coordinator. Reclaimers register with a
+    priority (lower runs first: scan cache eviction before operator
+    state offload); when any pool's reserve crosses a cap, reclaim(n)
+    walks them until n bytes are freed. Parity:
+    common/memory/MemoryArbitrator.h:46 + exec/MemoryReclaimer.h — the
+    spill-triggering half of the reference's arbitration (capacity
+    transfer is subsumed: pools share one HBM root)."""
+
+    _instance: Optional["MemoryArbitrator"] = None
+
+    # reclaimer priorities
+    PRI_CACHE = 0      # re-loadable data: evict first
+    PRI_OPERATOR = 10  # operator state: offload to host RAM
+
+    def __init__(self):
+        # weakrefs: an operator that dies without unregistering (task
+        # error paths) must not be kept alive — with its buffered
+        # batches — by the process-wide arbitrator
+        self._reclaimers: List = []  # (priority, weakref to reclaimer)
+        self.reclaimed_bytes = 0
+        self.reclaim_calls = 0
+
+    @classmethod
+    def instance(cls) -> "MemoryArbitrator":
+        if cls._instance is None:
+            cls._instance = cls()
+        return cls._instance
+
+    def register(self, reclaimer, priority: int = PRI_OPERATOR):
+        import weakref
+        self._reclaimers.append((priority, weakref.ref(reclaimer)))
+
+    def unregister(self, reclaimer):
+        self._reclaimers = [(p, r) for p, r in self._reclaimers
+                            if r() is not None and r() is not reclaimer]
+
+    def reclaim(self, needed: int) -> int:
+        """Free >= needed bytes if possible; returns bytes freed.
+        Each reclaimer's .reclaim(n) returns the bytes it freed (and is
+        responsible for releasing them from its pool)."""
+        from velox_tpu.common import metrics as M
+        self.reclaim_calls += 1
+        freed = 0
+        for _, ref in sorted(self._reclaimers, key=lambda t: t[0]):
+            rec = ref()
+            if rec is None:
+                continue
+            if freed >= needed:
+                break
+            freed += rec.reclaim(needed - freed)
+        self._reclaimers = [(p, r) for p, r in self._reclaimers
+                            if r() is not None]
+        self.reclaimed_bytes += freed
+        M.record_counter(M.K_MEM_RECLAIMS)
+        M.record_counter(M.K_MEM_RECLAIMED_BYTES, freed)
+        return freed
 
 
 class OffloadBuffer:
@@ -94,23 +190,60 @@ class OffloadBuffer:
     analogue for join builds and sort buffers (velox/exec/Spiller.h:29-92
     kHashJoinBuild / kOrderBy spiller types)."""
 
-    def __init__(self, budget_bytes: Optional[int], metric_key=None):
+    def __init__(self, budget_bytes: Optional[int], metric_key=None,
+                 pool: Optional[MemoryPool] = None):
         self.budget = budget_bytes
         self.used = 0
         self._device: List[DeviceBatch] = []
         self._host: List[HostBatch] = []
         self._metric_key = metric_key
+        # arbitration: account device batches against the pool hierarchy
+        # and accept force-offload requests from the arbitrator
+        self._pool = pool
+        if pool is not None:
+            MemoryArbitrator.instance().register(
+                self, MemoryArbitrator.PRI_OPERATOR)
+
+    def _offload_metric(self):
+        if self._metric_key is not None:
+            from velox_tpu.common import metrics as M
+            M.record_counter(self._metric_key)
 
     def add(self, batch: DeviceBatch) -> None:
         n = batch_nbytes(batch)
         if self.budget is not None and self.used + n > self.budget:
-            if self._metric_key is not None:
-                from velox_tpu.common import metrics as M
-                M.record_counter(self._metric_key)
+            self._offload_metric()
+            self._host.append(HostBatch(batch))
+            return
+        if (self._pool is not None
+                and not self._pool.reserve_or_reclaim(n)):
+            self._offload_metric()
             self._host.append(HostBatch(batch))
             return
         self.used += n
         self._device.append(batch)
+
+    def reclaim(self, needed: int) -> int:
+        """Arbitrator hook: force-offload oldest device batches to host
+        RAM until `needed` bytes are freed (parity: Operator::reclaim,
+        exec/Operator.h:557 → spill)."""
+        freed = 0
+        while self._device and freed < needed:
+            batch = self._device.pop(0)
+            n = batch_nbytes(batch)
+            self._offload_metric()
+            self._host.append(HostBatch(batch))
+            self.used -= n
+            if self._pool is not None:
+                self._pool.release(n)
+            freed += n
+        return freed
+
+    def close(self):
+        if self._pool is not None:
+            MemoryArbitrator.instance().unregister(self)
+            self._pool.release(self.used)
+            self.used = 0
 
     def __len__(self):
         return len(self._device) + len(self._host)
@@ -119,5 +252,8 @@ class OffloadBuffer:
         """All buffered batches back on device (spill merge phase)."""
         out = list(self._device) + [h.restore() for h in self._host]
         self._device, self._host = [], []
+        if self._pool is not None:
+            MemoryArbitrator.instance().unregister(self)
+            self._pool.release(self.used)
         self.used = 0
         return out

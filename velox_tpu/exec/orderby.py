@@ -48,7 +48,8 @@ def _key_ranges(node, keys):
 class OrderByOperator(Operator):
     """Full sort: buffer all input, sort once at the end."""
 
-    def __init__(self, node: P.OrderByNode, offload_bytes=None):
+    def __init__(self, node: P.OrderByNode, offload_bytes=None,
+                 pool=None):
         super().__init__(node)
         from velox_tpu.common import metrics as M
         from velox_tpu.exec.memory import OffloadBuffer
@@ -57,7 +58,8 @@ class OrderByOperator(Operator):
         # buffered input spills to host RAM past the budget (parity:
         # velox Spiller kOrderBy, exec/Spiller.h:29)
         self._buffer = OffloadBuffer(offload_bytes,
-                                     metric_key=M.K_SORT_OFFLOADS)
+                                     metric_key=M.K_SORT_OFFLOADS,
+                                     pool=pool)
         self._out: Optional[DeviceBatch] = None
         rngs = _key_ranges(node, self._keys)
         from velox_tpu.exec.jit_cache import cached_jit

@@ -34,8 +34,16 @@ class QueryCtx:
 
     def __init__(self, config: Optional[Dict] = None):
         from velox_tpu.core.config import QueryConfig
+        from velox_tpu.core.config import QueryConfig as QC
+        from velox_tpu.exec.memory import MemoryPool
         self.config = dict(config or {})
         self.query_config = QueryConfig(self.config)
+        # query pool under the process HBM root; a cap here (or on the
+        # root) makes OffloadBuffer.add trigger arbitration
+        cap = self.query_config.get_int(QC.QUERY_HBM_CAP_BYTES, 0)
+        self.memory_pool = MemoryPool(
+            f"query-{id(self):x}", cap or None,
+            parent=MemoryPool.device_root())
 
     def get(self, key, default=None):
         return self.config.get(key, default)
@@ -277,7 +285,8 @@ class Task:
             from velox_tpu.core.config import QueryConfig as QC
             yield from self._drive(node.source, OrderByOperator(
                 node, offload_bytes=self.ctx.query_config.get_int(
-                    QC.SORT_OFFLOAD_BYTES, 4 << 30)))
+                    QC.SORT_OFFLOAD_BYTES, 4 << 30),
+                pool=self.ctx.memory_pool))
         elif isinstance(node, P.TopNNode):
             yield from self._drive(node.source, TopNOperator(node))
         elif isinstance(node, P.LimitNode):
@@ -430,7 +439,8 @@ class Task:
         build = HashBuildStage(
             node.right_keys,
             offload_bytes=self.ctx.query_config.get_int(
-                QC.JOIN_BUILD_OFFLOAD_BYTES, 4 << 30))
+                QC.JOIN_BUILD_OFFLOAD_BYTES, 4 << 30),
+            pool=self.ctx.memory_pool)
         for batch in self._run_node(node.right):
             build.add_input(batch)
         table = build.finish()
@@ -449,7 +459,8 @@ class Task:
         build = MergeBuildStage(
             node.right_keys,
             offload_bytes=self.ctx.query_config.get_int(
-                QC.JOIN_BUILD_OFFLOAD_BYTES, 4 << 30))
+                QC.JOIN_BUILD_OFFLOAD_BYTES, 4 << 30),
+            pool=self.ctx.memory_pool)
         for batch in self._run_node(node.right):
             build.add_input(batch)
         table = build.finish()
