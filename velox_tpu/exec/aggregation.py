@@ -87,10 +87,21 @@ class AggregationOperator(Operator):
         self._collect_mode = any(
             isinstance(a, CollectAgg) for a in self._aggs)
         if self._collect_mode:
-            if self._step is not P.AggregationStep.SINGLE:
+            # partial/final split exists for ONE approx_percentile: the
+            # PARTIAL emits a mergeable quantile-knot summary (value +
+            # weight rows; see _pct_compress). Other collect aggregates
+            # are single-step only. Parity goal: the reference's KLL
+            # sketch partial/final (functions/lib/KllSketch.h,
+            # AggregateCompanionAdapter.h:172).
+            from velox_tpu.functions.aggregates import ApproxPercentileAgg
+            self._pct_split = self._step is not P.AggregationStep.SINGLE
+            if self._pct_split and not (
+                    len(self._aggs) == 1
+                    and isinstance(self._aggs[0], ApproxPercentileAgg)):
                 raise NotImplementedError(
                     "collect aggregates support single-step aggregation "
-                    "only (no partial/final split)")
+                    "only (exception: a single approx_percentile, which "
+                    "splits via the mergeable quantile-knot summary)")
             if any(st.width > 1 for a in self._aggs for st in a.states):
                 raise NotImplementedError(
                     "vector-state aggregates cannot mix with collect "
@@ -110,6 +121,12 @@ class AggregationOperator(Operator):
             self._collect_rows: List[DeviceBatch] = []
             self._collect_prep_fn = jax.jit(self._collect_prep)
             self._collect_final_fn = jax.jit(self._collect_finalize)
+            # knots per group and partial: rank error <= W/K per input
+            # fragment, additive under merge
+            self._pct_k = 1024
+            if self._pct_split:
+                self._pct_compress_fn = jax.jit(self._pct_compress)
+                self._pct_final_fn = jax.jit(self._pct_final)
         self._partials: List[DeviceBatch] = []
         self._outputs: List[DeviceBatch] = []
         self.error_scalars: List = []  # collected by Task._drive
@@ -480,6 +497,114 @@ class AggregationOperator(Operator):
         return DeviceColumn(lengths, gmask, agg.result_type, None,
                             (kchild, vchild))
 
+    # ---- mergeable approx_percentile (partial/final split) ----------------
+    #
+    # PARTIAL compresses its rows into <= K quantile KNOTS per group:
+    # rows value-sorted within group, cumulative weight cw computed, and
+    # the first row crossing each of the K evenly spaced weight
+    # thresholds kept with weight = cw - cw(previous knot). A knot's
+    # cumulative weight is its exact local rank, so per-fragment rank
+    # error <= W/K; weights ADD under concatenation, so merging
+    # fragments' knots and re-selecting by weighted rank keeps the error
+    # additive — the mergeability contract of the reference's KLL sketch
+    # (functions/lib/KllSketch.h) on fixed shapes with no per-group
+    # growable state.
+
+    def _pct_sorted(self, merged: DeviceBatch):
+        """Common prologue: value-append group sort + weighted cumsums."""
+        from velox_tpu.ops.wide import segmented_reduce_sorted
+        cap = merged.capacity
+        active = merged.mask
+        cols = {n: value_from_column(c) for n, c in merged.columns.items()}
+        keys = [cols[k.name] for k in self._keys]
+        name = self._agg_names[0]
+        if self._step is P.AggregationStep.PARTIAL:
+            v, w = cols["__a0_0"], None
+        else:
+            v, w = cols[f"{name}$v"], cols[f"{name}$w"]
+        perm, gid, boundary, act_s, num_groups, _vb = \
+            G.sorted_group_info_vals(keys, [v], active, cap,
+                                     self._key_ranges)
+        data_s = v.full_data(cap)[perm]
+        vv = (None if v.validity is None
+              else v.full_validity(cap)[perm])
+        pass_ = act_s if vv is None else (act_s & vv)
+        wd = (jnp.ones((cap,), jnp.int64) if w is None
+              else w.full_data(cap)[perm].astype(jnp.int64))
+        wd = jnp.where(pass_, wd, 0)
+        iota = jnp.arange(cap, dtype=jnp.int32)
+        run_start = jax.lax.cummax(jnp.where(boundary, iota,
+                                             jnp.int32(0)))
+        cs = jnp.cumsum(wd)
+        cw = cs - (cs - wd)[run_start]  # inclusive within-group weight
+        W = segmented_reduce_sorted(wd, gid, boundary, act_s, cap, "sum")
+        return dict(cap=cap, keys=keys, v=v, perm=perm, gid=gid,
+                    boundary=boundary, act_s=act_s,
+                    num_groups=num_groups, data_s=data_s, pass_=pass_,
+                    wd=wd, cw=cw, W=W, run_start=run_start)
+
+    def _pct_compress(self, merged: DeviceBatch) -> DeviceBatch:
+        """PARTIAL/INTERMEDIATE: rows -> <=K weighted knots per group."""
+        s = self._pct_sorted(merged)
+        cap, K = s["cap"], self._pct_k
+        cw, wd, pass_ = s["cw"], s["wd"], s["pass_"]
+        Wrow = s["W"][s["gid"]]
+        safe = jnp.maximum(Wrow, 1)
+        # keep the first row crossing each ceil(cw*K/W) threshold
+        bk = (cw * K + safe - 1) // safe
+        bk_prev = ((cw - wd) * K + safe - 1) // safe
+        keep = pass_ & (wd > 0) & (bk > bk_prev)
+        iota = jnp.arange(cap, dtype=jnp.int32)
+        incl = jax.lax.cummax(jnp.where(keep, iota, jnp.int32(-1)))
+        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                                incl[:-1]])
+        prev = jnp.where(prev >= s["run_start"], prev, -1)
+        prev_cw = jnp.where(prev >= 0, cw[jnp.maximum(prev, 0)],
+                            jnp.int64(0))
+        new_w = jnp.where(keep, cw - prev_cw, 0)
+        out: Dict[str, DeviceColumn] = {}
+        for k, kv in zip(self._keys, s["keys"]):
+            data = kv.full_data(cap)[s["perm"]]
+            val = (None if kv.validity is None
+                   else kv.full_validity(cap)[s["perm"]])
+            out[k.name] = DeviceColumn(data, val, kv.dtype,
+                                       kv.dictionary)
+        name = self._agg_names[0]
+        out[f"{name}$v"] = DeviceColumn(
+            s["data_s"], keep, self._aggs[0].input_type,
+            s["v"].dictionary)
+        out[f"{name}$w"] = DeviceColumn(new_w, None, T.BIGINT, None)
+        return DeviceBatch(out, keep)
+
+    def _pct_final(self, merged: DeviceBatch) -> DeviceBatch:
+        """FINAL: weighted rank-select over merged knots."""
+        from velox_tpu.ops.wide import scatter_unique_set
+        s = self._pct_sorted(merged)
+        cap = s["cap"]
+        agg = self._aggs[0]
+        W = s["W"]
+        r = jnp.maximum(jnp.ceil(agg.percentile * W).astype(jnp.int64),
+                        1)
+        r_row = r[s["gid"]]
+        cw, wd, pass_ = s["cw"], s["wd"], s["pass_"]
+        crossing = pass_ & (wd > 0) & (cw >= r_row) & ((cw - wd) < r_row)
+        tgt = jnp.where(crossing, s["gid"], jnp.int32(cap))
+        gdata = scatter_unique_set(cap + 1, tgt, s["data_s"])[:cap]
+        out_keys, gmask = G.group_keys_sorted(
+            s["keys"], s["perm"], s["gid"], s["boundary"], s["act_s"],
+            s["num_groups"], cap)
+        out_cols: Dict[str, DeviceColumn] = {}
+        for k, kv in zip(self._keys, out_keys):
+            out_cols[k.name] = kv.to_column(cap)
+        name = self._agg_names[0]
+        out_cols[name] = DeviceColumn(
+            gdata, gmask & (W > 0), agg.result_type,
+            s["v"].dictionary)
+        mask_out = gmask
+        if not self._keys:
+            mask_out = jnp.zeros((cap,), bool).at[0].set(True)
+        return DeviceBatch(out_cols, mask_out)
+
     def _regroup_states(self, merged: DeviceBatch):
         cap = merged.capacity
         cols = {n: value_from_column(c) for n, c in merged.columns.items()}
@@ -546,8 +671,13 @@ class AggregationOperator(Operator):
                     if col is not None:
                         self._agg_dicts[j] = col.dictionary
         if self._collect_mode:
-            self._collect_rows.append(self._strip_errs(
-                self._collect_prep_fn(batch)))
+            if self._pct_split \
+                    and self._step is not P.AggregationStep.PARTIAL:
+                # INTERMEDIATE/FINAL inputs already are knot batches
+                self._collect_rows.append(batch)
+            else:
+                self._collect_rows.append(self._strip_errs(
+                    self._collect_prep_fn(batch)))
             return
         if self._keys:
             if self._single_shot:
@@ -638,7 +768,12 @@ class AggregationOperator(Operator):
                           if len(self._collect_rows) == 1
                           else concat_batches(self._collect_rows))
                 self._collect_rows = []
-                self._outputs.append(self._collect_final_fn(merged))
+                if not self._pct_split:
+                    self._outputs.append(self._collect_final_fn(merged))
+                elif self._step is P.AggregationStep.FINAL:
+                    self._outputs.append(self._pct_final_fn(merged))
+                else:  # PARTIAL/INTERMEDIATE -> knot summary
+                    self._outputs.append(self._pct_compress_fn(merged))
             self._finished_inputs = True
             return
         if self._keys:

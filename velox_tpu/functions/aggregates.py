@@ -475,7 +475,10 @@ class HistogramAgg(CollectAgg):
 
 class ApproxPercentileAgg(CollectAgg):
     """approx_percentile(x, p): exact rank-based percentile over the
-    value-sorted group run (rank = ceil(p*n), 1-based lower value)."""
+    value-sorted group run (rank = ceil(p*n), 1-based lower value) for
+    SINGLE-step plans; PARTIAL/FINAL split via the mergeable
+    quantile-knot summary (exec/aggregation.py _pct_compress — the KLL
+    analogue, ref functions/lib/KllSketch.h)."""
     collect_kind = "approx_percentile"
 
     def __init__(self, input_type: T.DataType):
@@ -483,6 +486,12 @@ class ApproxPercentileAgg(CollectAgg):
         self.input_type = input_type
         self.result_type = input_type
         self.percentile = 0.5  # operator injects the constant argument
+
+    @property
+    def intermediate_type(self) -> T.DataType:
+        # physical layout: two columns "<name>$v" / "<name>$w" (weighted
+        # quantile knots), mirroring multi-state scalar aggregates
+        return T.row(["v", "w"], [self.input_type, T.BIGINT])
 
 
 def resolve_aggregate(name: str, input_types) -> AggregateFunction:
