@@ -102,6 +102,46 @@ def test_nested_loop_inequality_join():
     assert got.a.sum() == exp.a.sum() and got.b.sum() == exp.b.sum()
 
 
+@pytest.mark.parametrize("jt", ["left", "right", "full"])
+def test_nested_loop_outer_joins(jt):
+    """Inequality outer joins: unmatched rows keep their side with NULLs
+    on the other (ref exec/NestedLoopJoinProbe.h:68)."""
+    left = pd.DataFrame({"a": np.arange(25, dtype="int64")})
+    right = pd.DataFrame({"b": np.arange(25, dtype="int64") + 10})
+    b = PlanBuilder()
+    bb = b.new_builder().values([pa.table(right)])
+    plan = (b.values([pa.table(left)])
+            .nested_loop_join(bb, filter="a > b", join_type=jt).plan())
+    got = run(plan)
+    exp = left.merge(right, how="cross")
+    exp = exp[exp.a > exp.b]
+    if jt in ("left", "full"):
+        un = left[~left.a.isin(exp.a)]
+        exp = pd.concat([exp, un.assign(b=np.nan)])
+    if jt in ("right", "full"):
+        un = right[~right.b.isin(exp.b)]
+        exp = pd.concat([exp, un.assign(a=np.nan)])
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(np.nansum(got.a.to_numpy("float64")),
+                               np.nansum(exp.a.to_numpy("float64")))
+    np.testing.assert_allclose(np.nansum(got.b.to_numpy("float64")),
+                               np.nansum(exp.b.to_numpy("float64")))
+    assert got.a.isna().sum() == exp.a.isna().sum()
+    assert got.b.isna().sum() == exp.b.isna().sum()
+
+
+def test_nested_loop_left_join_empty_build():
+    left = pd.DataFrame({"a": np.arange(9, dtype="int64")})
+    right = pd.DataFrame({"b": np.array([], dtype="int64")})
+    b = PlanBuilder()
+    bb = b.new_builder().values([pa.table(right)])
+    plan = (b.values([pa.table(left)])
+            .nested_loop_join(bb, filter="a < b", join_type="left")
+            .plan())
+    got = run(plan)
+    assert len(got) == 9 and got.b.isna().all()
+
+
 def test_merge_join():
     rng = np.random.RandomState(8)
     left = pd.DataFrame({"k": np.sort(rng.randint(0, 50, 200)).astype(

@@ -319,13 +319,19 @@ class GroupIdOperator(Operator):
 class NestedLoopJoinOperator(Operator):
     """Cross/inequality join: every probe row against every build row,
     optionally filtered. Two-pass static-shape expansion (chunked).
-    Parity: velox/exec/NestedLoopJoinProbe.h:68 (inner/cross only)."""
+    Parity: velox/exec/NestedLoopJoinProbe.h:68 — inner/cross plus
+    LEFT/RIGHT/FULL outer via per-side match tracking across chunks."""
 
     def __init__(self, node: "P.NestedLoopJoinNode"):
         super().__init__(node)
         self._node = node
+        jt = node.join_type
+        self._track_probe = jt in (P.JoinType.LEFT, P.JoinType.FULL)
+        self._track_build = jt in (P.JoinType.RIGHT, P.JoinType.FULL)
         self._build: Optional[DeviceBatch] = None
         self._build_n = 0
+        self._build_matched = None   # bool[build_cap], OR over all chunks
+        self._probe_template: Optional[Dict[str, DeviceColumn]] = None
         self._outputs: List[DeviceBatch] = []
         self._emit_fn = None
 
@@ -334,10 +340,13 @@ class NestedLoopJoinOperator(Operator):
         self._build = jax.jit(compact)(build)
         self._build_n = int(jax.device_get(build.num_active()))
         self._emit_fn = jax.jit(self._emit)
+        if self._track_build:
+            self._build_matched = jnp.zeros((self._build.capacity,), bool)
 
     def _emit(self, batch: DeviceBatch, build: DeviceBatch, start):
-        """Output rows [start, start+cap) of the probe x build product.
-        Probe rows must be compacted (active prefix)."""
+        """Output rows [start, start+cap) of the probe x build product,
+        plus per-side matched flags for outer semantics. Probe rows must
+        be compacted (active prefix)."""
         node = self._node
         cap = batch.capacity
         nb = jnp.maximum(jnp.sum(build.mask.astype(jnp.int64)), 1)
@@ -365,6 +374,68 @@ class NestedLoopJoinOperator(Operator):
             if f.validity is not None:
                 passed = passed & f.full_validity(cap)
             out = out.with_mask(out.mask & passed)
+        pm = jnp.zeros((cap,), bool).at[
+            jnp.where(out.mask, prow, jnp.int32(cap))].set(
+            True, mode="drop")
+        bm = jnp.zeros((build.capacity,), bool).at[
+            jnp.where(out.mask, brow, jnp.int32(build.capacity))].set(
+            True, mode="drop")
+        if node.output_columns:
+            out = DeviceBatch(
+                {n: out.columns[n] for n in node.output_columns}, out.mask)
+        return out, pm, bm
+
+    def _null_columns(self, source: DeviceBatch, cap: int
+                      ) -> Dict[str, DeviceColumn]:
+        """All-NULL columns with `source`'s schema at capacity `cap`."""
+        from velox_tpu.exec.batch_utils import map_column_rows
+        row0 = jnp.zeros((cap,), jnp.int32)
+        cols = {}
+        for name, col in source.columns.items():
+            c = map_column_rows(col, lambda a: a[row0])
+            cols[name] = DeviceColumn(c.data, jnp.zeros((cap,), bool),
+                                      c.dtype, c.dictionary, c.children)
+        return cols
+
+    def _emit_probe_unmatched(self, batch: DeviceBatch, matched):
+        """LEFT/FULL: probe rows with no passing match, build cols NULL."""
+        node = self._node
+        cols = dict(batch.columns)
+        cols.update(self._null_columns(self._build, batch.capacity))
+        out = DeviceBatch(cols, batch.mask & ~matched)
+        if node.output_columns:
+            out = DeviceBatch(
+                {n: out.columns[n] for n in node.output_columns}, out.mask)
+        return out
+
+    def _emit_build_unmatched(self):
+        """RIGHT/FULL: build rows with no passing match, probe cols NULL."""
+        node = self._node
+        build = self._build
+        bcap = build.capacity
+        if self._probe_template is not None:
+            probe_null = {
+                name: DeviceColumn(
+                    jnp.zeros((bcap,) + col.data.shape[1:],
+                              col.data.dtype),
+                    jnp.zeros((bcap,), bool), col.dtype, col.dictionary)
+                for name, col in self._probe_template.items()}
+        else:
+            # probe side produced no batches: derive the schema from the
+            # plan (string columns get an empty dictionary)
+            import numpy as np
+            probe_null = {}
+            lt = node.left.output_type()
+            for name, dt in zip(lt.names, lt.children):
+                dic = (np.array([""], dtype=object)
+                       if dt.is_string else None)
+                probe_null[name] = DeviceColumn(
+                    jnp.zeros((bcap,), dt.np_dtype()),
+                    jnp.zeros((bcap,), bool), dt, dic)
+        cols = dict(probe_null)
+        for name, col in build.columns.items():
+            cols[name] = col
+        out = DeviceBatch(cols, build.mask & ~self._build_matched)
         if node.output_columns:
             out = DeviceBatch(
                 {n: out.columns[n] for n in node.output_columns}, out.mask)
@@ -374,14 +445,33 @@ class NestedLoopJoinOperator(Operator):
         assert self._build is not None
         from velox_tpu.exec.batch_utils import compact
         batch = jax.jit(compact)(batch)
+        if self._probe_template is None:
+            self._probe_template = dict(batch.columns)
         n_probe = int(jax.device_get(batch.num_active()))
         total = n_probe * self._build_n
         cap = batch.capacity
+        probe_matched = (jnp.zeros((cap,), bool)
+                         if self._track_probe else None)
         for start in range(0, max(total, 1), cap):
             if total == 0:
                 break
+            out, pm, bm = self._emit_fn(batch, self._build,
+                                        jnp.int64(start))
+            self._outputs.append(out)
+            if probe_matched is not None:
+                probe_matched = probe_matched | pm
+            if self._build_matched is not None:
+                self._build_matched = self._build_matched | bm
+        if self._track_probe:
             self._outputs.append(
-                self._emit_fn(batch, self._build, jnp.int64(start)))
+                self._emit_probe_unmatched(batch, probe_matched
+                                           if probe_matched is not None
+                                           else jnp.zeros((cap,), bool)))
+
+    def no_more_input(self):
+        super().no_more_input()
+        if self._track_build and self._build is not None:
+            self._outputs.append(self._emit_build_unmatched())
 
     def get_output(self):
         if self._outputs:

@@ -339,7 +339,8 @@ class PlanBuilder:
 
     def nested_loop_join(self, build: "PlanBuilder",
                          output: Sequence[str] = (),
-                         filter: Optional[str] = None) -> "PlanBuilder":
+                         filter: Optional[str] = None,
+                         join_type: str = "inner") -> "PlanBuilder":
         lt = self._node.output_type()
         rt_ = build._node.output_type()
         combined = T.row(list(lt.names) + list(rt_.names),
@@ -347,6 +348,7 @@ class PlanBuilder:
         fexpr = parse_expression(filter, combined) if filter else None
         self._node = P.NestedLoopJoinNode(
             self._ids.next(), left=self._node, right=build._node,
+            join_type=P.JoinType(join_type),
             filter=fexpr, output_columns=tuple(output))
         return self
 
