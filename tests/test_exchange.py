@@ -87,6 +87,64 @@ def test_broadcast_output():
     OutputBufferManager.instance().remove("bcast-task")
 
 
+def test_round_robin_partition_function():
+    """round_robin spreads rows evenly regardless of keys, continuing
+    the ordinal across batches (parity: RoundRobinPartitionFunction)."""
+    from velox_tpu.exec.exchange import OutputBufferManager
+    from velox_tpu.serializers import PageSerde
+    from velox_tpu.vector.device import to_arrow
+    dfs = [pd.DataFrame({"v": np.arange(i * 100, (i + 1) * 100,
+                                        dtype="int64")})
+           for i in range(3)]
+    src = PlanBuilder().values([pa.table(d) for d in dfs]).plan()
+    pout = P.PartitionedOutputNode(
+        "rr", source=src, kind="partitioned", keys=(),
+        num_partitions=4, partition_spec="round_robin")
+    Task(pout, QueryCtx({"task.id": "rr-task"})).run()
+    buf = OutputBufferManager.instance().get("rr-task")
+    serde = PageSerde()
+    sizes, seen = [], []
+    for d in range(4):
+        pages, _ = buf.get(d, 0)
+        rows = pd.concat([to_arrow(serde.deserialize(p)).to_pandas()
+                          for p in pages])
+        sizes.append(len(rows))
+        seen.append(rows)
+    assert sizes == [75, 75, 75, 75]  # 300 rows, perfectly balanced
+    allv = pd.concat(seen).sort_values("v")
+    np.testing.assert_array_equal(allv.v, np.arange(300))
+    OutputBufferManager.instance().remove("rr-task")
+
+
+def test_hive_bucket_partition_function_matches_writes():
+    """hive_bucket routes rows to the destination owning their write
+    bucket (same murmur3 % bucket_count as connectors/hive.py)."""
+    from velox_tpu.connectors.hive import _np_murmur3
+    from velox_tpu.exec.exchange import OutputBufferManager
+    from velox_tpu.serializers import PageSerde
+    from velox_tpu.vector.device import to_arrow
+    rng = np.random.RandomState(2)
+    k = rng.randint(0, 1000, 500).astype("int64")
+    df = pd.DataFrame({"k": k, "v": np.arange(500, dtype="int64")})
+    nb = 4
+    exp_bucket = _np_murmur3([k]).view(np.int32) % nb
+    src = PlanBuilder().values([pa.table(df)]).plan()
+    pout = P.PartitionedOutputNode(
+        "hb", source=src, kind="partitioned",
+        keys=(ex.field("k", T.BIGINT),), num_partitions=nb,
+        partition_spec="hive_bucket", bucket_count=nb)
+    Task(pout, QueryCtx({"task.id": "hb-task"})).run()
+    buf = OutputBufferManager.instance().get("hb-task")
+    serde = PageSerde()
+    for d in range(nb):
+        pages, _ = buf.get(d, 0)
+        for p in pages:
+            rows = to_arrow(serde.deserialize(p)).to_pandas()
+            got_b = np.unique(exp_bucket[rows.v.to_numpy()])
+            assert got_b.tolist() in ([d], []), (d, got_b)
+    OutputBufferManager.instance().remove("hb-task")
+
+
 def test_output_buffer_flow_control():
     """Ack/credit protocol: consumed pages free memory; past max_bytes
     unacked pages overflow to disk; memory stays bounded.

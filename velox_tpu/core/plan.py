@@ -544,6 +544,10 @@ class PartitionedOutputNode(PlanNode):
     kind: str = "partitioned"  # partitioned | broadcast | arbitrary
     keys: Tuple[ex.TypedExpr, ...] = ()
     num_partitions: int = 1
+    # PartitionFunction SPI spec (parity: core/PlanNode.h:1116):
+    # "hash" | "round_robin" | "hive_bucket" | registered custom name
+    partition_spec: str = "hash"
+    bucket_count: int = 0  # hive_bucket only; 0 -> num_partitions
 
     @property
     def sources(self):

@@ -242,7 +242,15 @@ class PartitionedOutputOperator(Operator):
         self._serde = PageSerde()
         self._key_names = [k.name for k in node.keys]
 
-        def _bucketize(batch: DeviceBatch):
+        from velox_tpu.parallel.exchange import resolve_partition_function
+        spec = getattr(node, "partition_spec", "hash") or "hash"
+        self._partition_fn = resolve_partition_function(spec)
+        self._bucket_count = getattr(node, "bucket_count", 0) \
+            or node.num_partitions
+        self._rows_emitted = 0  # round-robin continuity across batches
+        self._uses_keys = bool(self._key_names) or spec == "round_robin"
+
+        def _bucketize(batch: DeviceBatch, start):
             """Device-side destination bucketize: one stable sort by
             destination id groups each destination's rows contiguously
             (the radix-partition analogue of Destination::advance,
@@ -250,11 +258,12 @@ class PartitionedOutputOperator(Operator):
             zero-copy slicing instead of per-destination row scans."""
             from velox_tpu.exec.batch_utils import take
             from velox_tpu.expression.eval import value_from_column
-            from velox_tpu.parallel.exchange import partition_ids
             n, cap = self._n, batch.capacity
             keys = [value_from_column(batch.columns[k])
                     for k in self._key_names]
-            dest = partition_ids(keys, cap, n).astype(jnp.int32)
+            dest = self._partition_fn(
+                keys, batch.mask, cap, n, start,
+                self._bucket_count).astype(jnp.int32)
             dest = jnp.where(batch.mask, dest, jnp.int32(n))
             iota = jnp.arange(cap, dtype=jnp.int64)
             packed = jnp.sort((dest.astype(jnp.int64) << 32) | iota)
@@ -262,18 +271,20 @@ class PartitionedOutputOperator(Operator):
             out = take(batch, perm, (packed >> 32) < n)
             counts = jnp.zeros((n,), jnp.int32).at[dest].add(
                 1, mode="drop")
-            return out, counts
+            return out, counts, jnp.sum(batch.mask, dtype=jnp.int64)
 
         self._bucketize_fn = (jax.jit(_bucketize)
-                              if self._key_names else None)
+                              if self._uses_keys else None)
 
     def add_input(self, batch: DeviceBatch):
         from velox_tpu.vector.device import to_arrow
-        if self._node.kind != "partitioned" or not self._key_names:
+        if self._node.kind != "partitioned" or not self._uses_keys:
             page = self._serde.serialize(batch)
             self._buffer.enqueue(0, page)
             return
-        out, counts = self._bucketize_fn(batch)
+        out, counts, n_active = self._bucketize_fn(
+            batch, jnp.int64(self._rows_emitted))
+        self._rows_emitted += int(jax.device_get(n_active))
         counts = np.asarray(jax.device_get(counts))
         table = to_arrow(out)  # active rows, destination-contiguous
         off = 0

@@ -35,6 +35,70 @@ def partition_ids(keys: Sequence[EvalValue], capacity: int, n: int):
     return (h % np.uint32(n)).astype(jnp.int32)
 
 
+# ---------------------------------------------------------------------------
+# PartitionFunction SPI. Parity: core/PlanNode.h:1116 PartitionFunction +
+# exec/HashPartitionFunction.h / RoundRobinPartitionFunction /
+# connectors/hive/HivePartitionFunction.h. A spec name resolves to a
+# traced fn(keys, mask, capacity, n, start, bucket_count) -> int32 dest
+# per row; `start` is the running count of rows emitted by earlier
+# batches (round-robin continuity across batches).
+# ---------------------------------------------------------------------------
+
+def _hash_partition(keys, mask, capacity, n, start, bucket_count):
+    return partition_ids(keys, capacity, n)
+
+
+def _round_robin_partition(keys, mask, capacity, n, start, bucket_count):
+    """Active-row ordinal (continuing across batches) modulo n.
+    Parity: exec/RoundRobinPartitionFunction."""
+    ordinal = jnp.cumsum(mask.astype(jnp.int64)) - 1 + start
+    return (ordinal % n).astype(jnp.int32)
+
+
+def _hive_bucket_partition(keys, mask, capacity, n, start, bucket_count):
+    """Bucket-compatible shuffle: the same murmur3 bucket function the
+    Hive connector uses for bucketed WRITES (connectors/hive.py
+    _np_murmur3 % bucket_count), so exchange destinations align with
+    bucket files. dest = bucket % n. Parity:
+    connectors/hive/HivePartitionFunction.h."""
+    from velox_tpu.functions.sparksql import _hash_one_column
+
+    class _Ctx:
+        pass
+    ctx = _Ctx()
+    ctx.capacity = capacity
+    seed = jnp.full((capacity,), 42, jnp.uint32)
+    for v in keys:
+        h = _hash_one_column(v, seed, ctx)
+        if v.validity is not None:
+            h = jnp.where(v.full_validity(capacity), h, seed)
+        seed = h
+    h32 = jax.lax.bitcast_convert_type(seed, jnp.int32)
+    bucket = jnp.mod(h32, jnp.int32(bucket_count))  # floored: >= 0
+    return jnp.mod(bucket, jnp.int32(n))
+
+
+_PARTITION_FUNCTIONS = {
+    "hash": _hash_partition,
+    "round_robin": _round_robin_partition,
+    "hive_bucket": _hive_bucket_partition,
+}
+
+
+def register_partition_function(name: str, fn):
+    """SPI hook (parity: PartitionFunction::SpecFactory registration)."""
+    _PARTITION_FUNCTIONS[name] = fn
+
+
+def resolve_partition_function(name: str):
+    try:
+        return _PARTITION_FUNCTIONS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown partition function {name!r} "
+            f"(have {sorted(_PARTITION_FUNCTIONS)})") from None
+
+
 def partition_max_count(batch: DeviceBatch, key_names: List[str],
                         n: int):
     """Inside shard_map/vmap: this shard's max rows headed to any one
