@@ -7,8 +7,12 @@ standard Substrait plan instead of building velox_tpu PlanNodes directly.
 Scope: the JSON (protojson) serialization of a Substrait plan with the
 relations/expressions used by analytic queries: read (namedTable +
 filter), filter, project (with emit mapping), aggregate (groupings +
-measures), sort, fetch. Scalar/aggregate functions resolve by the base
-name of the extension declaration (``multiply:dec_dec`` -> multiply).
+measures), sort, fetch, join (equi-key extraction + residual filter,
+inner/left/right/full/semi/anti), cross, and
+consistentPartitionWindow. Scalar/aggregate functions resolve by the
+base name of the extension declaration (``multiply:dec_dec`` ->
+multiply). Join field references are positional over left++right; the
+two sides must not share column names (the engine is name-addressed).
 Proto-binary plans can be converted to JSON by any Substrait tool; the
 wire format here avoids a protobuf schema dependency.
 """
@@ -213,6 +217,155 @@ class _Converter:
             step=P.AggregationStep.SINGLE,
             grouping_keys=tuple(keys),
             aggregate_names=tuple(names), aggregates=tuple(calls))
+
+    # -- joins (parity: SubstraitToVeloxPlan.h JoinRel handling) ------------
+
+    _JOIN_TYPES = {
+        "JOIN_TYPE_INNER": P.JoinType.INNER, 1: P.JoinType.INNER,
+        "JOIN_TYPE_OUTER": P.JoinType.FULL, 2: P.JoinType.FULL,
+        "JOIN_TYPE_LEFT": P.JoinType.LEFT, 3: P.JoinType.LEFT,
+        "JOIN_TYPE_RIGHT": P.JoinType.RIGHT, 4: P.JoinType.RIGHT,
+        "JOIN_TYPE_LEFT_SEMI": P.JoinType.LEFT_SEMI_FILTER,
+        5: P.JoinType.LEFT_SEMI_FILTER,
+        "JOIN_TYPE_LEFT_ANTI": P.JoinType.ANTI, 6: P.JoinType.ANTI,
+    }
+
+    def _split_join_condition(self, cond: ex.TypedExpr, n_left: int,
+                              combined: T.DataType):
+        """Separate equi-key pairs (left field == right field) from the
+        residual filter, like the reference's JoinRel conversion."""
+        conjuncts: List[ex.TypedExpr] = []
+
+        def flatten(e):
+            if isinstance(e, ex.Call) and e.name == "and":
+                for c in e.args:
+                    flatten(c)
+            else:
+                conjuncts.append(e)
+        flatten(cond)
+        lk, rk, residual = [], [], []
+        for c in conjuncts:
+            if (isinstance(c, ex.Call) and c.name == "eq"
+                    and len(c.args) == 2
+                    and all(isinstance(i, ex.FieldAccess)
+                            for i in c.args)):
+                idx = {n: i for i, n in enumerate(combined.names)}
+                a, b = c.args
+                ia, ib = idx[a.name], idx[b.name]
+                if ia < n_left <= ib:
+                    lk.append(a)
+                    rk.append(b)
+                    continue
+                if ib < n_left <= ia:
+                    lk.append(b)
+                    rk.append(a)
+                    continue
+            residual.append(c)
+        filt = None
+        for c in residual:
+            filt = c if filt is None else ex.Call(T.BOOLEAN, "and",
+                                                  (filt, c))
+        return tuple(lk), tuple(rk), filt
+
+    def _rel_join(self, spec: Dict) -> P.PlanNode:
+        left = self.rel(spec["left"])
+        right = self.rel(spec["right"])
+        lt, rt = left.output_type(), right.output_type()
+        combined = T.row(list(lt.names) + list(rt.names),
+                         list(lt.children) + list(rt.children))
+        jt = self._JOIN_TYPES.get(spec.get("type", "JOIN_TYPE_INNER"))
+        if jt is None:
+            raise ValueError(
+                f"unsupported substrait join type {spec.get('type')!r}")
+        cond = spec.get("expression") or spec.get("condition")
+        lk: tuple = ()
+        rk: tuple = ()
+        filt = None
+        if cond is not None:
+            c = self.expr(cond, combined)
+            lk, rk, filt = self._split_join_condition(
+                c, len(lt.names), combined)
+        if not lk:
+            # no equi keys: nested-loop join on the full condition
+            return P.NestedLoopJoinNode(
+                self.ids.next(), left=left, right=right, join_type=jt,
+                filter=filt)
+        post = spec.get("postJoinFilter")
+        if post is not None:
+            p = self.expr(post, combined)
+            filt = p if filt is None else ex.Call(T.BOOLEAN, "and",
+                                                  (filt, p))
+        return P.HashJoinNode(
+            self.ids.next(), left=left, right=right, join_type=jt,
+            left_keys=lk, right_keys=rk, filter=filt)
+
+    def _rel_cross(self, spec: Dict) -> P.PlanNode:
+        return P.NestedLoopJoinNode(
+            self.ids.next(), left=self.rel(spec["left"]),
+            right=self.rel(spec["right"]),
+            join_type=P.JoinType.INNER)
+
+    # -- windows (ConsistentPartitionWindowRel) -----------------------------
+
+    def _window_bound(self, b: Optional[Dict], is_start: bool):
+        from velox_tpu.exec.window import BoundType
+        default = (BoundType.UNBOUNDED_PRECEDING if is_start
+                   else BoundType.CURRENT_ROW)
+        if not b:
+            return default, 0
+        if "unbounded" in b or "unbounded_" in b:
+            return (BoundType.UNBOUNDED_PRECEDING if is_start
+                    else BoundType.UNBOUNDED_FOLLOWING), 0
+        if "currentRow" in b:
+            return BoundType.CURRENT_ROW, 0
+        if "preceding" in b:
+            return (BoundType.PRECEDING,
+                    int(b["preceding"].get("offset", 0)))
+        if "following" in b:
+            return (BoundType.FOLLOWING,
+                    int(b["following"].get("offset", 0)))
+        return default, 0
+
+    def _rel_consistentPartitionWindow(self, spec: Dict) -> P.PlanNode:
+        from velox_tpu.exec.window import (
+            FrameType, WindowFrame, WindowFunctionCall,
+        )
+        src = self.rel(spec["input"])
+        it = src.output_type()
+        parts = []
+        for pe in spec.get("partitionExpressions", ()):
+            f = self.expr(pe, it)
+            if not isinstance(f, ex.FieldAccess):
+                raise ValueError("window partition must be a field ref")
+            parts.append(f)
+        keys, orders = [], []
+        for s in spec.get("sorts", ()):
+            keys.append(self.expr(s["expr"], it))
+            orders.append(_SORT_DIRECTIONS[s.get(
+                "direction", "SORT_DIRECTION_ASC_NULLS_LAST")])
+        calls, names = [], []
+        for i, wf in enumerate(spec.get("windowFunctions", ())):
+            base = self.fns.get(int(wf.get("functionReference", 0)), "")
+            name = _FN_MAP.get(base, base)
+            args = tuple(self.expr(a["value"], it)
+                         for a in wf.get("arguments", ()))
+            rt = (_subs_type(wf["outputType"])
+                  if "outputType" in wf
+                  else (args[0].dtype if args else T.BIGINT))
+            bt = wf.get("boundsType", "BOUNDS_TYPE_RANGE")
+            ft = (FrameType.ROWS
+                  if bt in ("BOUNDS_TYPE_ROWS", 2) else FrameType.RANGE)
+            st, sv = self._window_bound(wf.get("lowerBound"), True)
+            et, ev = self._window_bound(wf.get("upperBound"), False)
+            frame = WindowFrame(ft, st, sv, et, ev)
+            calls.append(WindowFunctionCall(
+                name=name, inputs=args, result_type=rt, frame=frame))
+            names.append(f"w{i}")
+        return P.WindowNode(
+            self.ids.next(), source=src,
+            partition_keys=tuple(parts), sort_keys=tuple(keys),
+            sort_orders=tuple(orders), output_names=tuple(names),
+            functions=tuple(calls))
 
     def _rel_fetch(self, spec: Dict) -> P.PlanNode:
         src = self.rel(spec["input"])
