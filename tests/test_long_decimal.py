@@ -1,0 +1,138 @@
+"""Long decimals — DECIMAL(19..38) on int128 limbs (ops/int128.py).
+Parity: velox/type/HugeInt.h + type/DecimalUtil.h. Values are validated
+exactly against python ints (arbitrary precision)."""
+
+import decimal as D
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from velox_tpu import types as T
+from velox_tpu.exec.task import Task
+from velox_tpu.testing.plan_builder import PlanBuilder
+
+P38 = pa.decimal128(38, 4)
+
+
+def _tbl(vals, name="d", typ=P38):
+    return pa.table({name: pa.array(vals, type=typ)})
+
+
+D.getcontext().prec = 60  # default 28 rounds 38-digit test values
+
+
+def _mkdec(ints, scale=4):
+    return [None if v is None else D.Decimal(v).scaleb(-scale)
+            for v in ints]
+
+
+VALS = [10**30 + 7, -(10**25) - 123456789, 0, 99999, None,
+        10**33, -(10**33), 2**100]
+
+
+def run(plan):
+    return Task(plan).run()
+
+
+def test_scan_project_filter_roundtrip():
+    vals = _mkdec(VALS)
+    out = run(PlanBuilder().values([_tbl(vals)]).plan())
+    assert out.column("d").to_pylist() == vals
+
+
+def test_add_subtract_negate_exact():
+    vals = _mkdec(VALS)
+    b = PlanBuilder().values([_tbl(vals)])
+    b.project(["d + d as dd", "d - d as z", "-d as nd"])
+    out = run(b.plan()).to_pandas()
+    for i, v in enumerate(VALS):
+        if v is None:
+            assert pd.isna(out.dd[i]) and pd.isna(out.z[i])
+            continue
+        assert int(D.Decimal(out.dd[i]).scaleb(4)) == 2 * v
+        assert int(D.Decimal(out.z[i]).scaleb(4)) == 0
+        assert int(D.Decimal(out.nd[i]).scaleb(4)) == -v
+
+
+def test_long_decimal_literal_and_compare():
+    vals = _mkdec(VALS)
+    b = PlanBuilder().values([_tbl(vals)])
+    # 26-digit literal parses as a long decimal (not DOUBLE)
+    b.filter("d > 12345678901234567890123456.0")
+    out = run(b.plan())
+    exp = [v for v in VALS
+           if v is not None and v > int(D.Decimal(
+               "12345678901234567890123456.0").scaleb(4))]
+    got = [int(D.Decimal(x).scaleb(4))
+           for x in out.column("d").to_pylist()]
+    assert sorted(got) == sorted(exp)
+
+
+def test_multiply_long_by_short_exact():
+    vals = _mkdec([10**25, -(10**24), 777, None])
+    b = PlanBuilder().values([_tbl(vals)])
+    b.project(["d * 2.5 as m"])
+    out = run(b.plan())
+    got = out.column("m").to_pylist()
+    for g, v in zip(got, [10**25, -(10**24), 777, None]):
+        if v is None:
+            assert g is None
+        else:
+            assert D.Decimal(g) == D.Decimal(v).scaleb(-4) * D.Decimal(
+                "2.5")
+
+
+def test_sum_long_decimal_exact():
+    ints = [10**30, 10**30, -(10**29), 12345, None]
+    rng = np.random.RandomState(5)
+    more = [int(x) * 10**22 for x in rng.randint(-10**6, 10**6, 500)]
+    allints = ints + more
+    b = PlanBuilder().values([_tbl(_mkdec(allints))])
+    b.single_aggregation([], ["sum(d) as s"])
+    out = run(b.plan())
+    exp = sum(v for v in allints if v is not None)
+    assert int(D.Decimal(out.column("s")[0].as_py()).scaleb(4)) == exp
+
+
+def test_grouped_sum_long_decimal():
+    rng = np.random.RandomState(6)
+    g = rng.randint(0, 5, 300)
+    v = [int(x) * 10**21 for x in rng.randint(-10**9, 10**9, 300)]
+    t = pa.table({"g": pa.array(g, type=pa.int64()),
+                  "d": pa.array(_mkdec(v), type=P38)})
+    b = PlanBuilder().values([t])
+    b.single_aggregation(["g"], ["sum(d) as s"])
+    out = run(b.plan()).to_pandas().sort_values("g")
+    for gid, grp in pd.DataFrame({"g": g, "v": v}).groupby("g"):
+        got = int(D.Decimal(str(
+            out[out.g == gid].s.iloc[0])).scaleb(4))
+        assert got == grp.v.sum()
+
+
+def test_cast_short_to_long_and_to_double():
+    t = pa.table({"x": pa.array([D.Decimal("12.34"), None],
+                                type=pa.decimal128(10, 2))})
+    b = PlanBuilder().values([t])
+    b.project(["cast(x as decimal(30, 6)) as w",
+               "cast(cast(x as decimal(30, 6)) as double) as f"])
+    out = run(b.plan())
+    assert out.column("w").to_pylist() == [D.Decimal("12.340000"), None]
+    f = out.column("f").to_pylist()
+    assert abs(f[0] - 12.34) < 1e-9 and f[1] is None
+
+
+def test_long_decimal_join_payload():
+    """Long-decimal columns survive join gathers (limb child rides
+    map_column_rows)."""
+    t = pa.table({"k": pa.array([1, 2, 3], type=pa.int64()),
+                  "d": pa.array(_mkdec([10**30, -(10**28), 5]),
+                                type=P38)})
+    probe = pa.table({"pk": pa.array([3, 1, 3], type=pa.int64())})
+    b = PlanBuilder()
+    bb = b.new_builder().values([t])
+    b.values([probe]).hash_join(["pk"], ["k"], bb, output=["pk", "d"])
+    out = run(b.plan()).to_pandas().sort_values("pk")
+    got = [int(D.Decimal(str(x)).scaleb(4)) for x in out.d]
+    assert sorted(got) == sorted([10**30, 5, 5])

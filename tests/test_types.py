@@ -20,8 +20,10 @@ def test_decimal():
     assert d.precision == 12 and d.scale == 2
     assert d.np_dtype() == np.dtype(np.int64)
     assert d.is_numeric
+    long = T.decimal(38, 10)  # long decimal: int128 limb backing
+    assert long.is_long_decimal and not d.is_long_decimal
     with pytest.raises(ValueError):
-        T.decimal(38, 10)  # long decimal unsupported
+        T.decimal(39, 10)  # beyond int128
 
 
 def test_row_type():

@@ -21,8 +21,8 @@ def concat_batches(batches: List[DeviceBatch]) -> DeviceBatch:
         return batches[0]
     names = batches[0].names
     cols = {}
-    for name in names:
-        parts = [b.columns[name] for b in batches]
+
+    def concat_cols(parts):
         data = jnp.concatenate([p.data for p in parts])
         if any(p.validity is not None for p in parts):
             validity = jnp.concatenate([
@@ -32,8 +32,19 @@ def concat_batches(batches: List[DeviceBatch]) -> DeviceBatch:
         else:
             validity = None
         first = parts[0]
-        cols[name] = DeviceColumn(data, validity, first.dtype,
-                                  first.dictionary)
+        children = first.children
+        if first.dtype.kind is T.TypeKind.ROW \
+                or first.dtype.is_long_decimal:
+            # row-aligned children concatenate with the parent
+            children = tuple(
+                concat_cols([p.children[i] for p in parts])
+                for i in range(len(first.children)))
+        return DeviceColumn(data, validity, first.dtype,
+                            first.dictionary, children)
+
+    from velox_tpu import types as T
+    for name in names:
+        cols[name] = concat_cols([b.columns[name] for b in batches])
     mask = jnp.concatenate([b.mask for b in batches])
     return DeviceBatch(cols, mask)
 
@@ -61,14 +72,14 @@ def compact(batch: DeviceBatch) -> DeviceBatch:
 
 
 def map_column_rows(col: DeviceColumn, f) -> DeviceColumn:
-    """Apply a row-axis transform to a column, recursing into ROW
-    children (which are row-aligned; ARRAY/MAP children live in element
-    space and are left untouched)."""
+    """Apply a row-axis transform to a column, recursing into
+    row-aligned children: ROW fields and the long-decimal hi limb
+    (ARRAY/MAP children live in element space and are left untouched)."""
     from velox_tpu import types as T
     data = f(col.data)
     validity = f(col.validity) if col.validity is not None else None
     children = col.children
-    if col.dtype.kind is T.TypeKind.ROW:
+    if col.dtype.kind is T.TypeKind.ROW or col.dtype.is_long_decimal:
         children = tuple(map_column_rows(c, f) for c in col.children)
     return DeviceColumn(data, validity, col.dtype, col.dictionary,
                         children)

@@ -425,17 +425,17 @@ class HashJoinOperator(Operator):
                            null_out) -> Dict[str, DeviceColumn]:
         """Gather build columns at build_row; rows where null_out is True
         get NULL build values (left/full outer semantics)."""
+        from velox_tpu.exec.batch_utils import map_column_rows
         row = jnp.clip(build_row, 0, None)
         cols = {}
         for name, col in build.columns.items():
-            data = col.data[row]
-            validity = (col.validity[row]
-                        if col.validity is not None else None)
+            c = map_column_rows(col, lambda a: a[row])
+            validity = c.validity
             if null_out is not None:
                 validity = (~null_out if validity is None
                             else (validity & ~null_out))
-            cols[name] = DeviceColumn(data, validity, col.dtype,
-                                      col.dictionary)
+            cols[name] = DeviceColumn(c.data, validity, c.dtype,
+                                      c.dictionary, c.children)
         return cols
 
     # ---- unique-build fast path (one program, no host sync) ------------------
@@ -538,12 +538,9 @@ class HashJoinOperator(Operator):
             jnp.int32(-1))
         # gather probe columns at row_c, build columns at build_row
         out_cols = {}
+        from velox_tpu.exec.batch_utils import map_column_rows
         for name, col in batch.columns.items():
-            data = col.data[row_c]
-            validity = (col.validity[row_c]
-                        if col.validity is not None else None)
-            out_cols[name] = DeviceColumn(data, validity, col.dtype,
-                                          col.dictionary)
+            out_cols[name] = map_column_rows(col, lambda a: a[row_c])
         null_out = None
         if node.join_type in (P.JoinType.LEFT, P.JoinType.FULL):
             null_out = ~row_hit

@@ -218,6 +218,13 @@ def _eval_constant(expr: ex.Constant) -> EvalValue:
         import decimal as pydec
         v = int(pydec.Decimal(str(v)).scaleb(dt.scale)
                 .to_integral_value(rounding=pydec.ROUND_HALF_UP))
+    if dt.is_long_decimal:
+        from velox_tpu.ops.int128 import from_python_int
+        from velox_tpu.vector.device import DeviceColumn
+        lo, hi = from_python_int(int(v))
+        hi_col = DeviceColumn(jnp.asarray(hi), None, T.BIGINT, None)
+        return EvalValue(jnp.asarray(lo), None, dt,
+                         children=(hi_col,), py_value=v)
     if dt.kind is T.TypeKind.DATE and isinstance(v, str):
         v = _parse_date_days(v)
     # keep the static python value alongside the device scalar: trace-time

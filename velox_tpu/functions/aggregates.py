@@ -90,6 +90,19 @@ def _valid_and_active(v: EvalValue, active, capacity):
 class SumAgg(AggregateFunction):
     def __init__(self, input_type: T.DataType):
         self.name = "sum"
+        self._long = input_type.is_long_decimal
+        if self._long:
+            # long decimal: four planar 32-bit limb parts accumulate in
+            # independent int64 sums and recombine at extraction
+            # (ops/int128.py split_parts/combine_parts; parity:
+            # DecimalSumAggregate over int128, type/DecimalUtil.h)
+            st = T.decimal(38, input_type.scale)
+            self.input_type = input_type
+            self.result_type = st
+            self.states = tuple(
+                StateSpec(f"p{i}", T.BIGINT, "sum") for i in range(4)
+            ) + (StateSpec("count", T.BIGINT, "sum"),)
+            return
         if input_type.is_integral:
             st = T.BIGINT
         elif input_type.kind is T.TypeKind.DECIMAL:
@@ -107,6 +120,16 @@ class SumAgg(AggregateFunction):
         (v,) = args
         keep = _valid_and_active(v, active, ctx.capacity)
         data = v.full_data(ctx.capacity)
+        if self._long:
+            from velox_tpu.ops.int128 import split_parts
+            lo = data
+            hi = (v.children[0].data if v.children
+                  else jnp.zeros_like(lo))
+            if hi.ndim == 0:
+                hi = jnp.broadcast_to(hi, lo.shape)
+            parts = split_parts(lo, hi)
+            return [_masked(p, keep, 0) for p in parts] \
+                + [keep.astype(np.int64)]
         if v.dtype.kind is T.TypeKind.DECIMAL:
             from velox_tpu.functions.scalar import _rescale_decimal
             data = _rescale_decimal(
@@ -118,6 +141,14 @@ class SumAgg(AggregateFunction):
                 keep.astype(np.int64)]
 
     def extract(self, state_arrays, group_valid):
+        if self._long:
+            from velox_tpu.ops.int128 import combine_parts
+            from velox_tpu.vector.device import DeviceColumn
+            p0, p1, p2, p3, c = state_arrays
+            lo, hi = combine_parts(p0, p1, p2, p3)
+            hi_col = DeviceColumn(hi, None, T.BIGINT, None)
+            return EvalValue(lo, group_valid & (c > 0),
+                             self.result_type, children=(hi_col,))
         s, c = state_arrays
         return EvalValue(s, group_valid & (c > 0), self.result_type)
 
@@ -146,6 +177,10 @@ class CountAgg(AggregateFunction):
 class AvgAgg(AggregateFunction):
     def __init__(self, input_type: T.DataType):
         self.name = "avg"
+        if input_type.is_long_decimal:
+            raise NotImplementedError(
+                "avg over DECIMAL(>18): cast to DOUBLE or sum/count "
+                "separately (long-decimal division unimplemented)")
         self.input_type = input_type
         if input_type.kind is T.TypeKind.DECIMAL:
             sum_t = T.decimal(18, input_type.scale)
@@ -183,6 +218,9 @@ class AvgAgg(AggregateFunction):
 class MinMaxAgg(AggregateFunction):
     def __init__(self, name: str, input_type: T.DataType):
         self.name = name
+        if input_type.is_long_decimal:
+            raise NotImplementedError(
+                f"{name} over DECIMAL(>18) is not supported yet")
         self.input_type = input_type
         self.result_type = input_type
         self.states = (StateSpec(name, input_type, name),

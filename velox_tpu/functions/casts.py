@@ -58,8 +58,45 @@ def cast(ctx, v: EvalValue, to: T.DataType, is_try: bool = False) -> EvalValue:
     raise NotImplementedError(f"cast {frm} -> {to}")
 
 
+def _cast_long_decimal(v: EvalValue, to: T.DataType) -> EvalValue:
+    """Casts touching a long decimal (int128 limbs). Supported: widening
+    (short decimal / integer -> long), long -> long upscale, long ->
+    DOUBLE (approximate). Downscaling a long decimal (rounding a 128-bit
+    value) is not implemented."""
+    import jax.numpy as jnp
+
+    from velox_tpu.ops import int128 as I
+    from velox_tpu.vector.device import DeviceColumn
+    frm = v.dtype
+    if to.is_long_decimal:
+        fs = frm.scale if frm.kind is T.TypeKind.DECIMAL else 0
+        if to.scale < fs:
+            raise NotImplementedError(
+                f"cast {frm} -> {to}: long-decimal downscale rounding")
+        if frm.is_long_decimal:
+            lo = v.data
+            hi = (v.children[0].data if v.children
+                  else jnp.zeros_like(lo))
+        elif frm.kind is T.TypeKind.DECIMAL or frm.is_integral:
+            lo, hi = I.from_i64(v.data.astype(jnp.int64))
+        else:
+            raise NotImplementedError(f"cast {frm} -> {to}")
+        lo, hi = I.rescale_up(lo, hi, to.scale - fs)
+        hi_col = DeviceColumn(hi, None, T.BIGINT, None)
+        return EvalValue(lo, v.validity, to, children=(hi_col,))
+    if to.is_floating:
+        from velox_tpu.functions.scalar import _numeric_data
+
+        class _C:
+            capacity = v.data.shape[0] if v.data.ndim else 1
+        return EvalValue(_numeric_data(v, to, _C), v.validity, to)
+    raise NotImplementedError(f"cast {frm} -> {to}")
+
+
 def _cast_numeric(v: EvalValue, to: T.DataType, is_try: bool) -> EvalValue:
     frm = v.dtype
+    if frm.is_long_decimal or to.is_long_decimal:
+        return _cast_long_decimal(v, to)
     if frm.kind is T.TypeKind.DECIMAL:
         if to.kind is T.TypeKind.DECIMAL:
             from velox_tpu.functions.scalar import _rescale_decimal

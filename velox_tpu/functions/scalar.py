@@ -46,6 +46,16 @@ def promote_numeric(a: T.DataType, b: T.DataType) -> T.DataType:
         da = a if a.kind is T.TypeKind.DECIMAL else T.decimal(18, 0)
         db = b if b.kind is T.TypeKind.DECIMAL else T.decimal(18, 0)
         s = max(da.scale, db.scale)
+        if da.is_long_decimal or db.is_long_decimal:
+            # long inputs: Presto result type (max integer digits +
+            # common scale + carry, capped 38; ref type/DecimalUtil.h),
+            # computed on int128 limbs (ops/int128.py)
+            idig = max(da.precision - da.scale, db.precision - db.scale)
+            return T.decimal(min(38, idig + s + 1), s)
+        # short inputs stay on the int64 fast path: result capped at
+        # DECIMAL(18) (documented deviation — Presto would widen; at
+        # TPC-H value ranges 18 digits are exact, and implicit widening
+        # to limb math would put every money expression on the slow path)
         return T.decimal(18, s)
     # integer widths
     ia, ib = _INT_ORDER.index(a.kind), _INT_ORDER.index(b.kind)
@@ -63,8 +73,25 @@ def _rescale_decimal(data, from_scale: int, to_scale: int):
 def _numeric_data(v: EvalValue, target: T.DataType, ctx):
     """Convert EvalValue data to the computation dtype of `target`."""
     data = v.data
+    if v.dtype.is_long_decimal:
+        if target.is_floating:
+            # approximate: hi*2^64 + unsigned(lo), then unscale
+            lo = jax.lax.bitcast_convert_type(
+                data.astype(jnp.int64), jnp.uint64)
+            f = (v.children[0].data.astype(jnp.float64) * (2.0 ** 64)
+                 + lo.astype(jnp.float64))
+            return (f / (10.0 ** v.dtype.scale)).astype(
+                target.np_dtype())
+        raise NotImplementedError(
+            f"long decimal {v.dtype} in a {target} context is not "
+            "supported (limb paths exist for +,-,*,compare,sum,cast-to-"
+            "double)")
     if v.dtype.kind is T.TypeKind.DECIMAL:
         if target.kind is T.TypeKind.DECIMAL:
+            if target.is_long_decimal:
+                raise NotImplementedError(
+                    "short->long decimal conversion happens in the limb "
+                    "operators, not _numeric_data")
             return _rescale_decimal(data, v.dtype.scale, target.scale)
         return data.astype(target.np_dtype()) / (10.0 ** v.dtype.scale)
     if target.kind is T.TypeKind.DECIMAL:
@@ -101,6 +128,10 @@ def arith_resolver(name):
             return promote_numeric(a, b)
         if name == "multiply" and (a.kind is T.TypeKind.DECIMAL
                                    and b.kind is T.TypeKind.DECIMAL):
+            if a.is_long_decimal or b.is_long_decimal:
+                return T.decimal(min(38, a.precision + b.precision),
+                                 a.scale + b.scale)
+            # short x short stays int64 (see promote_numeric note)
             return T.decimal(min(18, a.precision + b.precision),
                              a.scale + b.scale)
         return promote_numeric(a, b)
@@ -156,9 +187,44 @@ def _flag(ctx, err, validity):
     return ~err if validity is None else (validity & ~err)
 
 
+def _limbs(v: "EvalValue", to_scale: int, ctx):
+    """EvalValue -> (lo, hi) int128 limbs rescaled to `to_scale`.
+    Widens short decimals / integers first so upscale cannot wrap."""
+    from velox_tpu.ops import int128 as I
+    cap = ctx.capacity
+    if v.dtype.is_long_decimal:
+        lo = v.full_data(cap)
+        hi = v.children[0].data if v.children else jnp.zeros_like(lo)
+        if hi.ndim == 0:
+            hi = jnp.broadcast_to(hi, lo.shape)
+        s = v.dtype.scale
+    else:
+        s = v.dtype.scale if v.dtype.kind is T.TypeKind.DECIMAL else 0
+        lo, hi = I.from_i64(v.full_data(cap).astype(jnp.int64))
+    return I.rescale_up(lo, hi, to_scale - s)
+
+
+def _long_value(lo, hi, validity, out_dtype) -> "EvalValue":
+    from velox_tpu.vector.device import DeviceColumn
+    hi_col = DeviceColumn(hi, None, T.BIGINT, None)
+    return EvalValue(lo, validity, out_dtype, children=(hi_col,))
+
+
+def _is_long(*vals) -> bool:
+    return any(v.dtype.is_long_decimal for v in vals
+               if hasattr(v.dtype, "is_long_decimal"))
+
+
 def _binary_arith(op_name, op, checked=None):
     def eval_fn(ctx, out_dtype, args):
         a, b = args
+        if out_dtype.is_long_decimal:
+            from velox_tpu.ops import int128 as I
+            alo, ahi = _limbs(a, out_dtype.scale, ctx)
+            blo, bhi = _limbs(b, out_dtype.scale, ctx)
+            f = I.add128 if op_name == "plus" else I.sub128
+            lo, hi = f(alo, ahi, blo, bhi)
+            return _long_value(lo, hi, merge_validity(a, b), out_dtype)
         da = _numeric_data(a, out_dtype, ctx)
         db = _numeric_data(b, out_dtype, ctx)
         data = op(da, db, out_dtype)
@@ -192,6 +258,28 @@ def _register_arith():
 
     def mul_eval(ctx, out_dtype, args):
         a, b = args
+        if out_dtype.is_long_decimal:
+            from velox_tpu.ops import int128 as I
+            cap = ctx.capacity
+            long_a = a.dtype.is_long_decimal
+            long_b = b.dtype.is_long_decimal
+            if long_a and long_b:
+                raise NotImplementedError(
+                    "decimal multiply with BOTH operands over 18 digits "
+                    "overflows int128")
+            big, small = (a, b) if long_a else (b, a)
+            blo = big.full_data(cap)
+            bhi = (big.children[0].data if big.children
+                   else jnp.zeros_like(blo))
+            if bhi.ndim == 0:
+                bhi = jnp.broadcast_to(bhi, blo.shape)
+            sd = small.full_data(cap).astype(jnp.int64)
+            lo, hi = I.mul128_i64(blo, bhi, sd)
+            ss = (small.dtype.scale
+                  if small.dtype.kind is T.TypeKind.DECIMAL else 0)
+            lo, hi = I.rescale_up(
+                lo, hi, out_dtype.scale - big.dtype.scale - ss)
+            return _long_value(lo, hi, merge_validity(a, b), out_dtype)
         if out_dtype.kind is T.TypeKind.DECIMAL:
             # Exact decimal multiply: scales add (resolver set out scale).
             da = a.data.astype(np.int64) if a.dtype.kind is T.TypeKind.DECIMAL \
@@ -244,6 +332,11 @@ def _register_arith():
 
     def neg_eval(ctx, out_dtype, args):
         (a,) = args
+        if out_dtype.is_long_decimal:
+            from velox_tpu.ops import int128 as I
+            lo, hi = _limbs(a, out_dtype.scale, ctx)
+            nlo, nhi = I.neg128(lo, hi)
+            return _long_value(nlo, nhi, a.validity, out_dtype)
         return EvalValue(-a.data, a.validity, out_dtype)
     register("negate",
              lambda ts: ts[0] if len(ts) == 1 and ts[0].is_numeric else None,
@@ -405,6 +498,18 @@ def compare_value(ctx, a: EvalValue, b: EvalValue, op: str) -> EvalValue:
     }
     if a.dtype.is_string or b.dtype.is_string:
         return _compare_strings(ctx, a, b, op)
+    if _is_long(a, b):
+        from velox_tpu.ops import int128 as I
+        s = max(a.dtype.scale if a.dtype.kind is T.TypeKind.DECIMAL
+                else 0,
+                b.dtype.scale if b.dtype.kind is T.TypeKind.DECIMAL
+                else 0)
+        alo, ahi = _limbs(a, s, ctx)
+        blo, bhi = _limbs(b, s, ctx)
+        lt, eq = I.lt128(alo, ahi, blo, bhi), I.eq128(alo, ahi, blo, bhi)
+        res = {"eq": eq, "neq": ~eq, "lt": lt, "lte": lt | eq,
+               "gt": ~(lt | eq), "gte": ~lt}[op]
+        return EvalValue(res, merge_validity(a, b), T.BOOLEAN)
     if a.dtype.is_numeric and b.dtype.is_numeric:
         common = promote_numeric(a.dtype, b.dtype)
         da = _numeric_data(a, common, ctx)

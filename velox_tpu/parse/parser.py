@@ -245,14 +245,14 @@ class Parser:
                 s = len(frac)
                 digits = (int_part + frac).lstrip("0") or "0"
                 p = max(len(digits), s + 1)
-                if p <= 18:
+                if p <= 38:
+                    # >18 digits: long decimal (int128 limb backing,
+                    # ops/int128.py; ref type/DecimalUtil.h)
                     return ex.Constant(T.decimal(p, s),
                                        int((int_part + frac) or "0"))
-                # long decimals (int128 backing) are unsupported; degrading
-                # to DOUBLE silently would lose exactness — make it loud
                 import warnings
                 warnings.warn(
-                    f"decimal literal {txt!r} exceeds DECIMAL(18) precision;"
+                    f"decimal literal {txt!r} exceeds DECIMAL(38);"
                     " evaluating as DOUBLE (inexact)", stacklevel=2)
                 return ex.lit(float(txt))
             val = int(txt)

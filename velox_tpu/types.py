@@ -99,6 +99,13 @@ class DataType:
     def is_complex(self) -> bool:
         return self.kind in (TypeKind.ARRAY, TypeKind.MAP, TypeKind.ROW)
 
+    @property
+    def is_long_decimal(self) -> bool:
+        """DECIMAL(19..38): int128 backing as two int64 limb columns
+        (lo = primary data, hi = child; ops/int128.py). Parity:
+        velox/type/HugeInt.h, type/DecimalUtil.h."""
+        return self.kind is TypeKind.DECIMAL and self.precision > 18
+
     # ---- device layout ----
     def np_dtype(self) -> np.dtype:
         """The numpy/jnp dtype of this type's primary device buffer.
@@ -161,8 +168,7 @@ UNKNOWN = DataType(TypeKind.UNKNOWN)
 
 
 def decimal(precision: int, scale: int) -> DataType:
-    if not (1 <= precision <= 18):
-        # Long decimals (int128) are not yet supported on device.
+    if not (1 <= precision <= 38):
         raise ValueError(f"unsupported decimal precision {precision}")
     return DataType(TypeKind.DECIMAL, precision=precision, scale=scale)
 

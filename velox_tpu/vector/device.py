@@ -313,7 +313,28 @@ def column_from_arrow(
         data_np = _pad_np(ids, capacity)
         col_dict = dict_out
     elif dtype.kind is T.TypeKind.DECIMAL:
-        # decimal128 -> scaled int64 (short decimals only). Slow path via
+        if dtype.is_long_decimal:
+            # decimal128 -> two int64 limbs read straight off the
+            # 16-byte little-endian storage buffer (lo = primary data,
+            # hi = child column; ops/int128.py). Parity: type/HugeInt.h.
+            combined = arr.combine_chunks() if hasattr(
+                arr, "combine_chunks") else arr
+            buf = combined.buffers()[1]
+            off = combined.offset
+            limbs = np.frombuffer(
+                buf, dtype=np.int64,
+                count=2 * (off + n))[2 * off:].reshape(-1, 2)
+            lo = jnp.asarray(_pad_np(
+                np.ascontiguousarray(limbs[:, 0]), capacity))
+            hi_col = DeviceColumn(
+                jnp.asarray(_pad_np(
+                    np.ascontiguousarray(limbs[:, 1]), capacity)),
+                None, T.BIGINT, None)
+            validity = (jnp.asarray(_pad_np(validity_np, capacity,
+                                            False))
+                        if validity_np is not None else None)
+            return DeviceColumn(lo, validity, dtype, None, (hi_col,))
+        # decimal128 -> scaled int64 (short decimals). Slow path via
         # python objects; hot ingest (dbgen) builds scaled ints directly.
         ints = np.array(
             [0 if d is None else int(d.scaleb(dtype.scale))
@@ -386,6 +407,8 @@ def to_arrow(batch: DeviceBatch):
     for name, col in batch.columns.items():
         if col.dtype.is_complex:
             arrays.append(_complex_to_arrow(col, mask))
+        elif col.dtype.is_long_decimal:
+            arrays.append(_long_decimal_to_arrow(col, mask))
         else:
             data, validity = column_to_numpy(col)
             data = data[mask]
@@ -393,6 +416,29 @@ def to_arrow(batch: DeviceBatch):
             arrays.append(_np_to_arrow(data, valid, col))
         names.append(name)
     return pa.table(arrays, names=names)
+
+
+def _long_decimal_to_arrow(col: DeviceColumn, mask: np.ndarray):
+    """Long decimal (lo data + hi child limb) -> pyarrow decimal128."""
+    import decimal as pydec
+
+    import pyarrow as pa
+
+    from velox_tpu.ops.int128 import to_numpy_ints
+    lo, validity = column_to_numpy(col)
+    hi = np.asarray(jax.device_get(col.children[0].data))
+    ints = to_numpy_ints(lo[mask], hi[mask])
+    valid = validity[mask] if validity is not None else None
+    s = col.dtype.scale
+    with pydec.localcontext() as c:
+        c.prec = 50  # default 28 silently rounds 38-digit values
+        vals = [
+            (None if (valid is not None and not v)
+             else pydec.Decimal(int(x)).scaleb(-s))
+            for x, v in zip(ints, valid if valid is not None
+                            else np.ones(len(ints), bool))
+        ]
+    return pa.array(vals, type=T.to_arrow(col.dtype))
 
 
 def _complex_to_arrow(col: DeviceColumn, mask: np.ndarray):
