@@ -1,15 +1,22 @@
-"""Device-resident scan cache.
+"""Device-resident scan cache with an optional SSD (disk) tier.
 
 Role parity: ``velox/common/caching/AsyncDataCache.h:698`` — the reference
 caches decoded file chunks in RAM so repeated scans skip IO. Here the cached
 unit is the *staged device batch* of one split (generation/decode + host->
 device upload are the expensive ingest steps on TPU), keyed by
 (connector, table, columns, split, capacity), with a byte budget and LRU
-eviction.
+eviction. The SSD tier (``SsdTier``) mirrors ``common/caching/SsdCache.h``:
+entries evicted from HBM persist to a disk directory with a checkpointed
+index, so cache contents survive both memory pressure and process restarts
+(SsdFile checkpoint parity).
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+import pickle
 import threading
 from collections import OrderedDict
 from typing import Optional, Tuple
@@ -18,6 +25,83 @@ from velox_tpu.exec.memory import batch_nbytes
 from velox_tpu.vector.device import DeviceBatch
 
 DEFAULT_BUDGET = 8 << 30  # 8 GiB of HBM for cached scans
+
+
+class SsdTier:
+    """Disk tier: evicted entries persist as pickled HostBatches under a
+    directory with a JSON index checkpoint. Parity:
+    common/caching/SsdCache.h:27 + SsdFile checkpointing."""
+
+    INDEX = "index.json"
+
+    def __init__(self, directory: str, budget_bytes: int = 64 << 30):
+        self.dir = directory
+        self.budget = budget_bytes
+        os.makedirs(directory, exist_ok=True)
+        self._lock = threading.Lock()
+        self._index: "OrderedDict[str, int]" = OrderedDict()  # id->bytes
+        self.used = 0
+        self.hits = 0
+        self.misses = 0
+        path = os.path.join(directory, self.INDEX)
+        if os.path.exists(path):  # checkpoint recovery
+            with open(path) as f:
+                for k, sz in json.load(f):
+                    if os.path.exists(self._path(k)):
+                        self._index[k] = sz
+                        self.used += sz
+
+    @staticmethod
+    def entry_id(key) -> str:
+        return hashlib.sha256(repr(key).encode()).hexdigest()[:32]
+
+    def _path(self, eid: str) -> str:
+        return os.path.join(self.dir, f"{eid}.bin")
+
+    def _checkpoint_locked(self):
+        tmp = os.path.join(self.dir, self.INDEX + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(list(self._index.items()), f)
+        os.replace(tmp, os.path.join(self.dir, self.INDEX))
+
+    def put(self, key, batch: DeviceBatch):
+        from velox_tpu.exec.memory import HostBatch
+        eid = self.entry_id(key)
+        blob = pickle.dumps(HostBatch(batch))
+        with self._lock:
+            if eid in self._index:
+                return
+            while self.used + len(blob) > self.budget and self._index:
+                old, sz = self._index.popitem(last=False)
+                try:
+                    os.unlink(self._path(old))
+                except OSError:
+                    pass
+                self.used -= sz
+            with open(self._path(eid), "wb") as f:
+                f.write(blob)
+            self._index[eid] = len(blob)
+            self.used += len(blob)
+            self._checkpoint_locked()
+
+    def get(self, key) -> Optional[DeviceBatch]:
+        eid = self.entry_id(key)
+        with self._lock:
+            if eid not in self._index:
+                self.misses += 1
+                return None
+            self._index.move_to_end(eid)
+            self.hits += 1
+        try:
+            with open(self._path(eid), "rb") as f:
+                return pickle.load(f).restore()
+        except (OSError, pickle.UnpicklingError):
+            return None
+
+    def stats(self):
+        return {"used": self.used, "budget": self.budget,
+                "entries": len(self._index), "hits": self.hits,
+                "misses": self.misses}
 
 
 class DataCache:
@@ -40,6 +124,14 @@ class DataCache:
         self._pool = MemoryPool.device_root()
         MemoryArbitrator.instance().register(
             self, MemoryArbitrator.PRI_CACHE)
+        self._ssd: Optional[SsdTier] = None
+
+    def enable_ssd(self, directory: str, budget_bytes: int = 64 << 30):
+        """Attach the disk tier (parity: SsdCache behind AsyncDataCache).
+        Evicted entries spill to `directory`; misses check it before
+        regenerating; the index survives restarts."""
+        self._ssd = SsdTier(directory, budget_bytes)
+        return self._ssd
 
     @classmethod
     def instance(cls) -> "DataCache":
@@ -50,12 +142,17 @@ class DataCache:
     def get(self, key) -> Optional[DeviceBatch]:
         with self._lock:
             hit = self._entries.get(key)
-            if hit is None:
-                self.misses += 1
-                return None
-            self._entries.move_to_end(key)
-            self.hits += 1
-            return hit[0]
+            if hit is not None:
+                self._entries.move_to_end(key)
+                self.hits += 1
+                return hit[0]
+            self.misses += 1
+        if self._ssd is not None:
+            batch = self._ssd.get(key)
+            if batch is not None:
+                self.put(key, batch)  # promote back into HBM
+                return batch
+        return None
 
     def put(self, key, batch: DeviceBatch) -> None:
         n = batch_nbytes(batch)
@@ -66,7 +163,9 @@ class DataCache:
             if old is not None:
                 self._drop_bytes(old[1])
             while self.used + n > self.budget and self._entries:
-                _, (_, sz) = self._entries.popitem(last=False)
+                k, (b, sz) = self._entries.popitem(last=False)
+                if self._ssd is not None:
+                    self._ssd.put(k, b)  # demote to the disk tier
                 self._drop_bytes(sz)
             if not self._pool.reserve(n):
                 # HBM root capped: don't cache rather than oust operator
@@ -81,11 +180,14 @@ class DataCache:
         self._pool.release(n)
 
     def reclaim(self, needed: int) -> int:
-        """Arbitrator hook: evict LRU entries until `needed` freed."""
+        """Arbitrator hook: evict LRU entries until `needed` freed
+        (demoting to the SSD tier when attached)."""
         with self._lock:
             freed = 0
             while self._entries and freed < needed:
-                _, (_, sz) = self._entries.popitem(last=False)
+                k, (b, sz) = self._entries.popitem(last=False)
+                if self._ssd is not None:
+                    self._ssd.put(k, b)
                 self._drop_bytes(sz)
                 freed += sz
             return freed
