@@ -42,6 +42,9 @@ class QueryConfig:
     # eviction, then force-offload of operator state to host RAM) —
     # parity: MemoryArbitrator capacity (common/memory/MemoryArbitrator.h)
     QUERY_HBM_CAP_BYTES = "query_hbm_cap_bytes"
+    # producer driver threads per LocalPartition boundary (parity:
+    # LocalPlanner.cpp:177 per-pipeline driver counts; 0 = inline)
+    LOCAL_EXCHANGE_DRIVERS = "local_exchange_drivers"
     # join build -> probe scan min/max pushdown (Driver::pushdownFilters)
     DYNAMIC_FILTERS = "dynamic_filters_enabled"
     # use StreamingAggregation when the agg input is sorted by its keys

@@ -56,6 +56,9 @@ class Task:
         self.plan = plan
         self.ctx = ctx or QueryCtx()
         self.operators: List[Operator] = []  # for stats
+        # per-driver-thread split slice for multi-driver local pipelines
+        import threading as _tm
+        self._driver_slice = _tm.local()
         self._error_scalars: List = []  # traced checked-op failure counts
         self._trace_writers: Dict[str, object] = {}
         qc = self.ctx.query_config
@@ -353,9 +356,18 @@ class Task:
             yield from self._drive(node.source,
                                    TopNRowNumberOperator(node))
         elif isinstance(node, P.LocalPartitionNode):
-            # single-task serial mode: pass-through (parallel layer handles
-            # the sharded form)
-            yield from self._run_node(node.source)
+            from velox_tpu.core.config import QueryConfig as QC
+            n = self.ctx.query_config.get_int(
+                QC.LOCAL_EXCHANGE_DRIVERS, 1)
+            if n >= 1:
+                # multi-driver pipeline boundary: N producer threads run
+                # the subtree over split slices, feeding a bounded queue
+                # (exec/local_exchange.py; parity LocalPartition.h:148)
+                yield from self._run_local_partition(node, n)
+            else:
+                # n=0: inline pass-through (parallel layer handles the
+                # mesh-sharded form)
+                yield from self._run_node(node.source)
         elif isinstance(node, P.PartitionedOutputNode):
             from velox_tpu.exec.exchange import PartitionedOutputOperator
             task_id = self.ctx.get("task.id", "task-0")
@@ -407,12 +419,51 @@ class Task:
         return FilterSumOperator(
             node, spec, lambda: mk_agg(chain_fn(chain)))
 
+    def _run_local_partition(self, node, n: int):
+        """Producer/consumer overlap at a LocalPartition boundary: each
+        of `n` driver threads executes the source subtree over its
+        splits[i::n] slice into one byte-bounded queue."""
+        import threading as _tm
+
+        from velox_tpu.exec.local_exchange import LocalExchangeQueue
+        q = LocalExchangeQueue(n)
+
+        def produce(i):
+            try:
+                self._driver_slice.value = (i, n)
+                for batch in self._run_node(node.source):
+                    nb = batch.nbytes
+                    if not q.put(batch, nb):
+                        return
+                q.producer_done()
+            except BaseException as e:  # surfaced at the consumer
+                q.producer_done(e)
+            finally:
+                self._driver_slice.value = None
+
+        threads = [_tm.Thread(target=produce, args=(i,), daemon=True)
+                   for i in range(n)]
+        for t in threads:
+            t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            q.stop()
+
     def _make_scan(self, node: P.TableScanNode) -> TableScanOperator:
         from velox_tpu.connectors.connector import get_connector
         conn = get_connector(node.connector_id)
         source = conn.create_data_source(node.table, node.columns, self.ctx)
         splits = self.ctx.get(f"splits.{node.id}") \
             or conn.default_splits(node.table, self.ctx)
+        drv = getattr(self._driver_slice, "value", None)
+        if drv is not None:
+            i, k = drv
+            splits = list(splits)[i::k]
         pf = node.filter if node.filter is not None \
             else getattr(node, "prune_filter", None)
         if pf is not None and hasattr(conn, "prune_splits"):

@@ -165,6 +165,17 @@ class PlanBuilder:
             aggregates=tuple(agg_calls))
         return self
 
+    def local_partition(self, keys=(), kind: str = "gather"
+                        ) -> "PlanBuilder":
+        """In-process pipeline boundary (parity: PlanBuilder::
+        localPartition). Serial tasks run the source subtree on N
+        producer driver threads (local_exchange_drivers config)."""
+        rt = self._node.output_type()
+        kexprs = tuple(ex.field(k, rt.field_type(k)) for k in keys)
+        self._node = P.LocalPartitionNode(
+            self._ids.next(), source=self._node, kind=kind, keys=kexprs)
+        return self
+
     def single_aggregation(self, grouping_keys, aggregates):
         return self._aggregation(P.AggregationStep.SINGLE,
                                  grouping_keys, aggregates)
@@ -176,8 +187,23 @@ class PlanBuilder:
     def final_aggregation(self, grouping_keys=None, aggregates=None):
         if grouping_keys is None:
             # Derive from the preceding partial aggregation (parity with the
-            # reference PlanBuilder::finalAggregation() no-arg form).
+            # reference PlanBuilder::finalAggregation() no-arg form),
+            # looking through a LocalPartition boundary.
             src = self._node
+            probe = src
+            while isinstance(probe, P.LocalPartitionNode):
+                probe = probe.source
+            if isinstance(probe, P.AggregationNode) and probe is not src:
+                self._node = P.AggregationNode(
+                    self._ids.next(), source=src,
+                    step=P.AggregationStep.FINAL,
+                    grouping_keys=tuple(
+                        ex.field(k.name, src.output_type()
+                                 .field_type(k.name))
+                        for k in probe.grouping_keys),
+                    aggregate_names=probe.aggregate_names,
+                    aggregates=probe.aggregates)
+                return self
             if not isinstance(src, P.AggregationNode):
                 raise ValueError("no-arg final_aggregation requires a "
                                  "partial aggregation as input")
