@@ -156,6 +156,41 @@ def test_partitioned_join_build_exceeds_single_shard():
     assert dist.bv.sum() == exp.bv.sum()
 
 
+def test_skew_detected_in_later_wave():
+    """Skew arriving AFTER the first probe wave is still caught: the
+    histogram re-checks per wave (VERDICT weak #7)."""
+    rng = np.random.RandomState(13)
+    hot_key = 3
+    probe_tables = []
+    for i in range(16):  # 16 tables over 8 devices -> >=2 waves
+        pk = rng.randint(0, 64, 100).astype("int64")
+        if i >= 8:  # hot key appears only in the second wave
+            pk[:80] = hot_key
+        probe_tables.append(pa.table(pd.DataFrame({
+            "pk": pk,
+            "pv": np.arange(i * 100, (i + 1) * 100, dtype="int64")})))
+    build = pd.DataFrame({"bk": np.arange(64, dtype="int64"),
+                          "bv": np.arange(64, dtype="int64") * 10})
+    b = PlanBuilder()
+    bb = b.new_builder().values([pa.table(build)])
+    plan = (b.values(probe_tables)
+            .hash_join(["pk"], ["bk"], bb, output=["pk", "pv", "bv"])
+            .plan())
+    from velox_tpu.common import metrics as M
+    from velox_tpu.core.config import QueryConfig as QC
+    from velox_tpu.exec.task import QueryCtx
+    ctx = QueryCtx({QC.JOIN_BROADCAST_THRESHOLD: 0, QC.SKEW_FACTOR: 3})
+    before = M.reporter().snapshot()["counters"].get(M.K_SKEW_SPLITS, 0)
+    dist = DistributedTask(plan, make_mesh(8), ctx=ctx).run().to_pandas()
+    after = M.reporter().snapshot()["counters"].get(M.K_SKEW_SPLITS, 0)
+    assert after > before, "late-wave skew was not detected"
+    all_probe = pd.concat([t.to_pandas() for t in probe_tables])
+    exp = all_probe.merge(build, left_on="pk", right_on="bk")
+    assert len(dist) == len(exp)
+    assert dist.pv.sum() == exp.pv.sum()
+    assert dist.bv.sum() == exp.bv.sum()
+
+
 def test_partitioned_join_skew_key_splitting():
     """VERDICT skew spec: one key = 50% of probe rows. Key splitting
     spreads the hot key's probe rows round-robin and replicates its build

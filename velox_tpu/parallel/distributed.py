@@ -488,9 +488,10 @@ class DistributedTask:
         count_fn = jax.jit(jax.vmap(probe._probe_counts))
         emit_fn = jax.jit(jax.vmap(probe._emit_chunk,
                                    in_axes=(0, 0, 0, 0, 0, None)))
-        # skew handling (SURVEY §7.2 step 7): hot hash ranges detected
-        # from the first probe wave's global histogram; their probe rows
-        # spread round-robin and their build rows replicate everywhere.
+        # skew handling (SURVEY §7.2 step 7): EVERY probe wave recomputes
+        # the cheap global histogram until skew is detected (skew arriving
+        # in later waves is caught); the hot set freezes at first
+        # detection because the build augmentation bakes it in.
         # Right-phase joins are excluded (replicated build rows would
         # need cross-device matched merges).
         skew_ok = not track
@@ -510,8 +511,7 @@ class DistributedTask:
                     hot = jnp.asarray(hot_np)
                     bt_aug = self._augment_build_with_hot(
                         node, stacked_build, resharded_b, hot)
-                else:
-                    skew_ok = False  # decided once, on the first wave
+                # no skew this wave: keep re-checking on later waves
             if hot is not None:
                 pwin = self._count_window_spread(stacked, lnames, hot)
                 sp = self._reshard(stacked, lnames, pwin, spread_hot=hot)
