@@ -192,6 +192,15 @@ def main():
         except Exception as e:  # keep the bench line even on failures
             detail[name] = {"error": f"{type(e).__name__}: {e}"}
 
+    # kernel-level micro numbers ride the detail artifact so per-round
+    # progress on insert/probe/sort throughput is visible (VERDICT w#12)
+    try:
+        from benchmarks import run_micro
+        detail["micro_Mrows_per_s"] = {
+            k: round(v, 1) for k, v in run_micro(20).items()}
+    except Exception as e:
+        detail["micro_Mrows_per_s"] = {"error": str(e)}
+
     with open("bench_detail.json", "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps(detail), file=sys.stderr)

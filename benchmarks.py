@@ -23,7 +23,9 @@ def timeit(fn, *args, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
-def main():
+def run_micro(rows_log2: int = 20):
+    """Micro suite -> {name: M rows/s}; embedded into bench_detail.json
+    by bench.py so kernel-level progress is visible round-over-round."""
     import jax
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
@@ -34,9 +36,10 @@ def main():
     from velox_tpu.expression.eval import EvalValue
     from velox_tpu import types as T
 
-    n = 1 << (int(sys.argv[1]) if len(sys.argv) > 1 else 20)
+    n = 1 << rows_log2
     rng = np.random.RandomState(0)
-    print(f"device={jax.devices()[0]}, rows={n}")
+    print(f"device={jax.devices()[0]}, rows={n}",
+          file=sys.stderr)
     rows = []
 
     # filter+sum superstep (Q6 core)
@@ -98,8 +101,13 @@ def main():
     dt = timeit(probe, table, pk)
     rows.append(("hash-join probe (25% hit domain)", n / dt / 1e6))
 
+    return dict(rows)
+
+
+def main():
+    rows = run_micro(int(sys.argv[1]) if len(sys.argv) > 1 else 20)
     print(f"{'operation':45s} {'M rows/s':>10s}")
-    for name, thr in rows:
+    for name, thr in rows.items():
         print(f"{name:45s} {thr:10.1f}")
 
 
