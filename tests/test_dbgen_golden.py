@@ -194,3 +194,115 @@ def test_q18_on_real_dbgen(setup):
                                   exp.o_totalprice.to_numpy("int64"))
     np.testing.assert_array_equal(dec_to_scaled(got.quantity),
                                   exp.quantity.to_numpy("int64"))
+
+
+# ---------------------------------------------------------------------------
+# Round 3: the remaining five tables from the same dbgen streams
+# (part/partsupp/supplier/nation/region; DRIVER2.cpp.txt) extend golden
+# coverage to multi-way join queries (Q2/Q5 shapes).
+# ---------------------------------------------------------------------------
+
+PART_COLS = ["p_partkey", "p_name", "p_mfgr", "p_brand", "p_type",
+             "p_size", "p_container", "p_retailprice", "p_comment"]
+PARTSUPP_COLS = ["ps_partkey", "ps_suppkey", "ps_availqty",
+                 "ps_supplycost", "ps_comment"]
+SUPPLIER_COLS = ["s_suppkey", "s_name", "s_address", "s_nationkey",
+                 "s_phone", "s_acctbal", "s_comment"]
+NATION_COLS = ["n_nationkey", "n_name", "n_regionkey", "n_comment"]
+REGION_COLS = ["r_regionkey", "r_name", "r_comment"]
+_SCALED.update({"p_retailprice", "ps_supplycost", "s_acctbal"})
+
+AUX_TABLES = (("part", PART_COLS), ("partsupp", PARTSUPP_COLS),
+              ("supplier", SUPPLIER_COLS), ("nation", NATION_COLS),
+              ("region", REGION_COLS))
+
+
+@pytest.fixture(scope="module")
+def setup_aux(setup, tmp_path_factory):
+    conn, oracle = setup
+    d = tmp_path_factory.mktemp("dbgen_parquet_aux")
+    for name, cols in AUX_TABLES:
+        if name == "region":
+            # DRIVER2 prints code_t's unused `join` field for region too
+            df = _read_tbl(name, ["r_regionkey", "r_name", "_join",
+                                  "r_comment"])[cols]
+        else:
+            df = _read_tbl(name, cols)
+        t = _to_parquet_table(df, cols)
+        path = d / f"{name}.parquet"
+        pq.write_table(t, path)
+        conn.register_table(name, str(path))
+        oracle.load(name, df)
+    return conn, oracle
+
+
+def test_q5_on_real_dbgen(setup_aux):
+    conn, oracle = setup_aux
+    got = Task(tpch_plan(5, connector_id="hive-dbgen")).run().to_pandas()
+    exp = oracle.query(
+        "SELECT n_name,"
+        " SUM(l_extendedprice * (100 - l_discount)) AS revenue"
+        " FROM customer, orders, lineitem, supplier, nation, region"
+        " WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey"
+        " AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey"
+        " AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey"
+        " AND r_name = 'ASIA'"
+        f" AND o_orderdate >= {days('1994-01-01')}"
+        f" AND o_orderdate < {days('1995-01-01')}"
+        " GROUP BY n_name ORDER BY revenue DESC")
+    assert len(got) == len(exp)
+    assert list(got.n_name) == list(exp.n_name)
+    np.testing.assert_array_equal(dec_to_scaled(got.revenue),
+                                  exp.revenue.to_numpy("int64"))
+
+
+def test_q2_on_real_dbgen(setup_aux):
+    conn, oracle = setup_aux
+    got = Task(tpch_plan(2, connector_id="hive-dbgen")).run().to_pandas()
+    exp = oracle.query(
+        "SELECT s_acctbal, s_name, n_name, p_partkey, p_mfgr,"
+        " s_address, s_phone, s_comment"
+        " FROM part, supplier, partsupp, nation, region"
+        " WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey"
+        " AND p_size = 15 AND p_type LIKE '%BRASS'"
+        " AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey"
+        " AND r_name = 'EUROPE'"
+        " AND ps_supplycost = ("
+        "   SELECT MIN(ps_supplycost) FROM partsupp, supplier, nation,"
+        "          region"
+        "   WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey"
+        "     AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey"
+        "     AND r_name = 'EUROPE')"
+        " ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100")
+    assert len(got) == len(exp)
+    if len(exp):
+        np.testing.assert_array_equal(dec_to_scaled(got.s_acctbal),
+                                      exp.s_acctbal.to_numpy("int64"))
+        assert list(got.s_name) == list(exp.s_name)
+        np.testing.assert_array_equal(got.ps_partkey.to_numpy("int64"),
+                                      exp.p_partkey.to_numpy("int64"))
+
+
+def test_q9_on_real_dbgen(setup_aux):
+    """Product-type profit (nation x year over 5-way join) — exercises
+    part+partsupp+supplier together with the fact tables."""
+    conn, oracle = setup_aux
+    got = Task(tpch_plan(9, connector_id="hive-dbgen")).run().to_pandas()
+    exp = oracle.query(
+        "SELECT nation, o_year, SUM(amount) AS sum_profit FROM ("
+        " SELECT n_name AS nation,"
+        "  CAST(STRFTIME('%Y', o_orderdate * 86400, 'unixepoch')"
+        "       AS INTEGER) AS o_year,"
+        "  l_extendedprice * (100 - l_discount)"
+        "   - ps_supplycost * 100 * l_quantity / 100 AS amount"
+        " FROM part, supplier, lineitem, partsupp, orders, nation"
+        " WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey"
+        "  AND ps_partkey = l_partkey AND p_partkey = l_partkey"
+        "  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey"
+        "  AND p_name LIKE '%green%')"
+        " GROUP BY nation, o_year ORDER BY nation, o_year DESC")
+    assert len(got) == len(exp)
+    assert len(exp) > 0
+    assert list(got.nation) == list(exp.nation)
+    np.testing.assert_array_equal(dec_to_scaled(got.sum_profit),
+                                  exp.sum_profit.to_numpy("int64"))
