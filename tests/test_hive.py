@@ -305,3 +305,38 @@ def test_grouped_execution_join_with_mixed_scan(tmp_path):
     assert len(got) == len(exp)
     assert got.v.sum() == exp.v.sum()
     assert got.name.sum() == exp.name.sum()
+
+
+def test_lazy_per_column_dictionaries(tmp_path):
+    """Scanning only numeric columns must not pay the distinct pass for
+    unrelated high-cardinality string columns (VERDICT weak #6)."""
+    import numpy as np
+    import pandas as pd
+    from velox_tpu.connectors.hive import register_hive
+    n = 5000
+    df = pd.DataFrame({
+        "k": np.arange(n, dtype="int64"),
+        "comment": [f"unique comment number {i}" for i in range(n)],
+        "seg": [f"s{i % 3}" for i in range(n)],
+    })
+    path = str(tmp_path / "t.parquet")
+    Task(PlanBuilder().values([pa.table(df)])
+         .table_write(path).plan()).run()
+    conn = register_hive("hive-lazydict")
+    conn.register_table("t", path)
+    out = (PlanBuilder().table_scan("t", ["k"],
+                                    connector_id="hive-lazydict")
+           .single_aggregation([], ["sum(k) as s"]).plan())
+    got = Task(out).run()
+    assert got.column("s")[0].as_py() == df.k.sum()
+    tbl = conn._tables["t"]
+    built = tbl._dictionaries or {}
+    assert "comment" not in built          # never requested -> never built
+    # now a scan that needs `seg` builds only `seg`
+    out2 = (PlanBuilder().table_scan("t", ["k", "seg"],
+                                     connector_id="hive-lazydict")
+            .single_aggregation(["seg"], ["count() as c"]).plan())
+    got2 = Task(out2).run()
+    assert got2.num_rows == 3
+    built = tbl._dictionaries
+    assert "seg" in built and "comment" not in built

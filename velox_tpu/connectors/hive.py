@@ -79,30 +79,37 @@ class HiveTable:
         self._dictionaries: Optional[Dict[str, Dictionary]] = None
         self._max_row_group_rows: Optional[int] = None
 
-    def dictionaries(self) -> Dict[str, Dictionary]:
-        """Sorted table-stable dictionaries for all string columns."""
+    def dictionaries(self, columns=None) -> Dict[str, Dictionary]:
+        """Sorted table-stable dictionaries, built LAZILY PER COLUMN:
+        only string columns a query actually scans pay the distinct
+        pass (a scan of numeric columns never touches e.g. the
+        unique-ish comment column). The per-column pass itself is
+        O(distinct) host work — the documented cost of dict-id strings
+        (SURVEY §7.1); columns whose distinct count approaches the row
+        count are still correct, just ingest-bound."""
         if self._dictionaries is None:
-            import pyarrow.compute as pc
-            import pyarrow.parquet as pq
-            out: Dict[str, Dictionary] = {}
-            str_cols = [f.name for f in self.schema_arrow
-                        if T.from_arrow(f.type).is_string]
-            if str_cols:
-                uniq = {c: set() for c in str_cols}
-                for p in self.paths:
-                    t = pq.read_table(p, columns=str_cols,
-                                      filesystem=self.fs)
-                    for c in str_cols:
-                        col = t.column(c)
-                        vals = pc.unique(col.combine_chunks()).to_pylist()
-                        uniq[c].update(v for v in vals if v is not None)
-                for c in str_cols:
-                    out[c] = Dictionary(sorted(uniq[c]))
+            self._dictionaries = {}
             for c in self.partition_cols:
                 vals = {ps.get(c) for ps in self.partitions.values()}
-                out[c] = Dictionary(sorted(v for v in vals
-                                           if v is not None))
-            self._dictionaries = out
+                self._dictionaries[c] = Dictionary(
+                    sorted(v for v in vals if v is not None))
+        str_cols = [f.name for f in self.schema_arrow
+                    if T.from_arrow(f.type).is_string
+                    and (columns is None or f.name in columns)
+                    and f.name not in self._dictionaries]
+        if str_cols:
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+            uniq = {c: set() for c in str_cols}
+            for p in self.paths:
+                t = pq.read_table(p, columns=str_cols,
+                                  filesystem=self.fs)
+                for c in str_cols:
+                    col = t.column(c)
+                    vals = pc.unique(col.combine_chunks()).to_pylist()
+                    uniq[c].update(v for v in vals if v is not None)
+            for c in str_cols:
+                self._dictionaries[c] = Dictionary(sorted(uniq[c]))
         return self._dictionaries
 
     def max_row_group_rows(self) -> int:
@@ -140,7 +147,7 @@ class HiveDataSource(DataSource):
         self._done: set = set()
 
     def dictionaries(self) -> Dict[str, Dictionary]:
-        d = self._table.dictionaries()
+        d = self._table.dictionaries(columns=self._columns)
         return {c: d[c] for c in self._columns if c in d}
 
     def next(self, split: HiveSplit) -> Optional[DeviceBatch]:
