@@ -612,7 +612,9 @@ class Task:
             TV.adjust("Task::drive::addInput", (op, batch))
             self._maybe_trace(op, batch)
             t0 = time.perf_counter_ns()
-            op.add_input(batch)
+            from velox_tpu.common.process_trace import TraceContext
+            with TraceContext(f"{st.operator_type}[{op.node.id}] add_input"):
+                op.add_input(batch)
             st.add_input_wall_ns += time.perf_counter_ns() - t0
             st.input_batches += 1
             st.input_bytes += batch.nbytes
@@ -626,7 +628,9 @@ class Task:
                 st.output_bytes += out.nbytes
                 yield out
         t0 = time.perf_counter_ns()
-        op.no_more_input()
+        from velox_tpu.common.process_trace import TraceContext
+        with TraceContext(f"{st.operator_type}[{op.node.id}] finish"):
+            op.no_more_input()
         st.finish_wall_ns += time.perf_counter_ns() - t0
         while True:
             out = op.get_output()
