@@ -183,3 +183,26 @@ def test_output_buffer_reread_before_ack():
     assert p3 == [bytes([3]), bytes([4])]
     p4, _ = buf.get(0, 3)
     assert p4 == p3
+
+
+def test_failed_producer_poisons_consumers():
+    """Task::terminate parity: a failing producer fragment aborts its
+    consumer fragments instead of leaving them on a finished-empty or
+    never-finished stream (exec/Task.cpp:1934 clears output buffers)."""
+    from velox_tpu.common.errors import VeloxError
+    from velox_tpu.exec.exchange import OutputBufferManager
+    df = pd.DataFrame({"a": np.arange(50, dtype="int64")})
+    src = (PlanBuilder().values([pa.table(df)])
+           .project(["a % 0 as boom"]))  # checked div-by-zero
+    pout = P.PartitionedOutputNode(
+        "p0", source=src.plan(), kind="partitioned",
+        keys=(ex.field("boom", T.BIGINT),), num_partitions=2)
+    with pytest.raises(Exception):
+        Task(pout, QueryCtx({"task.id": "failing-task"})).run()
+    rt = T.row(["boom"], [T.BIGINT])
+    exch = P.ExchangeNode("ex", row_type=rt)
+    ctx = QueryCtx({"exchange.ex.tasks": ["failing-task"],
+                    "task.destination": 0})
+    with pytest.raises(VeloxError, match="producer task failed"):
+        Task(exch, ctx).run()
+    OutputBufferManager.instance().remove("failing-task")

@@ -77,8 +77,24 @@ class OutputBuffer:
         self._acked = [0] * num_destinations  # absolute seq of q[0]
         self.bytes_in_memory = 0
         self._finished = False
+        self._error: Optional[str] = None
         self._lock = threading.Lock()
         self._rr = 0
+
+    def set_error(self, message: str):
+        """Producer task failed: poison the buffer so every consumer
+        fragment aborts instead of hanging on a never-finished stream.
+        Parity: Task::setError -> terminate clearing output buffers
+        (exec/Task.cpp:2574,1934)."""
+        with self._lock:
+            self._error = message
+            self._finished = True
+            for q in self._queues:
+                for e in q:
+                    if isinstance(e, _SpilledPage):
+                        e.drop()
+                q.clear()
+            self.bytes_in_memory = 0
 
     def _admit(self, q: List, page: bytes):
         from velox_tpu.common import metrics as M
@@ -133,6 +149,10 @@ class OutputBuffer:
         when available) — the consumer-side credit unit (parity:
         ExchangeSource::request(maxBytes), exec/ExchangeClient.h:104)."""
         with self._lock:
+            if self._error is not None:
+                from velox_tpu.common.errors import VeloxRuntimeError
+                raise VeloxRuntimeError(
+                    f"producer task failed: {self._error}")
             self._ack_locked(destination, sequence)
             q = self._queues[destination]
             start = max(sequence - self._acked[destination], 0)
@@ -298,6 +318,10 @@ class PartitionedOutputOperator(Operator):
     def no_more_input(self):
         super().no_more_input()
         self._buffer.no_more_data()
+
+    def terminate(self, message: str):
+        """Fragment failed: poison the output buffer (Task::terminate)."""
+        self._buffer.set_error(message)
 
     def get_output(self):
         return None

@@ -157,6 +157,9 @@ class Task:
         try:
             tables = [to_arrow(self._compact_for_output(b))
                       for b in self.batches()]
+        except BaseException as e:
+            self._terminate(e)
+            raise
         finally:
             for op in self.operators:
                 try:
@@ -164,7 +167,11 @@ class Task:
                 except Exception:
                     pass
             self._close_traces()
-        self.check_errors()
+        try:
+            self.check_errors()
+        except BaseException as e:
+            self._terminate(e)
+            raise
         M.record_counter(M.K_TASK_QUERIES)
         M.record_histogram(M.K_QUERY_WALL_MS,
                            (time.perf_counter() - t0) * 1e3)
@@ -173,6 +180,15 @@ class Task:
             return pa.table({n: pa.array([], type=f.type)
                              for n, f in zip(schema.names, schema)})
         return pa.concat_tables(tables)
+
+    def _terminate(self, e: BaseException):
+        """Task::terminate parity (exec/Task.cpp:1934): a failing
+        fragment poisons its output buffer so CONSUMER fragments abort
+        instead of waiting on a never-finished stream."""
+        from velox_tpu.exec.exchange import PartitionedOutputOperator
+        for op in self.operators:
+            if isinstance(op, PartitionedOutputOperator):
+                op.terminate(f"{type(e).__name__}: {e}")
 
     def stats(self):
         return [op.stats.as_dict() for op in self.operators]
