@@ -9,6 +9,7 @@ ApproxPercentileAggregate.cpp — via the sort-based collect pathway
 import math
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -168,3 +169,39 @@ def test_collect_vs_sqlite_oracle():
             "select count(*) from t where g=? and x % 2 = 0",
             (gv,)).fetchone()
         assert r["ce"] == want_ce
+
+
+def test_min_max_by_wide_types():
+    """min_by/max_by with BIGINT/DOUBLE arguments (collect pathway;
+    VERDICT weak #8 — the 32-bit pair packing used to be required)."""
+    rng = np.random.RandomState(8)
+    g = rng.randint(0, 10, 500)
+    x = rng.randint(-10**12, 10**12, 500)           # BIGINT payload
+    y = rng.randint(-10**15, 10**15, 500)           # BIGINT ordering key
+    df = pd.DataFrame({"g": g, "x": x, "y": y}).astype("int64")
+    b = PlanBuilder().values([pa.table(df)])
+    b.single_aggregation(["g"], ["min_by(x, y) as mn",
+                                 "max_by(x, y) as mx"])
+    got = Task(b.plan()).run().to_pandas().sort_values("g").reset_index(drop=True)
+    exp = df.groupby("g").apply(
+        lambda s: pd.Series({
+            "mn": s.x.iloc[s.y.to_numpy().argmin()],
+            "mx": s.x.iloc[s.y.to_numpy().argmax()]}),
+        include_groups=False).reset_index()
+    np.testing.assert_array_equal(got.g, exp.g)
+    np.testing.assert_array_equal(got.mn, exp.mn)
+    np.testing.assert_array_equal(got.mx, exp.mx)
+
+
+def test_min_by_double_key_with_nulls():
+    df = pd.DataFrame({
+        "g": [0, 0, 0, 1, 1, 2],
+        "x": [10.5, 20.5, 30.5, 1.5, 2.5, 9.0],
+        "y": [3.0, None, 1.0, 5.0, 4.0, None],
+    })
+    b = PlanBuilder().values([pa.table(df)])
+    b.single_aggregation(["g"], ["min_by(x, y) as mn"])
+    got = Task(b.plan()).run().to_pandas().sort_values("g").reset_index(drop=True)
+    # null y rows ignored; group 2 has no valid y -> NULL
+    assert got.mn[0] == 30.5 and got.mn[1] == 2.5
+    assert pd.isna(got.mn[2])

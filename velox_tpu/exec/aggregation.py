@@ -427,6 +427,39 @@ class AggregationOperator(Operator):
             return DeviceColumn(lengths, gmask, agg.result_type, None,
                                 (child,))
 
+        if kind in ("min_by", "max_by"):
+            # sort by (group, y); first/last passing row's x per group
+            x, y = args
+            perm, gid, boundary, act_s, _, _vb = G.sorted_group_info_vals(
+                keys, [y], active, cap, self._key_ranges)
+            pass_ = jnp.asarray(row_active)[perm] & act_s
+            if y.validity is not None:
+                pass_ = pass_ & y.full_validity(cap)[perm]
+            iota = jnp.arange(cap, dtype=jnp.int32)
+            run_start = jax.lax.cummax(
+                jnp.where(boundary, iota, jnp.int32(0)))
+            c = jnp.cumsum(pass_.astype(jnp.int32))
+            ce = c - pass_.astype(jnp.int32)
+            within = ce - ce[run_start]  # passing-row ordinal in group
+            n_pass = segmented_reduce_sorted(
+                pass_.astype(jnp.int32), gid, boundary, act_s, cap,
+                "sum")
+            if kind == "min_by":
+                sel = pass_ & (within == 0)
+            else:
+                sel = pass_ & (within == n_pass[gid] - 1)
+            xd = x.full_data(cap)[perm]
+            tgt = jnp.where(sel, gid, jnp.int32(cap))
+            gdata = scatter_unique_set(cap + 1, tgt, xd)[:cap]
+            gvalid = gmask & (n_pass > 0)
+            if x.validity is not None:
+                xv = x.full_validity(cap)[perm]
+                gxv = jnp.ones((cap + 1,), bool).at[tgt].set(
+                    xv, mode="drop")[:cap]
+                gvalid = gvalid & gxv
+            return DeviceColumn(gdata, gvalid, agg.result_type,
+                                x.dictionary)
+
         # value-sorted kinds: re-sort with this aggregate's value appended
         # (group numbering matches the skeleton: same key words + active)
         perm, gid, boundary, act_s, _, vb = G.sorted_group_info_vals(

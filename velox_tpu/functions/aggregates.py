@@ -511,6 +511,22 @@ class HistogramAgg(CollectAgg):
         self.result_type = T.map_(input_type, T.BIGINT)
 
 
+class CollectMinMaxByAgg(CollectAgg):
+    """min_by/max_by for types beyond the 32-bit pair-packing fast path
+    (BIGINT/DOUBLE/TIMESTAMP/DECIMAL arguments): rides the sort-based
+    collect pathway — rows sorted by (group, y), the first/last passing
+    row's x is the answer. Single-step only (collect limitation);
+    32-bit-packable argument pairs keep the segment-combinable MinMaxByAgg.
+    Parity: prestosql/aggregates/MinMaxByAggregates.cpp."""
+
+    def __init__(self, name: str, x_type: T.DataType, y_type: T.DataType):
+        self.name = name
+        self.collect_kind = name  # "min_by" | "max_by"
+        self.input_type = x_type
+        self.y_type = y_type
+        self.result_type = x_type
+
+
 class ApproxPercentileAgg(CollectAgg):
     """approx_percentile(x, p): exact rank-based percentile over the
     value-sorted group run (rank = ceil(p*n), 1-based lower value) for
@@ -558,7 +574,10 @@ def resolve_aggregate(name: str, input_types) -> AggregateFunction:
             name, name)
         return VarianceAgg(canon, input_types[0])
     if name in ("min_by", "max_by"):
-        return MinMaxByAgg(name, input_types[0], input_types[1])
+        if (input_types[0].kind in _PACKABLE_32
+                and input_types[1].kind in _PACKABLE_32):
+            return MinMaxByAgg(name, input_types[0], input_types[1])
+        return CollectMinMaxByAgg(name, input_types[0], input_types[1])
     if name == "approx_distinct":
         return ApproxDistinctAgg(input_types[0])
     if name == "array_agg":
