@@ -5,6 +5,7 @@ Expected values are the reference's own test vectors
 reference in turn validated against spark-sql CLI — required for
 Gluten-compatible shuffles."""
 
+import numpy as np
 import pyarrow as pa
 
 from velox_tpu.exec.task import Task
@@ -98,3 +99,69 @@ def test_xxhash64_double_and_chain():
     assert h(t, "xxhash64(a, b)") == [
         42, -7444071767201028348, 3614696996920510707,
         5333022629466737987]
+
+
+# ---------------------------------------------------------------------------
+# Round-3 breadth batch
+# ---------------------------------------------------------------------------
+
+def _run_proj(df, exprs):
+    import pyarrow as pa
+
+    from velox_tpu.exec.task import Task
+    from velox_tpu.testing.plan_builder import PlanBuilder
+    return (Task(PlanBuilder().values([pa.table(df)])
+                 .project(exprs).plan()).run().to_pandas())
+
+
+def test_spark_date_functions():
+    import pandas as pd
+    df = pd.DataFrame({"d": pd.to_datetime(
+        ["2020-02-15", "2021-12-31", "1999-01-01"]).date,
+        "n": np.array([10, -400, 0], dtype="int64")})
+    import pyarrow as pa
+    t = pa.table({"d": pa.array(df.d, pa.date32()),
+                  "n": pa.array(df.n, pa.int64())})
+    from velox_tpu.exec.task import Task
+    from velox_tpu.testing.plan_builder import PlanBuilder
+    got = Task(PlanBuilder().values([t]).project([
+        "date_add(d, n) as da", "date_sub(d, n) as ds",
+        "unix_date(d) as ud", "weekday(d) as wd",
+        "last_day(d) as ld",
+        "make_date(2020, 2, 29) as md"]).plan()).run().to_pandas()
+    import datetime as dtm
+    assert got.da[0] == dtm.date(2020, 2, 25)
+    assert got.ds[1] == dtm.date(2023, 2, 4)
+    assert got.ud[2] == (dtm.date(1999, 1, 1)
+                         - dtm.date(1970, 1, 1)).days
+    # 2020-02-15 is a Saturday -> weekday()=5 (0=Monday)
+    assert got.wd[0] == 5
+    assert got.ld[0] == dtm.date(2020, 2, 29)   # leap year
+    assert got.ld[1] == dtm.date(2021, 12, 31)
+    assert got.md[0] == dtm.date(2020, 2, 29)
+
+
+def test_spark_string_hashes_and_ascii():
+    import pandas as pd
+    import zlib
+    df = pd.DataFrame({"s": ["hello", "", "Spark SQL"]})
+    got = _run_proj(df, ["ascii(s) as a", "crc32(s) as c",
+                         "md5(s) as m"])
+    assert list(got.a) == [ord("h"), 0, ord("S")]
+    assert list(got.c) == [zlib.crc32(b"hello"), zlib.crc32(b""),
+                           zlib.crc32(b"Spark SQL")]
+    import hashlib
+    assert got.m[0] == hashlib.md5(b"hello").hexdigest()
+
+
+def test_least_greatest_skip_nulls():
+    import pandas as pd
+    df = pd.DataFrame({
+        "a": [1.0, None, None],
+        "b": [5.0, 2.0, None],
+        "c": [3.0, None, None]})
+    got = _run_proj(df, ["least_skipnull(a, b, c) as lo",
+                         "greatest_skipnull(a, b, c) as hi"])
+    assert got.lo[0] == 1.0 and got.hi[0] == 5.0
+    assert got.lo[1] == 2.0 and got.hi[1] == 2.0  # nulls skipped
+    assert pd.isna(got.lo[2]) and pd.isna(got.hi[2])

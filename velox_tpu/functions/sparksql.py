@@ -456,3 +456,183 @@ def _spark_xxhash64_eval(ctx, out_dtype, args):
 
 register("xxhash64", lambda ts: T.BIGINT if ts else None,
          _spark_xxhash64_eval)
+
+
+# ---------------------------------------------------------------------------
+# Breadth batch (round 3): Spark-semantics scalar functions.
+# Parity: velox/functions/sparksql/{DateTimeFunctions.h,String.h,
+# Arithmetic.h,Register.cpp}.
+# ---------------------------------------------------------------------------
+
+_alias("dayofmonth", "day")
+_alias("array_contains", "contains")
+
+
+def _date_int_resolver(ts):
+    if (len(ts) == 2 and ts[0].kind is T.TypeKind.DATE
+            and ts[1].is_integral):
+        return T.DATE
+    return None
+
+
+def _spark_date_add_eval(ctx, out_dtype, args):
+    d, n = args
+    from velox_tpu.expression.eval import merge_validity
+    out = (d.full_data(ctx.capacity).astype(jnp.int64)
+           + n.full_data(ctx.capacity).astype(jnp.int64))
+    return EvalValue(out.astype(jnp.int32), merge_validity(d, n), T.DATE)
+
+
+def _spark_date_sub_eval(ctx, out_dtype, args):
+    d, n = args
+    from velox_tpu.expression.eval import merge_validity
+    out = (d.full_data(ctx.capacity).astype(jnp.int64)
+           - n.full_data(ctx.capacity).astype(jnp.int64))
+    return EvalValue(out.astype(jnp.int32), merge_validity(d, n), T.DATE)
+
+
+# Spark's two-argument forms coexist with Presto's 3-arg date_add via
+# resolver overloading (registry tries entries in order)
+register("date_add", _date_int_resolver, _spark_date_add_eval)
+register("date_sub", _date_int_resolver, _spark_date_sub_eval)
+
+
+def _unix_date_eval(ctx, out_dtype, args):
+    (v,) = args
+    return EvalValue(v.full_data(ctx.capacity).astype(jnp.int32),
+                     v.validity, T.INTEGER)
+
+
+register("unix_date",
+         lambda ts: T.INTEGER if len(ts) == 1
+         and ts[0].kind is T.TypeKind.DATE else None,
+         _unix_date_eval)
+
+
+def _weekday_eval(ctx, out_dtype, args):
+    """Spark weekday(): 0 = Monday ... 6 = Sunday."""
+    (v,) = args
+    from velox_tpu.functions.scalar import _date_days
+    days = _date_days(v).astype(jnp.int64)
+    return EvalValue((days + 3) % 7, v.validity, T.INTEGER)
+
+
+register("weekday",
+         lambda ts: T.INTEGER if len(ts) == 1 and ts[0].kind in (
+             T.TypeKind.DATE, T.TypeKind.TIMESTAMP) else None,
+         _weekday_eval)
+
+
+def _last_day_eval(ctx, out_dtype, args):
+    """Last day of the month of the given date."""
+    (v,) = args
+    from velox_tpu.functions.scalar import (_civil_from_days, _date_days,
+                                            _days_from_civil)
+    days = _date_days(v)
+    y, m, _ = _civil_from_days(days)
+    ny = jnp.where(m == 12, y + 1, y)
+    nm = jnp.where(m == 12, jnp.ones_like(m), m + 1)
+    first_next = _days_from_civil(ny, nm, jnp.ones_like(nm))
+    return EvalValue((first_next - 1).astype(jnp.int32), v.validity,
+                     T.DATE)
+
+
+register("last_day",
+         lambda ts: T.DATE if len(ts) == 1
+         and ts[0].kind is T.TypeKind.DATE else None, _last_day_eval)
+
+
+def _make_date_eval(ctx, out_dtype, args):
+    y, m, d = args
+    from velox_tpu.expression.eval import merge_validity
+    from velox_tpu.functions.scalar import _days_from_civil
+    cap = ctx.capacity
+    days = _days_from_civil(y.full_data(cap).astype(jnp.int64),
+                            m.full_data(cap).astype(jnp.int64),
+                            d.full_data(cap).astype(jnp.int64))
+    return EvalValue(days.astype(jnp.int32),
+                     merge_validity(y, m, d), T.DATE)
+
+
+register("make_date",
+         lambda ts: T.DATE if len(ts) == 3
+         and all(t.is_integral for t in ts) else None, _make_date_eval)
+
+
+def _ascii_eval(ctx, out_dtype, args):
+    from velox_tpu.functions.scalar import _dict_lookup
+    return _dict_lookup(args[0],
+                        lambda s: ord(s[0]) if s else 0, T.INTEGER)
+
+
+register("ascii",
+         lambda ts: T.INTEGER if len(ts) == 1 and ts[0].is_string
+         else None, _ascii_eval)
+
+
+def _crc32_eval(ctx, out_dtype, args):
+    import zlib
+
+    from velox_tpu.functions.scalar import _dict_lookup
+    return _dict_lookup(
+        args[0],
+        lambda s: zlib.crc32(s.encode() if isinstance(s, str) else s),
+        T.BIGINT)
+
+
+register("crc32",
+         lambda ts: T.BIGINT if len(ts) == 1 and ts[0].is_string
+         else None, _crc32_eval)
+
+
+def _md5_eval(ctx, out_dtype, args):
+    import hashlib
+
+    from velox_tpu.functions.scalar import _dict_map
+    return _dict_map(
+        args[0],
+        lambda s: hashlib.md5(
+            s.encode() if isinstance(s, str) else s).hexdigest())
+
+
+register("md5",
+         lambda ts: T.VARCHAR if len(ts) == 1 and ts[0].is_string
+         else None, _md5_eval)
+
+
+def _nary_minmax(name, pick):
+    """Spark least/greatest: n-ary, SKIPS null arguments (null only when
+    every argument is null) — unlike Presto's null-propagating form."""
+    def eval_fn(ctx, out_dtype, args):
+        cap = ctx.capacity
+        from velox_tpu.functions.scalar import _numeric_data
+        acc = None
+        any_valid = jnp.zeros((cap,), bool)
+        for v in args:
+            d = jnp.broadcast_to(_numeric_data(v, out_dtype, ctx), (cap,))
+            valid = (jnp.ones((cap,), bool) if v.validity is None
+                     else jnp.broadcast_to(v.validity, (cap,)))
+            if acc is None:
+                acc = jnp.where(valid, d, d)
+            else:
+                take_new = valid & (~any_valid | pick(d, acc))
+                acc = jnp.where(take_new, d, acc)
+            any_valid = any_valid | valid
+        return EvalValue(acc, any_valid, out_dtype)
+    return eval_fn
+
+
+def _nary_resolver(ts):
+    from velox_tpu.functions.scalar import promote_numeric
+    if len(ts) >= 2 and all(t.is_numeric for t in ts):
+        out = ts[0]
+        for t in ts[1:]:
+            out = promote_numeric(out, t)
+        return out
+    return None
+
+
+register("least_skipnull", _nary_resolver, _nary_minmax(
+    "least", lambda d, acc: d < acc))
+register("greatest_skipnull", _nary_resolver, _nary_minmax(
+    "greatest", lambda d, acc: d > acc))
