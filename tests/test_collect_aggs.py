@@ -205,3 +205,19 @@ def test_min_by_double_key_with_nulls():
     # null y rows ignored; group 2 has no valid y -> NULL
     assert got.mn[0] == 30.5 and got.mn[1] == 2.5
     assert pd.isna(got.mn[2])
+
+
+def test_map_union():
+    """map_union via the Unnest+map_agg rewrite (first entry wins on
+    duplicate keys — Presto's arbitrary-value contract)."""
+    t = pa.table({
+        "g": pa.array([1, 1, 2, 2], pa.int64()),
+        "m": pa.array([{"a": 1, "b": 2}, {"b": 9, "c": 3},
+                       {"x": 7}, None],
+                      pa.map_(pa.string(), pa.int64())),
+    })
+    out = run_agg(t, ["g"], ["map_union(m) as u"]).to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    m1 = dict(out.u[0])
+    assert m1["a"] == 1 and m1["c"] == 3 and m1["b"] in (2, 9)
+    assert dict(out.u[1]) == {"x": 7}

@@ -181,6 +181,39 @@ class Task:
                              for n, f in zip(schema.names, schema)})
         return pa.concat_tables(tables)
 
+    def _rewrite_map_union(self, node: "P.AggregationNode"):
+        """map_union(m) lowers to Unnest(m -> k, v) + map_agg(k, v):
+        first-wins dedup over exploded entries matches Presto's
+        arbitrary-value-on-duplicate contract (ref prestosql
+        MapUnionAggregate.cpp). Returns the rewritten plan or None."""
+        calls = [c for c in node.aggregates if c.name == "map_union"]
+        if not calls:
+            return None
+        if len(node.aggregates) != 1:
+            raise NotImplementedError(
+                "map_union cannot mix with other aggregates (the unnest "
+                "rewrite changes row counts)")
+        call = calls[0]
+        inp = call.inputs[0]
+        if not isinstance(inp, ex.FieldAccess):
+            raise NotImplementedError(
+                "map_union argument must be a column")
+        mt = inp.dtype
+        kname, vname = "__mu_k", "__mu_v"
+        unnest = P.UnnestNode(
+            f"{node.id}__mu", source=node.source,
+            unnest_column=inp.name, element_name=kname,
+            value_name=vname)
+        return P.AggregationNode(
+            node.id, source=unnest, step=node.step,
+            grouping_keys=node.grouping_keys,
+            aggregate_names=node.aggregate_names,
+            aggregates=(P.AggregateCall(
+                "map_agg",
+                (ex.field(kname, mt.children[0]),
+                 ex.field(vname, mt.children[1])),
+                call.result_type),))
+
     def _terminate(self, e: BaseException):
         """Task::terminate parity (exec/Task.cpp:1934): a failing
         fragment poisons its output buffer so CONSUMER fragments abort
@@ -263,6 +296,10 @@ class Task:
                                                   prejitted=True)
             yield from self._drive(chain.source, op)
         elif isinstance(node, P.AggregationNode):
+            rewritten = self._rewrite_map_union(node)
+            if rewritten is not None:
+                yield from self._run_node(rewritten)
+                return
             from velox_tpu.core.config import QueryConfig as QC
             from velox_tpu.exec.fuse import chain_fn, collapse_chain
             chain = collapse_chain(node.source)

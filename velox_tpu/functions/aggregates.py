@@ -502,6 +502,18 @@ class MapAgg(CollectAgg):
         self.result_type = T.map_(key_type, value_type)
 
 
+class MapUnionAgg(CollectAgg):
+    """map_union(m): marker only — the Task rewrites the plan to
+    Unnest + map_agg (exec/task.py _rewrite_map_union; ref prestosql
+    MapUnionAggregate.cpp)."""
+    collect_kind = "map_union"
+
+    def __init__(self, map_type: T.DataType):
+        self.name = "map_union"
+        self.input_type = map_type
+        self.result_type = map_type
+
+
 class HistogramAgg(CollectAgg):
     collect_kind = "histogram"
 
@@ -586,6 +598,8 @@ def resolve_aggregate(name: str, input_types) -> AggregateFunction:
         return SetAgg(input_types[0])
     if name == "map_agg":
         return MapAgg(input_types[0], input_types[1])
+    if name == "map_union":
+        return MapUnionAgg(input_types[0])
     if name == "histogram":
         return HistogramAgg(input_types[0])
     if name == "approx_percentile":
