@@ -221,3 +221,32 @@ def test_map_union():
     m1 = dict(out.u[0])
     assert m1["a"] == 1 and m1["c"] == 3 and m1["b"] in (2, 9)
     assert dict(out.u[1]) == {"x": 7}
+
+
+def test_approx_most_frequent():
+    """Exact top-b by count per group (ref prestosql
+    ApproxMostFrequentAggregates.cpp; exact trivially satisfies the
+    approximation bound)."""
+    rng = np.random.RandomState(4)
+    # group 1: value frequencies 9x'a', 5x'b', 3x'c', 1x'd'
+    vals = ["a"] * 9 + ["b"] * 5 + ["c"] * 3 + ["d"]
+    g = [1] * len(vals) + [2] * 4
+    vals += ["z", "z", "z", "y"]
+    t = pa.table({"g": pa.array(g, pa.int64()),
+                  "v": pa.array(vals, pa.string())})
+    out = run_agg(t, ["g"],
+                  ["approx_most_frequent(2, v, 100) as f"]).to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    assert dict(out.f[0]) == {"a": 9, "b": 5}
+    assert dict(out.f[1]) == {"z": 3, "y": 1}
+
+
+def test_approx_most_frequent_bigint():
+    rng = np.random.RandomState(9)
+    x = np.repeat(np.arange(20, dtype="int64"),
+                  np.arange(1, 21))  # value k appears k+1... times
+    rng.shuffle(x)
+    t = pa.table({"x": pa.array(x, pa.int64())})
+    out = run_agg(t, [], ["approx_most_frequent(3, x, 100) as f"]) \
+        .to_pandas()
+    assert dict(out.f[0]) == {19: 20, 18: 19, 17: 18}

@@ -106,6 +106,9 @@ class AggregationOperator(Operator):
                 raise NotImplementedError(
                     "vector-state aggregates cannot mix with collect "
                     "aggregates")
+            from velox_tpu.functions.aggregates import (
+                ApproxMostFrequentAgg,
+            )
             for a, call in zip(self._aggs, self._agg_calls):
                 if isinstance(a, ApproxPercentileAgg):
                     from velox_tpu.core import expressions as ex
@@ -118,6 +121,13 @@ class AggregationOperator(Operator):
                     if c.dtype.kind is T.TypeKind.DECIMAL:
                         p /= 10.0 ** c.dtype.scale  # unscaled literal
                     a.percentile = p
+                if isinstance(a, ApproxMostFrequentAgg):
+                    from velox_tpu.core import expressions as ex
+                    if not isinstance(call.inputs[0], ex.Constant):
+                        raise NotImplementedError(
+                            "approx_most_frequent: buckets must be a "
+                            "constant")
+                    a.buckets = int(call.inputs[0].value)
             self._collect_rows: List[DeviceBatch] = []
             self._collect_prep_fn = jax.jit(self._collect_prep)
             self._collect_final_fn = jax.jit(self._collect_finalize)
@@ -299,10 +309,14 @@ class AggregationOperator(Operator):
     # value-sorted run.
 
     def _collect_inputs(self, i: int):
-        from velox_tpu.functions.aggregates import ApproxPercentileAgg
+        from velox_tpu.functions.aggregates import (
+            ApproxMostFrequentAgg, ApproxPercentileAgg,
+        )
         call = self._agg_calls[i]
         if isinstance(self._aggs[i], ApproxPercentileAgg):
             return [call.inputs[0]]
+        if isinstance(self._aggs[i], ApproxMostFrequentAgg):
+            return [call.inputs[1]]  # the value; buckets/cap are consts
         return list(call.inputs)
 
     def _collect_prep(self, batch: DeviceBatch) -> DeviceBatch:
@@ -426,6 +440,55 @@ class AggregationOperator(Operator):
             child = DeviceColumn(cd, cv, et, v.dictionary)
             return DeviceColumn(lengths, gmask, agg.result_type, None,
                                 (child,))
+
+        if kind == "approx_most_frequent":
+            vvf = (None if v.validity is None else v.full_validity(cap))
+            # pass 1: (group, value) sort -> per-run counts
+            perm, gid, boundary, act_s, _, vb = G.sorted_group_info_vals(
+                keys, [v], active, cap, self._key_ranges)
+            pass_ = jnp.asarray(row_active)[perm] & act_s
+            if vvf is not None:
+                pass_ = pass_ & vvf[perm]
+            run_id = jnp.cumsum(vb.astype(jnp.int32)) - 1
+            c = jnp.cumsum(pass_.astype(jnp.int32))
+            ce = c - pass_.astype(jnp.int32)
+            rs_ce = scatter_unique_set(
+                cap + 1, jnp.where(vb, run_id, jnp.int32(cap)), ce)[:cap]
+            is_end = jnp.concatenate([vb[1:], jnp.ones((1,), bool)])
+            re_c = scatter_unique_set(
+                cap + 1, jnp.where(is_end, run_id, jnp.int32(cap)),
+                c)[:cap]
+            run_cnt = (re_c - rs_ce)[run_id]
+            cnt_orig = jnp.zeros((cap,), jnp.int64).at[perm].set(
+                run_cnt.astype(jnp.int64))
+            # pass 2: (group, -count, value) -> per-group top-b runs
+            negc = EvalValue(-cnt_orig, None, T.BIGINT)
+            perm2, gid2, b2, act2, _, vb2 = G.sorted_group_info_vals(
+                keys, [negc, v], active, cap, self._key_ranges)
+            pass2 = jnp.asarray(row_active)[perm2] & act2
+            if vvf is not None:
+                pass2 = pass2 & vvf[perm2]
+            run_id2 = jnp.cumsum(vb2.astype(jnp.int32)) - 1
+            c2 = jnp.cumsum(pass2.astype(jnp.int32))
+            ce2 = c2 - pass2.astype(jnp.int32)
+            rs_ce2 = scatter_unique_set(
+                cap + 1, jnp.where(vb2, run_id2, jnp.int32(cap)),
+                ce2)[:cap]
+            first2 = pass2 & (ce2 == rs_ce2[run_id2])
+            cf = jnp.cumsum(first2.astype(jnp.int32))
+            cfe = cf - first2.astype(jnp.int32)
+            iota = jnp.arange(cap, dtype=jnp.int32)
+            grp_start = jax.lax.cummax(jnp.where(b2, iota, jnp.int32(0)))
+            take = first2 & ((cfe - cfe[grp_start]) < agg.buckets)
+            data2 = v.full_data(cap)[perm2]
+            cnt2 = cnt_orig[perm2]
+            children, lengths = _emit([(data2, None), (cnt2, None)],
+                                      take, gid2, b2, act2)
+            kt = agg.result_type.children[0]
+            kchild = DeviceColumn(children[0][0], None, kt, v.dictionary)
+            vchild = DeviceColumn(children[1][0], None, T.BIGINT, None)
+            return DeviceColumn(lengths, gmask, agg.result_type, None,
+                                (kchild, vchild))
 
         if kind in ("min_by", "max_by"):
             # sort by (group, y); first/last passing row's x per group

@@ -523,6 +523,21 @@ class HistogramAgg(CollectAgg):
         self.result_type = T.map_(input_type, T.BIGINT)
 
 
+class ApproxMostFrequentAgg(CollectAgg):
+    """approx_most_frequent(buckets, value, capacity) — EXACT top-b
+    values by count per group (trivially within the approximation bound;
+    ref prestosql ApproxMostFrequentAggregates.cpp). Collect pathway:
+    one (group, value) sort for run counts, one (group, -count, value)
+    re-sort for the per-group top-b selection."""
+    collect_kind = "approx_most_frequent"
+
+    def __init__(self, input_type: T.DataType):
+        self.name = "approx_most_frequent"
+        self.input_type = input_type
+        self.result_type = T.map_(input_type, T.BIGINT)
+        self.buckets = 3  # operator injects the constant argument
+
+
 class CollectMinMaxByAgg(CollectAgg):
     """min_by/max_by for types beyond the 32-bit pair-packing fast path
     (BIGINT/DOUBLE/TIMESTAMP/DECIMAL arguments): rides the sort-based
@@ -604,4 +619,6 @@ def resolve_aggregate(name: str, input_types) -> AggregateFunction:
         return HistogramAgg(input_types[0])
     if name == "approx_percentile":
         return ApproxPercentileAgg(input_types[0])
+    if name == "approx_most_frequent":
+        return ApproxMostFrequentAgg(input_types[1])
     raise KeyError(f"unknown aggregate function {name!r}")
