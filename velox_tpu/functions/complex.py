@@ -16,6 +16,7 @@ from velox_tpu import types as T
 from velox_tpu.expression.eval import EvalValue, merge_validity
 from velox_tpu.functions.registry import register
 from velox_tpu.functions.scalar import eq_value
+from velox_tpu.functions.signature import sig
 
 
 def _offsets(v):
@@ -28,9 +29,7 @@ def _cardinality_eval(ctx, out_dtype, args):
     return EvalValue(v.data.astype(jnp.int64), v.validity, T.BIGINT)
 
 
-register("cardinality",
-         lambda ts: T.BIGINT if len(ts) == 1 and ts[0].is_complex
-         else None, _cardinality_eval)
+register("cardinality", sig("complex -> bigint"), _cardinality_eval)
 
 
 def _element_at_eval(ctx, out_dtype, args):
@@ -319,16 +318,10 @@ def _no_eval(*a, **k):
     raise AssertionError("special form must intercept")
 
 
-_register("transform",
-          lambda ts: T.array(ts[1]) if len(ts) == 2
-          and ts[0].kind is T.TypeKind.ARRAY else None, _no_eval)
-_register("filter",
-          lambda ts: ts[0] if len(ts) == 2
-          and ts[0].kind is T.TypeKind.ARRAY else None, _no_eval)
+_register("transform", sig("array(T), U -> array(U)"), _no_eval)
+_register("filter", sig("array(T), any -> array(T)"), _no_eval)
 for _n in ("any_match", "all_match", "none_match"):
-    _register(_n,
-              lambda ts: T.BOOLEAN if len(ts) == 2
-              and ts[0].kind is T.TypeKind.ARRAY else None, _no_eval)
+    _register(_n, sig("array(T), any -> boolean"), _no_eval)
 
 
 # ---- order/dedup array functions ------------------------------------------
@@ -419,12 +412,8 @@ def _array_distinct(expr, ctx, cache):
                      children=(new_child,))
 
 
-_register("array_sort",
-          lambda ts: ts[0] if len(ts) == 1
-          and ts[0].kind is T.TypeKind.ARRAY else None, _array_sort_eval)
-_register("array_distinct",
-          lambda ts: ts[0] if len(ts) == 1
-          and ts[0].kind is T.TypeKind.ARRAY else None, _array_sort_eval)
+_register("array_sort", sig("array(T) -> array(T)"), _array_sort_eval)
+_register("array_distinct", sig("array(T) -> array(T)"), _array_sort_eval)
 
 
 def _array_extreme(ctx, arr, combine):
@@ -459,12 +448,8 @@ def _array_min_eval(ctx, out_dtype, args):
     return _array_extreme(ctx, args[0], "min")
 
 
-_register("array_max",
-          lambda ts: ts[0].children[0] if len(ts) == 1
-          and ts[0].kind is T.TypeKind.ARRAY else None, _array_max_eval)
-_register("array_min",
-          lambda ts: ts[0].children[0] if len(ts) == 1
-          and ts[0].kind is T.TypeKind.ARRAY else None, _array_min_eval)
+_register("array_max", sig("array(T) -> T"), _array_max_eval)
+_register("array_min", sig("array(T) -> T"), _array_min_eval)
 
 
 def _map_child_eval(which):
@@ -476,12 +461,8 @@ def _map_child_eval(which):
     return eval_fn
 
 
-_register("map_keys",
-          lambda ts: T.array(ts[0].children[0]) if len(ts) == 1
-          and ts[0].kind is T.TypeKind.MAP else None, _map_child_eval(0))
-_register("map_values",
-          lambda ts: T.array(ts[0].children[1]) if len(ts) == 1
-          and ts[0].kind is T.TypeKind.MAP else None, _map_child_eval(1))
+_register("map_keys", sig("map(K, V) -> array(K)"), _map_child_eval(0))
+_register("map_values", sig("map(K, V) -> array(V)"), _map_child_eval(1))
 
 
 # ---------------------------------------------------------------------------
@@ -706,18 +687,10 @@ def _reduce_hof(expr, ctx, cache):
                      res.dictionary)
 
 
-_register("map_filter",
-          lambda ts: ts[0] if len(ts) == 2
-          and ts[0].kind is T.TypeKind.MAP else None, _no_eval)
+_register("map_filter", sig("map(K, V), any -> map(K, V)"), _no_eval)
 _register("transform_values",
-          lambda ts: T.map_(ts[0].children[0], ts[1]) if len(ts) == 2
-          and ts[0].kind is T.TypeKind.MAP else None, _no_eval)
+          sig("map(K, V), U -> map(K, U)"), _no_eval)
 _register("transform_keys",
-          lambda ts: T.map_(ts[1], ts[0].children[1]) if len(ts) == 2
-          and ts[0].kind is T.TypeKind.MAP else None, _no_eval)
-_register("zip_with",
-          lambda ts: T.array(ts[2]) if len(ts) == 3
-          and ts[0].kind is T.TypeKind.ARRAY
-          and ts[1].kind is T.TypeKind.ARRAY else None, _no_eval)
-_register("reduce",
-          lambda ts: ts[3] if len(ts) == 4 else None, _no_eval)
+          sig("map(K, V), U -> map(U, V)"), _no_eval)
+_register("zip_with", sig("array(T), array(U), V -> array(V)"), _no_eval)
+_register("reduce", sig("array(T), A, B, C -> C"), _no_eval)

@@ -14,8 +14,9 @@ from velox_tpu import types as T
 from velox_tpu.expression.eval import EvalValue, merge_validity
 from velox_tpu.functions.registry import register
 from velox_tpu.functions.scalar import (
-    _all_numeric, _numeric_data, eq_value, promote_numeric,
+    _numeric_data, eq_value, promote_numeric,
 )
+from velox_tpu.functions.signature import sig
 
 
 def _nullif_eval(ctx, out_dtype, args):
@@ -41,9 +42,7 @@ def _binary_double(name, fn):
         da = _numeric_data(a, T.DOUBLE, ctx)
         db = _numeric_data(b, T.DOUBLE, ctx)
         return EvalValue(fn(da, db), merge_validity(a, b), T.DOUBLE)
-    register(name,
-             lambda ts: T.DOUBLE if len(ts) == 2 and _all_numeric(ts)
-             else None, eval_fn)
+    register(name, sig("numeric, numeric -> double"), eval_fn)
 
 
 def _unary_double(name, fn):
@@ -51,9 +50,7 @@ def _unary_double(name, fn):
         (a,) = args
         return EvalValue(fn(_numeric_data(a, T.DOUBLE, ctx)), a.validity,
                          T.DOUBLE)
-    register(name,
-             lambda ts: T.DOUBLE if len(ts) == 1 and _all_numeric(ts)
-             else None, eval_fn)
+    register(name, sig("numeric -> double"), eval_fn)
 
 
 _unary_double("asin", jnp.arcsin)
@@ -67,10 +64,10 @@ _unary_double("radians", jnp.radians)
 _binary_double("atan2", jnp.arctan2)
 _binary_double("log", lambda b, x: jnp.log(x) / jnp.log(b))
 
-register("pi", lambda ts: T.DOUBLE if not ts else None,
+register("pi", sig("-> double"),
          lambda ctx, od, args: EvalValue(jnp.float64(np.pi), None,
                                          T.DOUBLE))
-register("e", lambda ts: T.DOUBLE if not ts else None,
+register("e", sig("-> double"),
          lambda ctx, od, args: EvalValue(jnp.float64(np.e), None, T.DOUBLE))
 
 
@@ -80,9 +77,7 @@ def _bitwise(name, fn):
         da = a.full_data(ctx.capacity).astype(jnp.int64)
         db = b.full_data(ctx.capacity).astype(jnp.int64)
         return EvalValue(fn(da, db), merge_validity(a, b), T.BIGINT)
-    register(name,
-             lambda ts: T.BIGINT if len(ts) == 2
-             and all(t.is_integral for t in ts) else None, eval_fn)
+    register(name, sig("integral, integral -> bigint"), eval_fn)
 
 
 _bitwise("bitwise_and", jnp.bitwise_and)
@@ -98,9 +93,7 @@ def _bitwise_not_eval(ctx, out_dtype, args):
                      a.validity, T.BIGINT)
 
 
-register("bitwise_not",
-         lambda ts: T.BIGINT if len(ts) == 1 and ts[0].is_integral
-         else None, _bitwise_not_eval)
+register("bitwise_not", sig("integral -> bigint"), _bitwise_not_eval)
 
 
 def _truncate_eval(ctx, out_dtype, args):
@@ -135,5 +128,5 @@ def _width_bucket_eval(ctx, out_dtype, args):
 
 
 register("width_bucket",
-         lambda ts: T.BIGINT if len(ts) == 4 and _all_numeric(ts)
-         else None, _width_bucket_eval)
+         sig("numeric, numeric, numeric, numeric -> bigint"),
+         _width_bucket_eval)

@@ -503,10 +503,9 @@ def _unix_date_eval(ctx, out_dtype, args):
                      v.validity, T.INTEGER)
 
 
-register("unix_date",
-         lambda ts: T.INTEGER if len(ts) == 1
-         and ts[0].kind is T.TypeKind.DATE else None,
-         _unix_date_eval)
+from velox_tpu.functions.signature import sig  # noqa: E402
+
+register("unix_date", sig("date -> integer"), _unix_date_eval)
 
 
 def _weekday_eval(ctx, out_dtype, args):
@@ -537,9 +536,7 @@ def _last_day_eval(ctx, out_dtype, args):
                      T.DATE)
 
 
-register("last_day",
-         lambda ts: T.DATE if len(ts) == 1
-         and ts[0].kind is T.TypeKind.DATE else None, _last_day_eval)
+register("last_day", sig("date -> date"), _last_day_eval)
 
 
 def _make_date_eval(ctx, out_dtype, args):
@@ -554,9 +551,8 @@ def _make_date_eval(ctx, out_dtype, args):
                      merge_validity(y, m, d), T.DATE)
 
 
-register("make_date",
-         lambda ts: T.DATE if len(ts) == 3
-         and all(t.is_integral for t in ts) else None, _make_date_eval)
+register("make_date", sig("integral, integral, integral -> date"),
+         _make_date_eval)
 
 
 def _ascii_eval(ctx, out_dtype, args):
@@ -565,9 +561,7 @@ def _ascii_eval(ctx, out_dtype, args):
                         lambda s: ord(s[0]) if s else 0, T.INTEGER)
 
 
-register("ascii",
-         lambda ts: T.INTEGER if len(ts) == 1 and ts[0].is_string
-         else None, _ascii_eval)
+register("ascii", sig("string -> integer"), _ascii_eval)
 
 
 def _crc32_eval(ctx, out_dtype, args):
@@ -580,9 +574,7 @@ def _crc32_eval(ctx, out_dtype, args):
         T.BIGINT)
 
 
-register("crc32",
-         lambda ts: T.BIGINT if len(ts) == 1 and ts[0].is_string
-         else None, _crc32_eval)
+register("crc32", sig("string -> bigint"), _crc32_eval)
 
 
 def _md5_eval(ctx, out_dtype, args):
@@ -595,9 +587,7 @@ def _md5_eval(ctx, out_dtype, args):
             s.encode() if isinstance(s, str) else s).hexdigest())
 
 
-register("md5",
-         lambda ts: T.VARCHAR if len(ts) == 1 and ts[0].is_string
-         else None, _md5_eval)
+register("md5", sig("string -> varchar"), _md5_eval)
 
 
 def _nary_minmax(name, pick):
