@@ -136,3 +136,79 @@ def test_long_decimal_join_payload():
     out = run(b.plan()).to_pandas().sort_values("pk")
     got = [int(D.Decimal(str(x)).scaleb(4)) for x in out.d]
     assert sorted(got) == sorted([10**30, 5, 5])
+
+
+def test_order_by_long_decimal():
+    """128-bit order-preserving sort words (exec/sort.py value_words)."""
+    vals = [10**33, -(10**33), 0, 99999, None, 2**100, -(2**90),
+            10**30 + 7, 10**30 - 7]
+    b = PlanBuilder().values([_tbl(_mkdec(vals))])
+    b.order_by(["d"])
+    out = run(b.plan()).column("d").to_pylist()
+    nn = sorted(v for v in vals if v is not None)
+    got = [None if x is None else int(D.Decimal(x).scaleb(4))
+           for x in out]
+    assert got[:len(nn)] == nn  # nulls last by default
+    assert got[len(nn):] == [None]
+
+
+def test_top_n_long_decimal_desc():
+    rng = np.random.RandomState(9)
+    vals = [int(x) * 10**22 + int(y)
+            for x, y in zip(rng.randint(-10**6, 10**6, 200),
+                            rng.randint(0, 10**6, 200))]
+    b = PlanBuilder().values([_tbl(_mkdec(vals))])
+    b.top_n(["d desc"], 5)
+    out = run(b.plan()).column("d").to_pylist()
+    got = [int(D.Decimal(x).scaleb(4)) for x in out]
+    assert got == sorted(vals, reverse=True)[:5]
+
+
+def test_min_max_avg_long_decimal():
+    vals = [10**30 + 7, -(10**25) - 1, 0, 99999, None, 2**100]
+    nn = [v for v in vals if v is not None]
+    b = PlanBuilder().values([_tbl(_mkdec(vals))])
+    b.single_aggregation([], ["min(d) as lo", "max(d) as hi"])
+    out = run(b.plan())
+    assert int(D.Decimal(out.column("lo")[0].as_py()).scaleb(4)) == min(nn)
+    assert int(D.Decimal(out.column("hi")[0].as_py()).scaleb(4)) == max(nn)
+    b2 = PlanBuilder().values([_tbl(_mkdec(vals))])
+    b2.single_aggregation([], ["avg(d) as a"])
+    out2 = run(b2.plan())
+    s = sum(nn)
+    exp = (abs(s) + len(nn) // 2) // len(nn) * (1 if s >= 0 else -1)
+    assert int(D.Decimal(out2.column("a")[0].as_py()).scaleb(4)) == exp
+
+
+def test_grouped_min_max_long_decimal():
+    rng = np.random.RandomState(11)
+    g = rng.randint(0, 4, 200)
+    v = [int(x) * 10**22 + int(y)
+         for x, y in zip(rng.randint(-10**6, 10**6, 200),
+                         rng.randint(0, 10**6, 200))]
+    t = pa.table({"g": pa.array(g, type=pa.int64()),
+                  "d": pa.array(_mkdec(v), type=P38)})
+    b = PlanBuilder().values([t])
+    b.single_aggregation(["g"], ["min(d) as lo", "max(d) as hi"])
+    out = run(b.plan()).to_pandas().sort_values("g")
+    df = pd.DataFrame({"g": g, "v": v})
+    for gid, grp in df.groupby("g"):
+        row = out[out.g == gid]
+        assert int(D.Decimal(str(row.lo.iloc[0])).scaleb(4)) == grp.v.min()
+        assert int(D.Decimal(str(row.hi.iloc[0])).scaleb(4)) == grp.v.max()
+
+
+def test_grouped_avg_long_decimal():
+    rng = np.random.RandomState(12)
+    g = rng.randint(0, 3, 90)
+    v = [int(x) * 10**21 for x in rng.randint(-10**9, 10**9, 90)]
+    t = pa.table({"g": pa.array(g, type=pa.int64()),
+                  "d": pa.array(_mkdec(v), type=P38)})
+    b = PlanBuilder().values([t])
+    b.single_aggregation(["g"], ["avg(d) as a"])
+    out = run(b.plan()).to_pandas().sort_values("g")
+    for gid, grp in pd.DataFrame({"g": g, "v": v}).groupby("g"):
+        s = int(grp.v.sum()); n = len(grp)
+        exp = (abs(s) + n // 2) // n * (1 if s >= 0 else -1)
+        got = int(D.Decimal(str(out[out.g == gid].a.iloc[0])).scaleb(4))
+        assert got == exp

@@ -491,8 +491,12 @@ class AggregationOperator(Operator):
                                 (kchild, vchild))
 
         if kind in ("min_by", "max_by"):
-            # sort by (group, y); first/last passing row's x per group
-            x, y = args
+            # sort by (group, y); first/last passing row's x per group.
+            # min/max over long decimals arrive with ONE argument (x==y).
+            if len(args) == 1:
+                x = y = args[0]
+            else:
+                x, y = args
             perm, gid, boundary, act_s, _, _vb = G.sorted_group_info_vals(
                 keys, [y], active, cap, self._key_ranges)
             pass_ = jnp.asarray(row_active)[perm] & act_s
@@ -520,8 +524,16 @@ class AggregationOperator(Operator):
                 gxv = jnp.ones((cap + 1,), bool).at[tgt].set(
                     xv, mode="drop")[:cap]
                 gvalid = gvalid & gxv
+            gchildren = ()
+            if x.dtype.is_long_decimal and x.children:
+                # scatter the row-aligned hi limb alongside the lo limb
+                hd = x.children[0].data
+                if hd.ndim == 0 or hd.shape[0] != cap:
+                    hd = jnp.broadcast_to(hd, (cap,))
+                ghd = scatter_unique_set(cap + 1, tgt, hd[perm])[:cap]
+                gchildren = (DeviceColumn(ghd, None, T.BIGINT, None),)
             return DeviceColumn(gdata, gvalid, agg.result_type,
-                                x.dictionary)
+                                x.dictionary, gchildren)
 
         # value-sorted kinds: re-sort with this aggregate's value appended
         # (group numbering matches the skeleton: same key words + active)

@@ -54,6 +54,20 @@ def value_words(v: EvalValue, capacity: int) -> List:
     """Order-preserving unsigned words, most significant first."""
     data = v.full_data(capacity)
     dt = v.dtype
+    if dt.is_long_decimal:
+        # int128 limbs: hi is the signed limb (biased like int64), lo is
+        # the unsigned limb (ops/int128.py convention) -> 4x32-bit words
+        hi = (v.children[0].data if v.children
+              else jnp.zeros_like(data))
+        if hi.ndim == 0:
+            hi = jnp.broadcast_to(hi, data.shape)
+        hi = jnp.broadcast_to(hi, (capacity,)) if hi.shape[0] != capacity \
+            else hi
+        lo_u = jax.lax.bitcast_convert_type(data.astype(jnp.int64),
+                                            jnp.uint64)
+        return _signed_words(hi) + [
+            (lo_u >> np.uint64(32)).astype(jnp.uint32),
+            (lo_u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)]
     if dt.kind is T.TypeKind.DOUBLE:
         hi = data.astype(jnp.float32)
         lo = (data - hi.astype(jnp.float64)).astype(jnp.float32)
@@ -79,6 +93,8 @@ def _narrow_bits(v: EvalValue, rng) -> int:
     — the kNormalizedKey trick, prefixsort/PrefixSortEncoder.h, driven by
     connector stats instead of per-batch analysis)."""
     dt = v.dtype
+    if dt.is_long_decimal:
+        return -1  # limbed storage: stats ranges don't apply to lo alone
     if dt.kind is T.TypeKind.BOOLEAN:
         return 1
     if dt.is_string and v.dictionary is not None:
@@ -400,6 +416,8 @@ def num_value_words(dt: T.DataType) -> int:
     """Static word count of value_words() over a column stored at the
     type's CANONICAL dtype (np_dtype); pack_key_u64 casts to it first so
     both join sides pack identically even if one is storage-narrowed."""
+    if dt.is_long_decimal:
+        return 4
     if dt.kind is T.TypeKind.DOUBLE:
         return 3
     if dt.kind in (T.TypeKind.REAL, T.TypeKind.BOOLEAN):

@@ -177,10 +177,18 @@ class CountAgg(AggregateFunction):
 class AvgAgg(AggregateFunction):
     def __init__(self, input_type: T.DataType):
         self.name = "avg"
-        if input_type.is_long_decimal:
-            raise NotImplementedError(
-                "avg over DECIMAL(>18): cast to DOUBLE or sum/count "
-                "separately (long-decimal division unimplemented)")
+        self._long = input_type.is_long_decimal
+        if self._long:
+            # long decimal: planar limb sums (as SumAgg) + exact int128
+            # half-up division by count at extraction (ops/int128.py
+            # div128_round_half_up; parity: DecimalAvgAggregate +
+            # type/DecimalUtil.h divideWithRoundUp)
+            self.input_type = input_type
+            self.result_type = input_type
+            self.states = tuple(
+                StateSpec(f"p{i}", T.BIGINT, "sum") for i in range(4)
+            ) + (StateSpec("count", T.BIGINT, "sum"),)
+            return
         self.input_type = input_type
         if input_type.kind is T.TypeKind.DECIMAL:
             sum_t = T.decimal(18, input_type.scale)
@@ -195,6 +203,16 @@ class AvgAgg(AggregateFunction):
         (v,) = args
         keep = _valid_and_active(v, active, ctx.capacity)
         data = v.full_data(ctx.capacity)
+        if self._long:
+            from velox_tpu.ops.int128 import split_parts
+            lo = data
+            hi = (v.children[0].data if v.children
+                  else jnp.zeros_like(lo))
+            if hi.ndim == 0:
+                hi = jnp.broadcast_to(hi, lo.shape)
+            parts = split_parts(lo, hi)
+            return [_masked(p, keep, 0) for p in parts] \
+                + [keep.astype(np.int64)]
         st = self.states[0].dtype
         if v.dtype.kind is T.TypeKind.DECIMAL:
             from velox_tpu.functions.scalar import _rescale_decimal
@@ -203,6 +221,17 @@ class AvgAgg(AggregateFunction):
         return [_masked(data, keep, 0), keep.astype(np.int64)]
 
     def extract(self, state_arrays, group_valid):
+        if self._long:
+            from velox_tpu.ops.int128 import (
+                combine_parts, div128_round_half_up,
+            )
+            from velox_tpu.vector.device import DeviceColumn
+            p0, p1, p2, p3, c = state_arrays
+            lo, hi = combine_parts(p0, p1, p2, p3)
+            qlo, qhi = div128_round_half_up(lo, hi, jnp.maximum(c, 1))
+            hi_col = DeviceColumn(qhi, None, T.BIGINT, None)
+            return EvalValue(qlo, group_valid & (c > 0),
+                             self.result_type, children=(hi_col,))
         s, c = state_arrays
         valid = group_valid & (c > 0)
         c_safe = jnp.maximum(c, 1)
@@ -220,7 +249,8 @@ class MinMaxAgg(AggregateFunction):
         self.name = name
         if input_type.is_long_decimal:
             raise NotImplementedError(
-                f"{name} over DECIMAL(>18) is not supported yet")
+                f"{name} over DECIMAL(>18) rides the collect pathway "
+                "(resolve_aggregate routes it to CollectMinMaxByAgg)")
         self.input_type = input_type
         self.result_type = input_type
         self.states = (StateSpec(name, input_type, name),
@@ -548,7 +578,10 @@ class CollectMinMaxByAgg(CollectAgg):
 
     def __init__(self, name: str, x_type: T.DataType, y_type: T.DataType):
         self.name = name
-        self.collect_kind = name  # "min_by" | "max_by"
+        # "min"/"max" over long decimals route here with x == y
+        # (single-argument calls; the operator reuses the one input for
+        # both roles)
+        self.collect_kind = name if name.endswith("_by") else name + "_by"
         self.input_type = x_type
         self.y_type = y_type
         self.result_type = x_type
@@ -584,6 +617,9 @@ def resolve_aggregate(name: str, input_types) -> AggregateFunction:
     if name == "avg":
         return AvgAgg(input_types[0])
     if name in ("min", "max"):
+        if input_types[0].is_long_decimal:
+            return CollectMinMaxByAgg(name, input_types[0],
+                                      input_types[0])
         return MinMaxAgg(name, input_types[0])
     if name == "arbitrary" or name == "any_value":
         agg = MinMaxAgg("min", input_types[0])

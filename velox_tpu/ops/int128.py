@@ -180,3 +180,48 @@ def from_python_int(v: int):
     if lo >= 1 << 63:
         lo -= 1 << 64
     return np.int64(lo), np.int64(v >> 64)  # python >> is arithmetic
+
+
+def divmod128_u64(lo, hi, d):
+    """Unsigned (hi:lo) / d -> (qlo, qhi, rem), all int64-typed limbs.
+
+    Restoring long division, MSB-first over the 128 dividend bits via
+    ``lax.fori_loop`` (128 elementwise steps — no data-dependent Python
+    control flow). Requires 0 < d < 2^63 (SQL counts), so the running
+    remainder always fits one uint64. Parity: velox/type/DecimalUtil.h
+    divideWithRoundUp over int128.
+    """
+    ulo, uhi = _u(lo), _u(hi)
+    ud = _u(d.astype(jnp.int64))
+
+    def body(i, carry):
+        rem, qlo, qhi = carry
+        # bit index from the top: i=0 -> bit 127
+        k = np.uint64(127) - i.astype(jnp.uint64)
+        bit = jnp.where(k >= np.uint64(64),
+                        (uhi >> (k - np.uint64(64))) & np.uint64(1),
+                        (ulo >> (k & np.uint64(63))) & np.uint64(1))
+        rem = (rem << np.uint64(1)) | bit
+        ge = rem >= ud
+        rem = jnp.where(ge, rem - ud, rem)
+        qbit = ge.astype(jnp.uint64)
+        qhi = (qhi << np.uint64(1)) | (qlo >> np.uint64(63))
+        qlo = (qlo << np.uint64(1)) | qbit
+        return rem, qlo, qhi
+
+    zero = jnp.zeros_like(ulo)
+    rem, qlo, qhi = jax.lax.fori_loop(
+        jnp.uint64(0), jnp.uint64(128), body, (zero, zero, zero))
+    return _s(qlo), _s(qhi), _s(rem)
+
+
+def div128_round_half_up(lo, hi, d):
+    """Signed (hi:lo) / d with half-up rounding (d > 0): the decimal-avg
+    division. Returns (qlo, qhi)."""
+    alo, ahi, _neg = abs128(lo, hi)
+    half = (d.astype(jnp.int64) >> np.int64(1))
+    alo, ahi = add128(alo, ahi, half, jnp.zeros_like(half))
+    qlo, qhi, _ = divmod128_u64(alo, ahi, d)
+    neg = hi < 0
+    nlo, nhi = neg128(qlo, qhi)
+    return jnp.where(neg, nlo, qlo), jnp.where(neg, nhi, qhi)
