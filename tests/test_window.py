@@ -214,3 +214,71 @@ def test_top_n_row_number():
         exp_v = sorted(e[e.p == p].v, reverse=True)
         assert sorted(grp.v, reverse=True) == exp_v
         assert sorted(grp.rn) == list(range(1, len(grp) + 1))
+
+
+def test_rows_frame_column_valued_bounds():
+    """Non-constant (per-row column) ROWS frame offsets."""
+    df = make_df(200, 4, seed=21)
+    rng = np.random.RandomState(22)
+    df["kb"] = rng.randint(0, 4, len(df)).astype("int64")
+    df["kf"] = rng.randint(0, 3, len(df)).astype("int64")
+    frame = WindowFrame(FrameType.ROWS, BoundType.PRECEDING, "kb",
+                        BoundType.FOLLOWING, "kf")
+    got = run_window(df, ["sum(v) as s", "count(v) as c"], frame=frame)
+    g = got.sort_values(["p", "o", "v"]).reset_index(drop=True)
+    e = df.sort_values(["p", "o", "v"], kind="stable") \
+        .reset_index(drop=True)
+    exp_s, exp_c = [], []
+    for _, grp in e.groupby("p", sort=False):
+        vals = grp.v.to_numpy()
+        kb = grp.kb.to_numpy()
+        kf = grp.kf.to_numpy()
+        for i in range(len(vals)):
+            lo = max(0, i - int(kb[i]))
+            hi = min(len(vals) - 1, i + int(kf[i]))
+            exp_s.append(vals[lo:hi + 1].sum())
+            exp_c.append(hi - lo + 1)
+    e2 = e.copy()
+    e2["s"] = exp_s
+    e2["c"] = exp_c
+    e2 = e2.sort_values(["p", "o", "v"]).reset_index(drop=True)
+    np.testing.assert_array_equal(g.s, e2.s)
+    np.testing.assert_array_equal(g.c, e2.c)
+
+
+def test_range_frame_column_valued_bounds():
+    """Non-constant RANGE k offsets: per-row [o-kb, o+kf] value windows."""
+    df = make_df(200, 4, seed=31)
+    rng = np.random.RandomState(32)
+    df["kb"] = rng.randint(0, 6, len(df)).astype("int64")
+    df["kf"] = rng.randint(0, 6, len(df)).astype("int64")
+    frame = WindowFrame(FrameType.RANGE, BoundType.PRECEDING, "kb",
+                        BoundType.FOLLOWING, "kf")
+    got = run_window(df, ["sum(v) as s"], frame=frame, sort_keys=("o",))
+    g = got.sort_values(["p", "o", "v"]).reset_index(drop=True)
+    e = df.sort_values(["p", "o", "v"], kind="stable") \
+        .reset_index(drop=True)
+    exp = []
+    for _, grp in e.groupby("p", sort=False):
+        o = grp.o.to_numpy()
+        v = grp.v.to_numpy()
+        kb = grp.kb.to_numpy()
+        kf = grp.kf.to_numpy()
+        for i in range(len(o)):
+            m = (o >= o[i] - kb[i]) & (o <= o[i] + kf[i])
+            exp.append(v[m].sum())
+    e2 = e.copy()
+    e2["s"] = exp
+    e2 = e2.sort_values(["p", "o", "v"]).reset_index(drop=True)
+    np.testing.assert_array_equal(g.s, e2.s)
+
+
+def test_frame_offset_null_or_negative_raises():
+    from velox_tpu.common.errors import VeloxUserError
+    df = make_df(50, 2, seed=41)
+    df["kb"] = np.int64(1)
+    df.loc[3, "kb"] = -2
+    frame = WindowFrame(FrameType.ROWS, BoundType.PRECEDING, "kb",
+                        BoundType.CURRENT_ROW, 0)
+    with pytest.raises(VeloxUserError):
+        run_window(df, ["sum(v) as s"], frame=frame)

@@ -58,11 +58,14 @@ class FrameType(enum.Enum):
 
 @dataclass(frozen=True)
 class WindowFrame:
+    """k-bound values are int constants OR str column names (per-row
+    offsets — parity: velox WindowNode frame bounds as field references,
+    core/PlanNode.h:2147; null/negative offsets raise VeloxUserError)."""
     frame_type: FrameType = FrameType.RANGE
     start_type: BoundType = BoundType.UNBOUNDED_PRECEDING
-    start_value: int = 0
+    start_value: object = 0
     end_type: BoundType = BoundType.CURRENT_ROW
-    end_value: int = 0
+    end_value: object = 0
 
 
 DEFAULT_FRAME = WindowFrame()
@@ -139,8 +142,9 @@ class WindowOperator(Operator):
         overflow) accumulated during tracing."""
         self._trace_flags = []
         out = self._compute(batch)
-        flags = sum(self._trace_flags) if self._trace_flags \
-            else jnp.int32(0)
+        flags = jnp.int32(0)
+        for f in self._trace_flags:  # bit 1: overflow, bit 2: bad offset
+            flags = flags | f
         return out, flags
 
     def add_input(self, batch):
@@ -156,20 +160,25 @@ class WindowOperator(Operator):
     def get_output(self):
         out, self._out = self._out, None
         if out is not None and self._flags is not None:
-            # only RANGE-k windows ever set flags; the fetch is one
+            # only k-bound windows ever set flags; the fetch is one
             # scalar right before output extraction syncs anyway
             k_bounds = (BoundType.PRECEDING, BoundType.FOLLOWING)
-            has_range_k = any(
+            has_k = any(
                 (fr := getattr(c, "frame", None)) is not None
-                and fr.frame_type is FrameType.RANGE
                 and (fr.start_type in k_bounds or fr.end_type in k_bounds)
                 for c in self._node.functions)
-            if has_range_k and int(jax.device_get(self._flags)):
-                from velox_tpu.common.errors import VeloxRuntimeError
-                raise VeloxRuntimeError(
-                    "RANGE k-PRECEDING/FOLLOWING: partition count x "
-                    "ORDER BY key span overflows the int64 composite; "
-                    "narrow the key range or reduce partitions")
+            if has_k:
+                f = int(jax.device_get(self._flags))
+                if f & 2:
+                    from velox_tpu.common.errors import VeloxUserError
+                    raise VeloxUserError(
+                        "window frame offset is null or negative")
+                if f & 1:
+                    from velox_tpu.common.errors import VeloxRuntimeError
+                    raise VeloxRuntimeError(
+                        "RANGE k-PRECEDING/FOLLOWING: partition count x "
+                        "ORDER BY key span overflows the int64 composite; "
+                        "narrow the key range or reduce partitions")
             self._flags = None
         return out
 
@@ -377,26 +386,48 @@ class WindowOperator(Operator):
         pid_max = jnp.max(jnp.where(s.mask, pid, 0))
         safe = pid_max <= (jnp.int64(1) << 62) // (span + 2 * (1 << 32))
         self._trace_flags.append(
-            jnp.where(safe, jnp.int32(0), jnp.int32(1)))
+            jnp.where(safe, jnp.int32(0), jnp.int32(1)))  # flag bit 1
         comp = pid * (span + 2 * (1 << 32)) + (key - kmin) + (1 << 32)
         # inactive (padding) rows sort last in the batch; force their
         # composites to +inf so the array stays monotone for searchsorted
         comp = jnp.where(s.mask, comp, jnp.iinfo(jnp.int64).max)
         return comp, 2 * (1 << 32) + span
 
+    def _frame_k(self, value, s, cap):
+        """Frame offset: python int (constant) or per-row int64 array
+        (str column name, read from the SORTED batch). Null/negative
+        per-row offsets set trace-flag bit 2 (Velox raises
+        VeloxUserError for invalid frame offsets)."""
+        if not isinstance(value, str):
+            return int(value)
+        v = value_from_column(s.columns[value])
+        k = v.full_data(cap).astype(jnp.int64)
+        bad = k < 0
+        if v.validity is not None:
+            vv = v.full_validity(cap)
+            bad = bad | ~vv
+            k = jnp.where(vv, k, 0)
+        bad = bad & s.mask
+        self._trace_flags.append(
+            jnp.where(jnp.any(bad), jnp.int32(2), jnp.int32(0)))
+        return jnp.maximum(k, 0)
+
     def _frame_bounds(self, frame: WindowFrame, s, cap, iota, pstart, pend,
                       peer_start, peer_end, pid=None):
         """Per-row inclusive frame [lo, hi] as sorted-batch indices."""
         if frame.frame_type is FrameType.ROWS:
-            m = {
-                BoundType.UNBOUNDED_PRECEDING: lambda v: pstart,
-                BoundType.PRECEDING: lambda v: iota - v,
-                BoundType.CURRENT_ROW: lambda v: iota,
-                BoundType.FOLLOWING: lambda v: iota + v,
-                BoundType.UNBOUNDED_FOLLOWING: lambda v: pend,
-            }
-            lo = m[frame.start_type](frame.start_value)
-            hi = m[frame.end_type](frame.end_value)
+            def rbound(btype, value):
+                if btype is BoundType.UNBOUNDED_PRECEDING:
+                    return pstart
+                if btype is BoundType.UNBOUNDED_FOLLOWING:
+                    return pend
+                if btype is BoundType.CURRENT_ROW:
+                    return iota
+                k = self._frame_k(value, s, cap)
+                return iota - k if btype is BoundType.PRECEDING \
+                    else iota + k
+            lo = rbound(frame.start_type, frame.start_value)
+            hi = rbound(frame.end_type, frame.end_value)
         else:  # RANGE: peers collapse; k-range bounds need the order key
             def bound(btype, value, is_start):
                 if btype is BoundType.UNBOUNDED_PRECEDING:
@@ -408,10 +439,15 @@ class WindowOperator(Operator):
                 # k PRECEDING / FOLLOWING on the order-key VALUE: one
                 # searchsorted over the (partition, key) composite
                 comp, pspan = self._range_k_comp(s, cap, pid)
-                k = int(value)
+                k = self._frame_k(value, s, cap)
                 # DESC needs no special-casing: the composite already
-                # negates the key, so -k always points at frame starts
+                # negates the key, so -k always points at frame starts.
+                # Clamp |delta| to the partition block span: any larger
+                # offset already lands outside the partition (lo/hi are
+                # clamped to pstart/pend) and unclamped huge offsets
+                # would overflow the int64 composite.
                 delta = -k if btype is BoundType.PRECEDING else k
+                delta = jnp.clip(delta, -pspan, pspan)
                 if is_start:
                     return jnp.searchsorted(
                         comp, comp + delta, side="left").astype(iota.dtype)
