@@ -287,3 +287,62 @@ def test_distributed_global_window(conn):
     s = serial.sort_values("rn").reset_index(drop=True)
     assert len(d) == len(s)
     np.testing.assert_array_equal(d.l_orderkey, s.l_orderkey)
+
+
+def test_distributed_unnest():
+    """Row-local unnest vmapped over shards."""
+    rng = np.random.RandomState(21)
+    tables = []
+    for i in range(6):
+        arrs = [list(rng.randint(0, 100, rng.randint(0, 5)))
+                for _ in range(50)]
+        tables.append(pa.table({
+            "id": pa.array(np.arange(i * 50, (i + 1) * 50), pa.int64()),
+            "a": pa.array(arrs, type=pa.list_(pa.int64()))}))
+    plan = (PlanBuilder().values(tables)
+            .unnest("a", element_name="e").plan())
+    dist = DistributedTask(plan, make_mesh(8)).run().to_pandas()
+    serial = Task(plan).run().to_pandas()
+    d = dist.sort_values(["id", "e"]).reset_index(drop=True)
+    s = serial.sort_values(["id", "e"]).reset_index(drop=True)
+    assert len(d) == len(s)
+    np.testing.assert_array_equal(d.id, s.id)
+    np.testing.assert_array_equal(d.e, s.e)
+
+
+def test_distributed_mark_distinct():
+    """Global distinct marking across shards AND waves (reshard by key)."""
+    rng = np.random.RandomState(23)
+    tables = [pa.table({"k": pa.array(
+        rng.randint(0, 40, 120).astype("int64"))}) for _ in range(10)]
+    plan = (PlanBuilder().values(tables)
+            .mark_distinct("m", ["k"]).plan())
+    dist = DistributedTask(plan, make_mesh(8)).run().to_pandas()
+    allk = pd.concat([t.to_pandas() for t in tables]).k
+    # exactly one marked row per distinct key, and every key represented
+    marked = dist[dist.m]
+    assert sorted(marked.k.tolist()) == sorted(allk.unique().tolist())
+    assert len(dist) == len(allk)
+    np.testing.assert_array_equal(
+        np.sort(dist.k.to_numpy()), np.sort(allk.to_numpy()))
+
+
+def test_distributed_window_range_k_frame():
+    """RANGE k-PRECEDING/FOLLOWING windows under mesh execution."""
+    from velox_tpu.exec.window import BoundType, FrameType, WindowFrame
+    rng = np.random.RandomState(29)
+    tables = [pa.table(pd.DataFrame({
+        "p": rng.randint(0, 5, 80).astype("int64"),
+        "o": rng.randint(0, 40, 80).astype("int64"),
+        "v": rng.randint(-50, 50, 80).astype("int64")}))
+        for _ in range(6)]
+    frame = WindowFrame(FrameType.RANGE, BoundType.PRECEDING, 3,
+                        BoundType.FOLLOWING, 2)
+    plan = (PlanBuilder().values(tables)
+            .window(["p"], ["o"], ["sum(v) as s"], frame=frame).plan())
+    dist = DistributedTask(plan, make_mesh(8)).run().to_pandas()
+    serial = Task(plan).run().to_pandas()
+    d = dist.sort_values(["p", "o", "v", "s"]).reset_index(drop=True)
+    s = serial.sort_values(["p", "o", "v", "s"]).reset_index(drop=True)
+    assert len(d) == len(s)
+    np.testing.assert_array_equal(d.s, s.s)

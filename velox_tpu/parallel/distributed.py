@@ -42,9 +42,44 @@ from velox_tpu.parallel.mesh import DATA_AXIS, make_mesh
 from velox_tpu.vector.device import DeviceBatch, DeviceColumn
 
 
+def _pad_col_rows(c: DeviceColumn, cap: int) -> DeviceColumn:
+    """Zero-pad a column's row axis (and row-aligned children) to cap."""
+    from velox_tpu.exec.batch_utils import map_column_rows
+
+    def pad(a):
+        out = jnp.zeros((cap,) + a.shape[1:], a.dtype)
+        return out.at[:a.shape[0]].set(a)
+
+    return map_column_rows(c, pad)
+
+
+def _stack_col(cs: List[DeviceColumn], stack) -> DeviceColumn:
+    """Stack per-device columns, recursing into children. Element-space
+    children (ARRAY/MAP) are padded to the wave's max element capacity
+    so every shard shares one static shape."""
+    children = ()
+    if cs[0].children:
+        kids = []
+        for i in range(len(cs[0].children)):
+            chs = [c.children[i] for c in cs]
+            m = max(ch.data.shape[0] for ch in chs)
+            chs = [ch if ch.data.shape[0] == m else _pad_col_rows(ch, m)
+                   for ch in chs]
+            kids.append(_stack_col(chs, stack))
+        children = tuple(kids)
+    data = stack([c.data for c in cs])
+    validity = None
+    if any(c.validity is not None for c in cs):
+        validity = stack([
+            c.validity if c.validity is not None
+            else jnp.ones((c.data.shape[0],), bool)
+            for c in cs])
+    return DeviceColumn(data, validity, cs[0].dtype, cs[0].dictionary,
+                        children)
+
+
 def _stack_batches(batches: List[DeviceBatch], mesh: Mesh) -> DeviceBatch:
     """Stack per-device batches -> leading-axis-sharded stacked batch."""
-    n = len(batches)
     sharding = NamedSharding(mesh, P(DATA_AXIS))
 
     def stack(arrs):
@@ -53,41 +88,49 @@ def _stack_batches(batches: List[DeviceBatch], mesh: Mesh) -> DeviceBatch:
     names = batches[0].names
     cols: Dict[str, DeviceColumn] = {}
     for name in names:
-        cs = [b.columns[name] for b in batches]
-        data = stack([c.data for c in cs])
-        validity = None
-        if any(c.validity is not None for c in cs):
-            validity = stack([
-                c.validity if c.validity is not None
-                else jnp.ones((b.capacity,), bool)
-                for c, b in zip(cs, batches)])
-        cols[name] = DeviceColumn(data, validity, cs[0].dtype,
-                                  cs[0].dictionary)
+        cols[name] = _stack_col([b.columns[name] for b in batches], stack)
     mask = stack([b.mask for b in batches])
     return DeviceBatch(cols, mask)
+
+
+def _zero_col(dt: T.DataType, capacity: int,
+              dictionary=None) -> DeviceColumn:
+    if dt.kind in (T.TypeKind.ARRAY, T.TypeKind.MAP):
+        kids = tuple(_zero_col(c, 1) for c in dt.children)
+        return DeviceColumn(jnp.zeros((capacity,), jnp.int32), None, dt,
+                            None, kids)
+    if dt.kind is T.TypeKind.ROW:
+        kids = tuple(_zero_col(c, capacity) for c in dt.children)
+        return DeviceColumn(jnp.zeros((capacity,), jnp.int32), None, dt,
+                            None, kids)
+    children = ()
+    if dt.is_long_decimal:
+        children = (DeviceColumn(jnp.zeros((capacity,), jnp.int64), None,
+                                 T.BIGINT, None),)
+    return DeviceColumn(jnp.zeros((capacity,), dt.np_dtype()), None, dt,
+                        dictionary, children)
 
 
 def _empty_like_schema(row_type: T.DataType, capacity: int,
                        dictionaries) -> DeviceBatch:
     cols = {}
     for name, dt in zip(row_type.names, row_type.children):
-        cols[name] = DeviceColumn(
-            jnp.zeros((capacity,), dt.np_dtype()), None, dt,
-            dictionaries.get(name))
+        cols[name] = _zero_col(dt, capacity, dictionaries.get(name))
     return DeviceBatch(cols, jnp.zeros((capacity,), bool))
 
 
 def _unstack(batch: DeviceBatch) -> DeviceBatch:
-    """(n, cap) stacked batch -> flat (n*cap,) batch (host-side gather)."""
+    """(n, cap) stacked batch -> flat (n*cap,) batch (host-side gather).
+    Row-aligned children flatten along; columns with ELEMENT-SPACE
+    children (ARRAY/MAP) cannot be row-flattened — DistributedTask.run
+    extracts those per shard instead."""
+    from velox_tpu.exec.batch_utils import map_column_rows
+
     def flat(a):
         return a.reshape((-1,) + a.shape[2:])
 
-    cols = {
-        n: DeviceColumn(flat(c.data),
-                        flat(c.validity) if c.validity is not None else None,
-                        c.dtype, c.dictionary)
-        for n, c in batch.columns.items()
-    }
+    cols = {n: map_column_rows(c, flat)
+            for n, c in batch.columns.items()}
     return DeviceBatch(cols, flat(batch.mask))
 
 
@@ -111,7 +154,20 @@ class DistributedTask:
     def run(self):
         import pyarrow as pa
         from velox_tpu.vector.device import to_arrow
-        tables = [to_arrow(_unstack(b)) for b in self._run_node(self.plan)]
+        complex_out = any(c.is_complex
+                          for c in self.plan.output_type().children)
+        if complex_out:
+            # element-space children hold per-shard offsets: extract each
+            # shard separately instead of flattening the row axis
+            tables = []
+            for b in self._run_node(self.plan):
+                n = b.mask.shape[0]
+                for i in range(n):
+                    shard = jax.tree_util.tree_map(lambda a: a[i], b)
+                    tables.append(to_arrow(shard))
+        else:
+            tables = [to_arrow(_unstack(b))
+                      for b in self._run_node(self.plan)]
         if not tables:
             schema = T.to_arrow(self.plan.output_type())
             return pa.table({n: pa.array([], type=f.type)
@@ -150,6 +206,10 @@ class DistributedTask:
             yield from self._run_limit(node)
         elif isinstance(node, Pn.WindowNode):
             yield from self._run_window(node)
+        elif isinstance(node, Pn.UnnestNode):
+            yield from self._run_unnest(node)
+        elif isinstance(node, Pn.MarkDistinctNode):
+            yield from self._run_markdistinct(node)
         else:
             raise NotImplementedError(
                 f"distributed operator for {type(node).__name__}")
@@ -753,6 +813,44 @@ class DistributedTask:
             out_specs=P(DATA_AXIS), check_vma=False))
         yield fn(merged)
 
+    def _run_unnest(self, node: "Pn.UnnestNode") -> Iterator[DeviceBatch]:
+        """Unnest is row-local: vmap the serial operator's traced program
+        over shards — no data movement (parity: velox/exec/Unnest.h runs
+        per driver)."""
+        from velox_tpu.exec.misc_ops import UnnestOperator
+        op = UnnestOperator(node)
+        fn = jax.jit(jax.vmap(op._run))
+        for stacked in self._run_node(node.source):
+            yield fn(stacked)
+
+    def _run_markdistinct(self, node: "Pn.MarkDistinctNode"
+                          ) -> Iterator[DeviceBatch]:
+        """Global distinct marking: reshard each wave by the distinct
+        keys (hash placement is deterministic, so equal keys land on the
+        same device in every wave), then the streaming per-device hash
+        insert runs with its table carried between waves (parity:
+        velox/exec/MarkDistinct.h over a hash exchange)."""
+        from velox_tpu.exec.misc_ops import MarkDistinctOperator
+        op = MarkDistinctOperator(node)
+        key_names = [k.name for k in node.distinct_keys]
+        if not hasattr(self, "_fn_cache"):
+            self._fn_cache = {}
+        table = None
+        for stacked in self._run_node(node.source):
+            window = self._count_window(stacked, key_names)
+            resharded = self._reshard(stacked, key_names, window)
+            if table is None:
+                out, table = jax.jit(jax.vmap(
+                    lambda b: op._step(b, None)))(resharded)
+            else:
+                key = ("md", node.id)
+                fn = self._fn_cache.get(key)
+                if fn is None:
+                    fn = jax.jit(jax.vmap(op._step))
+                    self._fn_cache[key] = fn
+                out, table = fn(resharded, table)
+            yield out
+
     # -- repartition ------------------------------------------------------------------
 
     def _run_repartition(self, node) -> Iterator[DeviceBatch]:
@@ -794,10 +892,7 @@ def _pad_batch(b: DeviceBatch, cap: int) -> DeviceBatch:
     def pad(a):
         out = jnp.zeros((cap,) + a.shape[1:], a.dtype)
         return out.at[:a.shape[0]].set(a)
-    cols = {
-        n: DeviceColumn(pad(c.data),
-                        pad(c.validity) if c.validity is not None else None,
-                        c.dtype, c.dictionary)
-        for n, c in b.columns.items()
-    }
+    # row-aligned children (ROW fields / long-decimal hi limb) pad along;
+    # element-space children keep their own capacity
+    cols = {n: _pad_col_rows(c, cap) for n, c in b.columns.items()}
     return DeviceBatch(cols, pad(b.mask))
