@@ -41,6 +41,13 @@ def _ptr(arr: Optional[np.ndarray], ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+def _nthreads() -> int:
+    """Generator threads (0 = hardware concurrency in the native lib)."""
+    import os
+    v = os.environ.get("VELOX_TPU_DBGEN_THREADS")
+    return int(v) if v else 0
+
+
 _LINEITEM_LAYOUT = [
     ("l_orderkey", np.int64), ("l_partkey", np.int64),
     ("l_suppkey", np.int64), ("l_linenumber", np.int32),
@@ -85,6 +92,7 @@ def gen_lineitem(lo: int, hi: int, columns: Sequence[str], sf: float,
         ct = ctypes.c_int64 if dt == np.int64 else ctypes.c_int32
         args.append(_ptr(bufs[name], ct))
     args.append(ctypes.c_int64(n_words_sq))
+    args.append(ctypes.c_int64(_nthreads()))
     lib.tpch_gen_lineitem(*args)
     return {c: bufs[c] for c in columns}
 
@@ -110,6 +118,7 @@ def gen_orders(lo: int, hi: int, columns: Sequence[str], sf: float,
         ct = ctypes.c_int64 if dt == np.int64 else ctypes.c_int32
         args.append(_ptr(bufs[name], ct))
     args.append(ctypes.c_int64(n_words_sq))
+    args.append(ctypes.c_int64(_nthreads()))
     lib.tpch_gen_orders(*args)
     out = {c: bufs[c] for c in columns}
     # match numpy generator dtypes (int64 for keys generated as int64)

@@ -54,7 +54,7 @@ def load_native(name: str = "dbgen") -> Optional[ctypes.CDLL]:
             _CACHE.mkdir(exist_ok=True)
             tmp = out.with_suffix(".so.tmp")
             cmd = [cc, "-O3", "-std=c++17", "-shared", "-fPIC",
-                   "-o", str(tmp), str(src)]
+                   "-pthread", "-o", str(tmp), str(src)]
             try:
                 subprocess.run(cmd, check=True, capture_output=True)
             except subprocess.CalledProcessError as e:

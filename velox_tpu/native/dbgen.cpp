@@ -10,6 +10,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -90,27 +92,69 @@ inline LineVals gen_line(int64_t gid, int64_t odate, int64_t nparts,
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Total lineitem rows for orders [lo, hi).
-int64_t tpch_lineitem_rows(int64_t lo, int64_t hi) {
+// The counter-based streams make every order independent: threads carve
+// the order range and each computes its own output offset from the
+// prefix line counts (deterministic regardless of thread count).
+int64_t lineitem_rows_range(int64_t lo, int64_t hi) {
   int64_t total = 0;
   for (int64_t i = lo; i < hi; ++i) total += line_count(i);
   return total;
 }
 
-// Fill lineitem columns for orders [lo, hi). Null pointers are skipped.
-// Caller sizes buffers with tpch_lineitem_rows. Money columns are
-// DECIMAL(12,2) scaled ints; string columns are dictionary ids.
-void tpch_gen_lineitem(
-    int64_t lo, int64_t hi, int64_t nparts, int64_t nsupp,
-    int64_t* orderkey, int64_t* partkey, int64_t* suppkey,
-    int32_t* linenumber, int64_t* quantity, int64_t* extendedprice,
-    int64_t* discount, int64_t* tax, int32_t* returnflag,
-    int32_t* linestatus, int32_t* shipdate, int32_t* commitdate,
-    int32_t* receiptdate, int32_t* shipinstruct, int32_t* shipmode,
-    int32_t* comment, int64_t n_words_sq) {
-  int64_t r = 0;
+void run_parallel(int64_t lo, int64_t hi, int64_t nthreads,
+                  void (*body)(int64_t, int64_t, int64_t, void*),
+                  void* ctx) {
+  int64_t n = hi - lo;
+  int64_t hw = static_cast<int64_t>(std::thread::hardware_concurrency());
+  if (nthreads <= 0) nthreads = hw > 0 ? hw : 1;
+  if (nthreads > n) nthreads = n > 0 ? n : 1;
+  if (nthreads <= 1) {
+    body(lo, hi, 0, ctx);
+    return;
+  }
+  std::vector<std::thread> ts;
+  ts.reserve(nthreads);
+  int64_t chunk = (n + nthreads - 1) / nthreads;
+  for (int64_t t = 0; t < nthreads; ++t) {
+    int64_t clo = lo + t * chunk;
+    int64_t chi = clo + chunk < hi ? clo + chunk : hi;
+    if (clo >= chi) break;
+    ts.emplace_back(body, clo, chi, t, ctx);
+  }
+  for (auto& th : ts) th.join();
+}
+
+struct LineArgs {
+  int64_t lo, nparts, nsupp, n_words_sq;
+  int64_t *orderkey, *partkey, *suppkey, *quantity, *extendedprice,
+      *discount, *tax;
+  int32_t *linenumber, *returnflag, *linestatus, *shipdate, *commitdate,
+      *receiptdate, *shipinstruct, *shipmode, *comment;
+};
+
+void gen_lineitem_range(int64_t lo, int64_t hi, int64_t /*tid*/,
+                        void* vctx) {
+  const LineArgs& a = *static_cast<LineArgs*>(vctx);
+  int64_t nparts = a.nparts, nsupp = a.nsupp, n_words_sq = a.n_words_sq;
+  int64_t* orderkey = a.orderkey;
+  int64_t* partkey = a.partkey;
+  int64_t* suppkey = a.suppkey;
+  int32_t* linenumber = a.linenumber;
+  int64_t* quantity = a.quantity;
+  int64_t* extendedprice = a.extendedprice;
+  int64_t* discount = a.discount;
+  int64_t* tax = a.tax;
+  int32_t* returnflag = a.returnflag;
+  int32_t* linestatus = a.linestatus;
+  int32_t* shipdate = a.shipdate;
+  int32_t* commitdate = a.commitdate;
+  int32_t* receiptdate = a.receiptdate;
+  int32_t* shipinstruct = a.shipinstruct;
+  int32_t* shipmode = a.shipmode;
+  int32_t* comment = a.comment;
+  int64_t r = lineitem_rows_range(a.lo, lo);
   for (int64_t oi = lo; oi < hi; ++oi) {
     int64_t cnt = line_count(oi);
     int64_t odate = order_date(oi);
@@ -149,16 +193,81 @@ void tpch_gen_lineitem(
   }
 }
 
-// Fill orders columns for order indices [lo, hi). Null pointers skipped.
+struct OrderArgs {
+  int64_t nparts, nsupp, ncust_allowed, nclerk, n_words_sq, lo;
+  int64_t *orderkey, *custkey, *totalprice;
+  int32_t *orderstatus, *orderdate, *orderpriority, *clerk, *shippriority,
+      *comment;
+};
+
+void gen_orders_range(int64_t lo, int64_t hi, int64_t /*tid*/, void* vctx);
+
+}  // namespace
+
+extern "C" {
+
+// Total lineitem rows for orders [lo, hi).
+int64_t tpch_lineitem_rows(int64_t lo, int64_t hi) {
+  return lineitem_rows_range(lo, hi);
+}
+
+// Fill lineitem columns for orders [lo, hi) across nthreads threads
+// (0 = hardware concurrency). Null pointers are skipped. Caller sizes
+// buffers with tpch_lineitem_rows. Money columns are DECIMAL(12,2)
+// scaled ints; string columns are dictionary ids.
+void tpch_gen_lineitem(
+    int64_t lo, int64_t hi, int64_t nparts, int64_t nsupp,
+    int64_t* orderkey, int64_t* partkey, int64_t* suppkey,
+    int32_t* linenumber, int64_t* quantity, int64_t* extendedprice,
+    int64_t* discount, int64_t* tax, int32_t* returnflag,
+    int32_t* linestatus, int32_t* shipdate, int32_t* commitdate,
+    int32_t* receiptdate, int32_t* shipinstruct, int32_t* shipmode,
+    int32_t* comment, int64_t n_words_sq, int64_t nthreads) {
+  LineArgs a{lo, nparts, nsupp, n_words_sq,
+             orderkey, partkey, suppkey, quantity, extendedprice,
+             discount, tax,
+             linenumber, returnflag, linestatus, shipdate, commitdate,
+             receiptdate, shipinstruct, shipmode, comment};
+  run_parallel(lo, hi, nthreads, gen_lineitem_range, &a);
+}
+
+// Fill orders columns for order indices [lo, hi) across nthreads
+// threads (0 = hardware concurrency). Null pointers skipped.
 void tpch_gen_orders(
     int64_t lo, int64_t hi, int64_t nparts, int64_t nsupp,
     int64_t ncust_allowed, int64_t nclerk,
     int64_t* orderkey, int64_t* custkey, int32_t* orderstatus,
     int64_t* totalprice, int32_t* orderdate, int32_t* orderpriority,
     int32_t* clerk, int32_t* shippriority, int32_t* comment,
-    int64_t n_words_sq) {
+    int64_t n_words_sq, int64_t nthreads) {
+  OrderArgs a{nparts, nsupp, ncust_allowed, nclerk, n_words_sq, lo,
+              orderkey, custkey, totalprice,
+              orderstatus, orderdate, orderpriority, clerk, shippriority,
+              comment};
+  run_parallel(lo, hi, nthreads, gen_orders_range, &a);
+}
+
+}  // extern "C"
+
+namespace {
+
+void gen_orders_range(int64_t lo, int64_t hi, int64_t /*tid*/,
+                      void* vctx) {
+  const OrderArgs& a = *static_cast<OrderArgs*>(vctx);
+  int64_t nparts = a.nparts, nsupp = a.nsupp;
+  int64_t ncust_allowed = a.ncust_allowed, nclerk = a.nclerk;
+  int64_t n_words_sq = a.n_words_sq;
+  int64_t* orderkey = a.orderkey;
+  int64_t* custkey = a.custkey;
+  int32_t* orderstatus = a.orderstatus;
+  int64_t* totalprice = a.totalprice;
+  int32_t* orderdate = a.orderdate;
+  int32_t* orderpriority = a.orderpriority;
+  int32_t* clerk = a.clerk;
+  int32_t* shippriority = a.shippriority;
+  int32_t* comment = a.comment;
   for (int64_t oi = lo; oi < hi; ++oi) {
-    int64_t r = oi - lo;
+    int64_t r = oi - a.lo;
     if (orderkey) orderkey[r] = order_key(oi);
     if (custkey) {
       int64_t k = uniform_int(kOCustkey, oi, 0, ncust_allowed - 1);
@@ -192,4 +301,4 @@ void tpch_gen_orders(
   }
 }
 
-}  // extern "C"
+}  // namespace
