@@ -459,8 +459,10 @@ class AggregationOperator(Operator):
                 cap + 1, jnp.where(is_end, run_id, jnp.int32(cap)),
                 c)[:cap]
             run_cnt = (re_c - rs_ce)[run_id]
-            cnt_orig = jnp.zeros((cap,), jnp.int64).at[perm].set(
-                run_cnt.astype(jnp.int64))
+            # int32 scatter (counts <= cap), widened after: int64
+            # scatters are emulated pairs on TPU (~20x slower)
+            cnt_orig = jnp.zeros((cap,), jnp.int32).at[perm].set(
+                run_cnt.astype(jnp.int32)).astype(jnp.int64)
             # pass 2: (group, -count, value) -> per-group top-b runs
             negc = EvalValue(-cnt_orig, None, T.BIGINT)
             perm2, gid2, b2, act2, _, vb2 = G.sorted_group_info_vals(
