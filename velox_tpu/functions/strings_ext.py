@@ -29,7 +29,8 @@ from velox_tpu import types as T
 from velox_tpu.expression.eval import EvalValue
 from velox_tpu.functions.registry import register
 from velox_tpu.functions.scalar import (
-    _dict_lookup, _dict_map, _require_dict, _str_resolver,
+    _dict_lookup, _dict_lookup_pa, _dict_map, _dict_map_pa,
+    _require_dict, _str_resolver,
 )
 from velox_tpu.vector.device import Dictionary
 
@@ -68,9 +69,14 @@ def _const_str(arg: EvalValue, fname: str) -> str:
 # ---------------------------------------------------------------------------
 
 def _regexp_like_eval(ctx, out_dtype, args):
-    rx = re.compile(_const_str(args[1], "regexp_like"))
-    return _dict_lookup(args[0], lambda s: rx.search(s) is not None,
-                        T.BOOLEAN)
+    # RE2 via pyarrow (the reference's engine, functions/lib/Re2Functions);
+    # python-re fallback for RE2-unsupported features (e.g. lookaheads)
+    import pyarrow.compute as pc
+    pat = _const_str(args[1], "regexp_like")
+    rx = re.compile(pat)
+    return _dict_lookup_pa(
+        args[0], lambda src: pc.match_substring_regex(src, pat),
+        lambda s: rx.search(s) is not None, T.BOOLEAN)
 
 
 register("regexp_like", _str_resolver(T.BOOLEAN), _regexp_like_eval)
@@ -94,11 +100,17 @@ register("regexp_extract",
 
 
 def _regexp_replace_eval(ctx, out_dtype, args):
+    import pyarrow.compute as pc
     rx = re.compile(_const_str(args[1], "regexp_replace"))
     repl = _const_str(args[2], "regexp_replace") if len(args) > 2 else ""
-    # Presto uses $1-style group references; Python wants \1
+    # Presto uses $1-style group references; Python AND RE2 want \1
     repl = re.sub(r"\$(\d+)", r"\\\1", repl)
-    return _dict_map(args[0], lambda s: rx.sub(repl, s))
+    pat = _const_str(args[1], "regexp_replace")
+    return _dict_map_pa(
+        args[0],
+        lambda src: pc.replace_substring_regex(
+            src, pattern=pat, replacement=repl),
+        lambda s: rx.sub(repl, s))
 
 
 register("regexp_replace",
@@ -276,8 +288,12 @@ register("url_decode", _str_resolver(T.VARCHAR),
 # ---------------------------------------------------------------------------
 
 def _strpos_eval(ctx, out_dtype, args):
+    import pyarrow.compute as pc
     sub = _const_str(args[1], "strpos")
-    return _dict_lookup(args[0], lambda s: s.find(sub) + 1, T.BIGINT)
+    return _dict_lookup_pa(
+        args[0],
+        lambda src: pc.add(pc.find_substring(src, sub), 1),
+        lambda s: s.find(sub) + 1, T.BIGINT)
 
 
 register("strpos", _str_resolver(T.BIGINT), _strpos_eval)
@@ -286,7 +302,11 @@ register("strpos", _str_resolver(T.BIGINT), _strpos_eval)
 def _replace_eval(ctx, out_dtype, args):
     a = _const_str(args[1], "replace")
     b = _const_str(args[2], "replace") if len(args) > 2 else ""
-    return _dict_map(args[0], lambda s: s.replace(a, b))
+    import pyarrow.compute as pc
+    return _dict_map_pa(
+        args[0],
+        lambda src: pc.replace_substring(src, pattern=a, replacement=b),
+        lambda s: s.replace(a, b))
 
 
 register("replace",
@@ -295,13 +315,19 @@ register("replace",
 
 
 def _starts_with_eval(ctx, out_dtype, args):
+    import pyarrow.compute as pc
     p = _const_str(args[1], "starts_with")
-    return _dict_lookup(args[0], lambda s: s.startswith(p), T.BOOLEAN)
+    return _dict_lookup_pa(
+        args[0], lambda src: pc.starts_with(src, p),
+        lambda s: s.startswith(p), T.BOOLEAN)
 
 
 def _ends_with_eval(ctx, out_dtype, args):
+    import pyarrow.compute as pc
     p = _const_str(args[1], "ends_with")
-    return _dict_lookup(args[0], lambda s: s.endswith(p), T.BOOLEAN)
+    return _dict_lookup_pa(
+        args[0], lambda src: pc.ends_with(src, p),
+        lambda s: s.endswith(p), T.BOOLEAN)
 
 
 register("starts_with", _str_resolver(T.BOOLEAN), _starts_with_eval)

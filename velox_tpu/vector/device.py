@@ -50,12 +50,26 @@ class Dictionary:
     retrace. Values are a numpy object array of Python str/bytes.
     """
 
-    __slots__ = ("values", "_index", "is_sorted")
+    __slots__ = ("values", "_index", "is_sorted", "_arrow")
 
     def __init__(self, values):
         self.values = np.asarray(values, dtype=object)
         self._index: Optional[Dict] = None
         self.is_sorted = False  # memoized by ordered-comparison checks
+        self._arrow = None
+
+    def arrow(self):
+        """Memoized pyarrow array of the values — the input to every
+        C++-vectorized dictionary-space transform (scalar._dict_map_pa)."""
+        cached = getattr(self, "_arrow", None)
+        if cached is None:
+            import pyarrow as pa
+            cached = pa.array(self.values)
+            try:
+                self._arrow = cached
+            except AttributeError:
+                pass
+        return cached
 
     def __len__(self):
         return len(self.values)
