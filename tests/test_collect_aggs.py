@@ -250,3 +250,33 @@ def test_approx_most_frequent_bigint():
     out = run_agg(t, [], ["approx_most_frequent(3, x, 100) as f"]) \
         .to_pandas()
     assert dict(out.f[0]) == {19: 20, 18: 19, 17: 18}
+
+
+def test_multimap_agg_grouped():
+    t = pa.table({
+        "g": pa.array([1, 1, 1, 2, 2, 1], pa.int64()),
+        "k": pa.array(["a", "b", "a", "a", None, "b"], pa.string()),
+        "v": pa.array([10, 20, 30, 40, 50, None], pa.int64()),
+    })
+    rows = by_g(run_agg(t, ["g"], ["multimap_agg(k, v) as m"]))
+    m1 = dict(rows[0]["m"])
+    assert sorted(m1.keys()) == ["a", "b"]
+    assert sorted(m1["a"]) == [10, 30]
+    assert sorted(x for x in m1["b"] if x is not None) == [20]
+    assert None in m1["b"]  # null VALUES kept
+    m2 = dict(rows[1]["m"])
+    assert list(m2.keys()) == ["a"]  # null KEYS dropped
+    assert m2["a"] == [40]
+
+
+def test_multimap_agg_global():
+    t = pa.table({
+        "k": pa.array([1, 2, 1, 2, 3], pa.int64()),
+        "v": pa.array([7, 8, 9, 10, 11], pa.int64()),
+    })
+    out = run_agg(t, [], ["multimap_agg(k, v) as m"]).to_pylist()
+    m = dict(out[0]["m"])
+    assert sorted(m.keys()) == [1, 2, 3]
+    assert sorted(m[1]) == [7, 9]
+    assert sorted(m[2]) == [8, 10]
+    assert m[3] == [11]

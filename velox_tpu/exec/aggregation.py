@@ -545,8 +545,8 @@ class AggregationOperator(Operator):
         data_s = v.full_data(cap)[perm]
         val_s = (None if v.validity is None
                  else v.full_validity(cap)[perm])
-        if kind in ("map_agg", "histogram", "approx_percentile") \
-                and val_s is not None:
+        if kind in ("map_agg", "multimap_agg", "histogram",
+                    "approx_percentile") and val_s is not None:
             pass_ = pass_ & val_s  # null keys/values are dropped
 
         if kind == "approx_percentile":
@@ -578,6 +578,36 @@ class AggregationOperator(Operator):
             child = DeviceColumn(cd, cv, et, v.dictionary)
             return DeviceColumn(lengths, gmask, agg.result_type, None,
                                 (child,))
+
+        if kind == "multimap_agg":
+            # outer map: one entry per (group, key) run; inner array:
+            # that run's values, compacted in the same global row order
+            # so the nested offsets line up with the key compaction
+            w = args[1]
+            wd = w.full_data(cap)[perm]
+            wv = (None if w.validity is None
+                  else w.full_validity(cap)[perm])
+            is_end = jnp.concatenate([vb[1:], jnp.ones((1,), bool)])
+            run_end_c = scatter_unique_set(
+                cap + 1, jnp.where(is_end, run_id, jnp.int32(cap)),
+                c)[:cap]
+            run_cnt = (run_end_c - run_start_ce)[run_id]
+            children, lengths = _emit(
+                [(data_s, None), (run_cnt.astype(jnp.int32), None)],
+                first, gid, boundary, act_s)
+            vals_children, _vl = _emit([(wd, wv)], pass_, gid,
+                                       boundary, act_s)
+            kt, at = agg.result_type.children
+            vt = at.children[0]
+            elem = DeviceColumn(vals_children[0][0],
+                                vals_children[0][1], vt, w.dictionary)
+            arr_col = DeviceColumn(
+                children[1][0].astype(jnp.int32), None, at, None,
+                (elem,))
+            kchild = DeviceColumn(children[0][0], None, kt,
+                                  v.dictionary)
+            return DeviceColumn(lengths, gmask, agg.result_type, None,
+                                (kchild, arr_col))
 
         if kind == "map_agg":
             w = args[1]

@@ -532,6 +532,18 @@ class MapAgg(CollectAgg):
         self.result_type = T.map_(key_type, value_type)
 
 
+class MultimapAgg(CollectAgg):
+    """multimap_agg(K, V) -> map(K, array(V)): all values per key.
+    Parity: prestosql/aggregates/MultimapAggAggregates.cpp."""
+    collect_kind = "multimap_agg"
+
+    def __init__(self, key_type: T.DataType, value_type: T.DataType):
+        self.name = "multimap_agg"
+        self.input_type = key_type
+        self.value_type = value_type
+        self.result_type = T.map_(key_type, T.array(value_type))
+
+
 class MapUnionAgg(CollectAgg):
     """map_union(m): marker only — the Task rewrites the plan to
     Unnest + map_agg (exec/task.py _rewrite_map_union; ref prestosql
@@ -649,6 +661,8 @@ def resolve_aggregate(name: str, input_types) -> AggregateFunction:
         return SetAgg(input_types[0])
     if name == "map_agg":
         return MapAgg(input_types[0], input_types[1])
+    if name == "multimap_agg":
+        return MultimapAgg(input_types[0], input_types[1])
     if name == "map_union":
         return MapUnionAgg(input_types[0])
     if name == "histogram":
