@@ -56,3 +56,18 @@ def test_radix_pass_positions_multisub_interpret(n, monkeypatch):
     order = np.argsort(d, kind="stable")
     expect[order] = np.arange(n)
     np.testing.assert_array_equal(pos, expect)
+
+
+def test_flat_gather_interpret():
+    """Lane-roll flat gather == XLA gather (interpret mode)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from velox_tpu.ops.pallas_kernels import flat_gather
+    rng = np.random.RandomState(7)
+    for n, m in [(1000, 3000), (1 << 16, 1 << 15), (129, 7)]:
+        data = jnp.asarray(rng.randint(-10**9, 10**9, n)
+                           .astype(np.int32))
+        idx = jnp.asarray(rng.randint(0, n, m).astype(np.int32))
+        out = flat_gather(data, idx, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(out), np.asarray(data)[np.asarray(idx)])

@@ -262,3 +262,85 @@ def radix_pass_positions(digits: jnp.ndarray, capacity: int,
            + ranks[s]
            for s in range(n_subs)]
     return jnp.concatenate(pos)[:capacity].astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Flat gather: out[i] = data[idx[i]] without XLA's TPU gather lowering.
+#
+# XLA:TPU gathers measured ~7.4 ms/M elements (int64 ~15) — the dominant
+# cost of sort/join payload permutation (VERDICT r2 #1). This kernel
+# reshapes data to (R, 128) lanes and decomposes idx into (row, lane):
+#     out2d[i, k] = data2d[row[i, k], lane[i, k]]
+# For each static lane shift s, jnp.roll(data2d, -s, axis=1) brings lane
+# (k+s)%128 to output lane k; a per-lane 2D take_along_axis over axis 0
+# (the ONE gather form this environment's Mosaic lowers; see module
+# docstring) picks the rows, and a mask accumulates the lanes where
+# (lane-k)%128 == s. 128 static steps, all VPU-vectorized, no HBM
+# round-trips. Grid-free like every kernel here: data + idx + out must
+# fit VMEM, so callers split into sub-calls.
+# ---------------------------------------------------------------------------
+
+GATHER_LANES = 128
+GATHER_SUB = 1 << 16       # output elements per call (out + rolled data
+                           # + masks stay under the VMEM budget)
+GATHER_MAX_DATA = 1 << 20  # data elements per call (4 MB f32/i32 VMEM)
+
+
+def _flat_gather_kernel(n_data_rows: int, data_ref, row_ref, lane_ref,
+                        out_ref):
+    import jax.lax as lax
+
+    data2d = data_ref[...]            # (R, 128)
+    row = row_ref[...]                # (M, 128) int32
+    lane = lane_ref[...]              # (M, 128) int32
+    m = row.shape[0]
+    k = lax.broadcasted_iota(jnp.int32, (m, GATHER_LANES), 1)
+    shift = lane - k
+    shift = jnp.where(shift < 0, shift + GATHER_LANES, shift)
+    acc = jnp.zeros((m, GATHER_LANES), data2d.dtype)
+    for s in range(GATHER_LANES):
+        rolled = jnp.concatenate(
+            [data2d[:, s:], data2d[:, :s]], axis=1) if s else data2d
+        got = jnp.take_along_axis(rolled, row, axis=0)
+        acc = jnp.where(shift == s, got, acc)
+    out_ref[...] = acc
+
+
+def _flat_gather_call(data2d, row, lane, interpret=False):
+    from jax.experimental import pallas as pl
+    m = row.shape[0]
+    return pl.pallas_call(
+        functools.partial(_flat_gather_kernel, data2d.shape[0]),
+        out_shape=jax.ShapeDtypeStruct((m, GATHER_LANES), data2d.dtype),
+        interpret=interpret,
+    )(data2d, row, lane)
+
+
+def flat_gather(data: jnp.ndarray, idx: jnp.ndarray,
+                interpret: bool = False) -> jnp.ndarray:
+    """out[i] = data[idx[i]] for 32-bit data via the lane-roll kernel.
+    idx must be int32 in [0, len(data)). Splits both the output and the
+    data into VMEM-sized sub-calls (data sub-ranges pre-filtered by idx
+    range is NOT done — callers with > GATHER_MAX_DATA data fall back)."""
+    n = data.shape[0]
+    if n > GATHER_MAX_DATA:
+        return data[idx]
+    m = idx.shape[0]
+    rpad = -n % GATHER_LANES
+    if rpad:
+        data = jnp.concatenate(
+            [data, jnp.zeros((rpad,), data.dtype)])
+    data2d = data.reshape((-1, GATHER_LANES))
+    mpad = -m % GATHER_LANES
+    if mpad:
+        idx = jnp.concatenate([idx, jnp.zeros((mpad,), jnp.int32)])
+    idx2d = idx.reshape((-1, GATHER_LANES)).astype(jnp.int32)
+    row = idx2d // GATHER_LANES
+    lane = idx2d - row * GATHER_LANES
+    sub = GATHER_SUB // GATHER_LANES
+    outs = []
+    for s in range(0, row.shape[0], sub):
+        outs.append(_flat_gather_call(
+            data2d, row[s:s + sub], lane[s:s + sub], interpret))
+    out = jnp.concatenate(outs).reshape((-1,))
+    return out[:m]
