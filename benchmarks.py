@@ -101,6 +101,23 @@ def run_micro(rows_log2: int = 20):
     dt = timeit(probe, table, pk)
     rows.append(("hash-join probe (25% hit domain)", n / dt / 1e6))
 
+    # gather: XLA take vs the lane-roll flat-gather kernel
+    data32 = jnp.asarray(rng.randint(-10**9, 10**9, min(n, 1 << 20))
+                         .astype(np.int32))
+    idx = jnp.asarray(rng.randint(0, data32.shape[0], n)
+                      .astype(np.int32))
+    dt = timeit(jax.jit(lambda d, i: d[i]), data32, idx)
+    rows.append(("XLA gather (i32, 1M-row data)", n / dt / 1e6))
+    from velox_tpu.ops import pallas_kernels as PK
+    if PK.should_use(n):
+        try:
+            fg = jax.jit(lambda d, i: PK.flat_gather(d, i))
+            dt = timeit(fg, data32, idx)
+            rows.append(("pallas flat_gather (i32, 1M-row data)",
+                         n / dt / 1e6))
+        except Exception as e:
+            print(f"flat_gather skipped: {e}", file=sys.stderr)
+
     return dict(rows)
 
 
