@@ -24,7 +24,9 @@ _jax.config.update("jax_enable_x64", True)
 import os as _os
 
 if _os.environ.get("VELOX_TPU_COMPILE_CACHE", "1") != "0":
-    _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR") \
+    # process-flag tier (common/flags.py): VELOX_TPU_COMPILE_CACHE_DIR
+    _cache_dir = _os.environ.get("VELOX_TPU_COMPILE_CACHE_DIR") \
+        or _os.environ.get("JAX_COMPILATION_CACHE_DIR") \
         or _os.path.expanduser("~/.cache/velox_tpu_jax")
     try:
         _os.makedirs(_cache_dir, exist_ok=True)

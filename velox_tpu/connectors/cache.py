@@ -136,7 +136,12 @@ class DataCache:
     @classmethod
     def instance(cls) -> "DataCache":
         if cls._instance is None:
-            cls._instance = cls()
+            from velox_tpu.common.flags import get_flag
+            budget = int(get_flag("scan_cache_bytes")) or DEFAULT_BUDGET
+            cls._instance = cls(budget)
+            ssd_dir = get_flag("ssd_cache_dir")
+            if ssd_dir:
+                cls._instance.enable_ssd(ssd_dir)
         return cls._instance
 
     def get(self, key) -> Optional[DeviceBatch]:

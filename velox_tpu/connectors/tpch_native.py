@@ -42,10 +42,11 @@ def _ptr(arr: Optional[np.ndarray], ctype):
 
 
 def _nthreads() -> int:
-    """Generator threads (0 = hardware concurrency in the native lib)."""
-    import os
-    v = os.environ.get("VELOX_TPU_DBGEN_THREADS")
-    return int(v) if v else 0
+    """Generator threads (0 = hardware concurrency in the native lib).
+    Process-flag tier: VELOX_TPU_DBGEN_THREADS (common/flags.py)."""
+    from velox_tpu.common.flags import get_flag, reset_flag
+    reset_flag("dbgen_threads")  # env may change between calls (tests)
+    return int(get_flag("dbgen_threads"))
 
 
 _LINEITEM_LAYOUT = [

@@ -220,9 +220,12 @@ _disabled = False
 
 
 def should_use(capacity: int = 0) -> bool:
-    """Use the Pallas path? (TPU backend, not disabled; any capacity —
-    large batches split into sub-calls.)"""
-    return (not _disabled) and jax.default_backend() == "tpu"
+    """Use the Pallas path? (TPU backend, not disabled by a lowering
+    failure or the process flag; any capacity — large batches split
+    into sub-calls.)"""
+    from velox_tpu.common.flags import get_flag
+    return (not _disabled) and get_flag("pallas_enabled") \
+        and jax.default_backend() == "tpu"
 
 
 def disable():
