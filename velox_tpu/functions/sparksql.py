@@ -626,3 +626,335 @@ register("least_skipnull", _nary_resolver, _nary_minmax(
     "least", lambda d, acc: d < acc))
 register("greatest_skipnull", _nary_resolver, _nary_minmax(
     "greatest", lambda d, acc: d > acc))
+
+
+# ---------------------------------------------------------------------------
+# Round-3 breadth batch 2: string / bitwise / date functions
+# (parity: functions/sparksql String.h, Bitwise.h, DateTimeFunctions.h)
+# ---------------------------------------------------------------------------
+
+from velox_tpu.functions.scalar import (  # noqa: E402
+    _civil_from_days, _date_days, _days_from_civil, _dict_lookup,
+    _dict_map,
+)
+
+
+def _const_arg(args, i, fname, default=None):
+    v = args[i] if len(args) > i else None
+    if v is None:
+        if default is None:
+            raise ValueError(f"{fname}: missing argument {i}")
+        return default
+    if v.py_value is None:
+        raise NotImplementedError(f"{fname}: argument {i} must be a "
+                                  "constant")
+    return v.py_value
+
+
+def _initcap_eval(ctx, out_dtype, args):
+    import re as _re
+
+    def f(s):
+        return _re.sub(r"(^|\s)(\S)",
+                       lambda m: m.group(1) + m.group(2).upper(),
+                       s.lower())
+    return _dict_map(args[0], f)
+
+
+register("initcap", sig("string -> varchar"), _initcap_eval)
+
+
+def _lpad_eval(ctx, out_dtype, args):
+    n = int(_const_arg(args, 1, "lpad"))
+    pad = str(_const_arg(args, 2, "lpad", " "))
+
+    def f(s):
+        if len(s) >= n:
+            return s[:n]
+        return ((pad * n)[:n - len(s)] if pad else "") + s
+    return _dict_map(args[0], f)
+
+
+def _rpad_eval(ctx, out_dtype, args):
+    n = int(_const_arg(args, 1, "rpad"))
+    pad = str(_const_arg(args, 2, "rpad", " "))
+
+    def f(s):
+        if len(s) >= n:
+            return s[:n]
+        return s + ((pad * n)[:n - len(s)] if pad else "")
+    return _dict_map(args[0], f)
+
+
+register("lpad", sig("string, integral, string -> varchar"), _lpad_eval)
+register("lpad", sig("string, integral -> varchar"), _lpad_eval)
+register("rpad", sig("string, integral, string -> varchar"), _rpad_eval)
+register("rpad", sig("string, integral -> varchar"), _rpad_eval)
+
+
+def _levenshtein_eval(ctx, out_dtype, args):
+    other = str(_const_arg(args, 1, "levenshtein"))
+
+    def f(s):
+        a, b = s, other
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+    return _dict_lookup(args[0], f, T.INTEGER)
+
+
+register("levenshtein", sig("string, string -> integer"),
+         _levenshtein_eval)
+
+
+def _translate_eval(ctx, out_dtype, args):
+    src = str(_const_arg(args, 1, "translate"))
+    dst = str(_const_arg(args, 2, "translate"))
+    # Spark: chars beyond len(dst) are DELETED
+    table = {ord(c): (dst[i] if i < len(dst) else None)
+             for i, c in enumerate(src)}
+    return _dict_map(args[0], lambda s: s.translate(table))
+
+
+register("translate", sig("string, string, string -> varchar"),
+         _translate_eval)
+
+
+def _locate_eval(ctx, out_dtype, args):
+    sub = str(_const_arg(args, 0, "locate"))
+    start = int(_const_arg(args, 2, "locate", 1))
+
+    def f(s):
+        if start < 1:
+            return 0
+        return s.find(sub, start - 1) + 1
+    return _dict_lookup(args[1], f, T.INTEGER)
+
+
+register("locate", sig("string, string, integral -> integer"),
+         _locate_eval)
+register("locate", sig("string, string -> integer"), _locate_eval)
+
+
+def _find_in_set_eval(ctx, out_dtype, args):
+    lst = str(_const_arg(args, 1, "find_in_set")).split(",")
+
+    def f(s):
+        if "," in s:
+            return 0
+        try:
+            return lst.index(s) + 1
+        except ValueError:
+            return 0
+    return _dict_lookup(args[0], f, T.INTEGER)
+
+
+register("find_in_set", sig("string, string -> integer"),
+         _find_in_set_eval)
+
+
+def _substring_index_eval(ctx, out_dtype, args):
+    delim = str(_const_arg(args, 1, "substring_index"))
+    cnt = int(_const_arg(args, 2, "substring_index"))
+
+    def f(s):
+        if cnt == 0 or not delim:
+            return ""
+        parts = s.split(delim)
+        if cnt > 0:
+            return delim.join(parts[:cnt])
+        return delim.join(parts[cnt:])
+    return _dict_map(args[0], f)
+
+
+register("substring_index", sig("string, string, integral -> varchar"),
+         _substring_index_eval)
+
+
+def _repeat_eval(ctx, out_dtype, args):
+    n = int(_const_arg(args, 1, "repeat"))
+    return _dict_map(args[0], lambda s: s * max(n, 0))
+
+
+register("repeat", sig("string, integral -> varchar"), _repeat_eval)
+
+
+def _overlay_eval(ctx, out_dtype, args):
+    repl = str(_const_arg(args, 1, "overlay"))
+    pos = int(_const_arg(args, 2, "overlay"))
+    ln = int(_const_arg(args, 3, "overlay", -1))
+    use_len = ln if ln >= 0 else len(repl)
+
+    def f(s):
+        p = max(pos, 1) - 1
+        return s[:p] + repl + s[p + use_len:]
+    return _dict_map(args[0], f)
+
+
+register("overlay",
+         sig("string, string, integral, integral -> varchar"),
+         _overlay_eval)
+register("overlay", sig("string, string, integral -> varchar"),
+         _overlay_eval)
+
+
+_SOUNDEX_CODES = {**{c: "1" for c in "BFPV"},
+                  **{c: "2" for c in "CGJKQSXZ"},
+                  **{c: "3" for c in "DT"}, "L": "4",
+                  **{c: "5" for c in "MN"}, "R": "6"}
+
+
+def _soundex_eval(ctx, out_dtype, args):
+    def f(s):
+        if not s or not s[0].isalpha():
+            return s
+        u = s.upper()
+        out = [u[0]]
+        prev = _SOUNDEX_CODES.get(u[0], "")
+        for ch in u[1:]:
+            code = _SOUNDEX_CODES.get(ch, "")
+            if code and code != prev:
+                out.append(code)
+                if len(out) == 4:
+                    break
+            if ch not in "HW":
+                prev = code
+        return "".join(out).ljust(4, "0")
+    return _dict_map(args[0], f)
+
+
+register("soundex", sig("string -> varchar"), _soundex_eval)
+
+
+def _hex_str_eval(ctx, out_dtype, args):
+    return _dict_map(args[0], lambda s: (
+        s.encode() if isinstance(s, str) else bytes(s)).hex().upper())
+
+
+register("hex", sig("string -> varchar"), _hex_str_eval)
+
+
+def _unhex_eval(ctx, out_dtype, args):
+    def f(s):
+        try:
+            return bytes.fromhex(s).decode("latin-1")
+        except ValueError:
+            return None
+    from velox_tpu.functions.strings_ext import _dict_map_nullable
+    return _dict_map_nullable(args[0], f)
+
+
+register("unhex", sig("string -> varchar"), _unhex_eval)
+
+
+# ---- bitwise ---------------------------------------------------------------
+
+def _bit_count_eval(ctx, out_dtype, args):
+    (v,) = args
+    x = v.full_data(ctx.capacity).astype(jnp.int64)
+    u = jax.lax.bitcast_convert_type(x, jnp.uint64)
+    # SWAR popcount (Hacker's Delight 5-2) — branch-free VPU arithmetic
+    u = u - ((u >> jnp.uint64(1)) & jnp.uint64(0x5555555555555555))
+    u = (u & jnp.uint64(0x3333333333333333)) \
+        + ((u >> jnp.uint64(2)) & jnp.uint64(0x3333333333333333))
+    u = (u + (u >> jnp.uint64(4))) & jnp.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        cnt = (u * jnp.uint64(0x0101010101010101)) >> jnp.uint64(56)
+    return EvalValue(cnt.astype(jnp.int32), v.validity, T.INTEGER)
+
+
+register("bit_count", sig("integral -> integer"), _bit_count_eval)
+
+
+def _bit_get_eval(ctx, out_dtype, args):
+    v, p = args
+    x = v.full_data(ctx.capacity).astype(jnp.int64)
+    pos = p.full_data(ctx.capacity).astype(jnp.int64)
+    bit = ((x >> jnp.clip(pos, 0, 63)) & 1).astype(jnp.int8)
+    return EvalValue(bit, merge_validity(v, p), T.TINYINT)
+
+
+register("bit_get", sig("integral, integral -> tinyint"), _bit_get_eval)
+
+
+_FACTORIALS = np.array(
+    [1, 1, 2, 6, 24, 120, 720, 5040, 40320, 362880, 3628800,
+     39916800, 479001600, 6227020800, 87178291200, 1307674368000,
+     20922789888000, 355687428096000, 6402373705728000,
+     121645100408832000, 2432902008176640000], dtype=np.int64)
+
+
+def _factorial_eval(ctx, out_dtype, args):
+    (v,) = args
+    x = v.full_data(ctx.capacity).astype(jnp.int64)
+    ok = (x >= 0) & (x <= 20)
+    idx = jnp.clip(x, 0, 20)
+    data = jnp.asarray(_FACTORIALS)[idx]
+    validity = ok if v.validity is None \
+        else v.full_validity(ctx.capacity) & ok
+    return EvalValue(data, validity, T.BIGINT)
+
+
+register("factorial", sig("integral -> bigint"), _factorial_eval)
+
+
+# ---- dates -----------------------------------------------------------------
+
+def _next_day_eval(ctx, out_dtype, args):
+    dows = {"MO": 0, "TU": 1, "WE": 2, "TH": 3, "FR": 4, "SA": 5,
+            "SU": 6}
+    want = dows.get(str(_const_arg(args, 1, "next_day"))[:2].upper())
+    (v,) = args[:1]
+    days = _date_days(v).astype(jnp.int64)
+    if want is None:
+        return EvalValue(jnp.zeros_like(days, dtype=jnp.int32),
+                         jnp.zeros((ctx.capacity,), bool), T.DATE)
+    cur = (days + 3) % 7  # 0 = Monday
+    delta = (want - cur - 1) % 7 + 1
+    return EvalValue((days + delta).astype(jnp.int32), v.validity,
+                     T.DATE)
+
+
+register("next_day", sig("date, string -> date"), _next_day_eval)
+
+
+def _months_between_eval(ctx, out_dtype, args):
+    a, b = args
+    da = _date_days(a).astype(jnp.int64)
+    db = _date_days(b).astype(jnp.int64)
+    ya, ma, ka = _civil_from_days(da)
+    yb, mb, kb = _civil_from_days(db)
+    whole = (ya - yb) * 12 + (ma - mb)
+    # Spark: same day-of-month OR both last-day-of-month -> integer
+    last_a = _days_from_civil(ya + (ma == 12), jnp.where(
+        ma == 12, 1, ma + 1), jnp.ones_like(ka)) - 1
+    last_b = _days_from_civil(yb + (mb == 12), jnp.where(
+        mb == 12, 1, mb + 1), jnp.ones_like(kb)) - 1
+    both_last = (da == last_a) & (db == last_b)
+    frac = jnp.where((ka == kb) | both_last, 0.0,
+                     (ka - kb).astype(jnp.float64) / 31.0)
+    return EvalValue(whole.astype(jnp.float64) + frac,
+                     merge_validity(a, b), T.DOUBLE)
+
+
+register("months_between", sig("date, date -> double"),
+         _months_between_eval)
+
+
+def _unix_timestamp_eval(ctx, out_dtype, args):
+    (v,) = args
+    micros = v.full_data(ctx.capacity)
+    secs = jnp.where(micros >= 0, micros // 1_000_000,
+                     -((-micros) // 1_000_000))
+    return EvalValue(secs.astype(jnp.int64), v.validity, T.BIGINT)
+
+
+register("unix_timestamp", sig("timestamp -> bigint"),
+         _unix_timestamp_eval)
