@@ -206,3 +206,49 @@ def test_failed_producer_poisons_consumers():
     with pytest.raises(VeloxError, match="producer task failed"):
         Task(exch, ctx).run()
     OutputBufferManager.instance().remove("failing-task")
+
+
+def test_merge_exchange_ordered_consume():
+    """MergeExchangeNode: ordered distributed exchange — consumers see a
+    total order over all producers' sorted pages (parity:
+    core/PlanNode.h:1037; merge realized as one device re-sort)."""
+    rng = np.random.RandomState(17)
+    producer_ids = []
+    alls = []
+    for p in range(3):
+        df = pd.DataFrame({
+            "k": np.sort(rng.randint(0, 1000, 300)).astype("int64"),
+            "v": rng.randint(0, 100, 300).astype("int64")})
+        alls.append(df)
+        src = PlanBuilder().values([pa.table(df)]).plan()
+        pout = P.PartitionedOutputNode(
+            f"mx-{p}", source=src, kind="partitioned",
+            keys=(ex.field("k", T.BIGINT),), num_partitions=1)
+        tid = f"mx-producer-{p}"
+        producer_ids.append(tid)
+        Task(pout, QueryCtx({"task.id": tid})).run()
+
+    rt = T.row(["k", "v"], [T.BIGINT, T.BIGINT])
+    mx = P.MergeExchangeNode(
+        "mx", row_type=rt, keys=(ex.field("k", T.BIGINT),),
+        orders=(P.SortOrder.ASC_NULLS_LAST,))
+    ctx = QueryCtx({"exchange.mx.tasks": producer_ids,
+                    "task.destination": 0})
+    out = Task(mx, ctx).run().to_pandas()
+    exp = pd.concat(alls).sort_values("k").reset_index(drop=True)
+    assert len(out) == len(exp)
+    np.testing.assert_array_equal(out.k, exp.k)
+    assert out.v.sum() == exp.v.sum()
+
+
+def test_local_merge_restores_order():
+    """LocalMergeNode over interleaved sorted runs."""
+    rng = np.random.RandomState(19)
+    tables = [pa.table(pd.DataFrame({
+        "k": np.sort(rng.randint(0, 500, 200)).astype("int64")}))
+        for _ in range(4)]
+    plan = PlanBuilder().values(tables).local_merge(["k"]).plan()
+    out = Task(plan).run().to_pandas()
+    allk = np.sort(np.concatenate(
+        [t.column("k").to_numpy() for t in tables]))
+    np.testing.assert_array_equal(out.k, allk)

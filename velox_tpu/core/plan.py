@@ -566,6 +566,41 @@ class ExchangeNode(PlanNode):
         return self.row_type
 
 
+@dataclass(frozen=True)
+class LocalMergeNode(PlanNode):
+    """Ordered gather: re-establishes a total order over a source whose
+    sorted runs arrive interleaved (multi-driver pipelines). Parity:
+    core/PlanNode.h:1071 (LocalMergeNode + TreeOfLosers) — but the
+    merge IS a re-sort here: a streaming searchsorted merge measured
+    ~0.5 s/M rows on this TPU vs ~9.5 ms/M for lax.sort over packed
+    keys, so k-way re-sorting the gathered runs is the faster program
+    by ~50x (exec/sort.py sort_perm_key)."""
+    source: PlanNode = None
+    keys: Tuple[ex.FieldAccess, ...] = ()
+    orders: Tuple[SortOrder, ...] = ()
+
+    @property
+    def sources(self):
+        return (self.source,)
+
+    def output_type(self):
+        return self.source.output_type()
+
+
+@dataclass(frozen=True)
+class MergeExchangeNode(PlanNode):
+    """Ordered distributed exchange consumer: pages from remote tasks
+    are drained, then the total order is re-established by one device
+    sort (see LocalMergeNode for why re-sort beats a streaming merge on
+    TPU). Parity: core/PlanNode.h:1037 (MergeExchangeNode)."""
+    row_type: T.DataType = None
+    keys: Tuple[ex.FieldAccess, ...] = ()
+    orders: Tuple[SortOrder, ...] = ()
+
+    def output_type(self):
+        return self.row_type
+
+
 def plan_tree_string(node: PlanNode, indent: int = 0) -> str:
     pad = "  " * indent
     lines = [f"{pad}- {node.name}[{node.id}] -> {node.output_type()}"]

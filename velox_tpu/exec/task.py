@@ -428,16 +428,33 @@ class Task:
             # sink: drive to completion, emit nothing
             for _ in self._drive(node.source, op):
                 pass
-        elif isinstance(node, P.ExchangeNode):
+        elif isinstance(node, P.LocalMergeNode):
+            from velox_tpu.exec.orderby import OrderByOperator
+            sort_node = P.OrderByNode(node.id, source=node.source,
+                                      keys=node.keys, orders=node.orders)
+            yield from self._drive(node.source, OrderByOperator(sort_node))
+        elif isinstance(node, (P.ExchangeNode, P.MergeExchangeNode)):
             from velox_tpu.exec.exchange import ExchangeOperator
             remotes = self.ctx.get(f"exchange.{node.id}.tasks") or \
                 self.ctx.get("exchange.tasks") or []
             dest = self.ctx.get("task.destination", 0)
             cap = self.ctx.get("exchange.batch_capacity")
             dicts = self.ctx.get(f"exchange.{node.id}.dictionaries")
-            yield from self._drive_source(ExchangeOperator(
+            pages = self._drive_source(ExchangeOperator(
                 node, remotes, dest, cap, dicts,
                 self.ctx.get("exchange.max_queue_bytes")))
+            if isinstance(node, P.MergeExchangeNode):
+                # ordered exchange: re-establish the total order with one
+                # device sort over the drained pages (see MergeExchangeNode)
+                from velox_tpu.exec.batch_utils import concat_batches
+                from velox_tpu.exec.orderby import sort_batch
+                got = list(pages)
+                if got:
+                    merged = concat_batches(got)
+                    yield sort_batch(merged, list(node.keys),
+                                     list(node.orders))
+            else:
+                yield from pages
         else:
             raise NotImplementedError(f"no operator for {type(node).__name__}")
 

@@ -245,6 +245,14 @@ class PlanBuilder:
                                    keys=fields, orders=orders)
         return self
 
+    def local_merge(self, keys: Sequence[str]) -> "PlanBuilder":
+        """Ordered gather over a source producing interleaved sorted
+        runs (parity: PlanBuilder::localMerge)."""
+        fields, orders = self._parse_orders(keys)
+        self._node = P.LocalMergeNode(self._ids.next(), source=self._node,
+                                      keys=fields, orders=orders)
+        return self
+
     def top_n(self, keys: Sequence[str], count: int) -> "PlanBuilder":
         fields, orders = self._parse_orders(keys)
         self._node = P.TopNNode(self._ids.next(), source=self._node,
