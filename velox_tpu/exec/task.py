@@ -429,7 +429,6 @@ class Task:
             for _ in self._drive(node.source, op):
                 pass
         elif isinstance(node, P.LocalMergeNode):
-            from velox_tpu.exec.orderby import OrderByOperator
             sort_node = P.OrderByNode(node.id, source=node.source,
                                       keys=node.keys, orders=node.orders)
             yield from self._drive(node.source, OrderByOperator(sort_node))

@@ -416,7 +416,12 @@ def to_arrow(batch: DeviceBatch):
     """DeviceBatch -> pyarrow Table (active rows only, in order)."""
     import pyarrow as pa
 
-    mask = np.asarray(jax.device_get(batch.mask))
+    # ONE bulk device_get for the whole batch pytree: over the remote
+    # TPU tunnel every fetch pays a ~25 ms RTT, so per-column fetches
+    # serialize; a single pytree fetch amortizes the round trip across
+    # all columns/validities/children.
+    batch = jax.device_get(batch)
+    mask = np.asarray(batch.mask)
     arrays, names = [], []
     for name, col in batch.columns.items():
         if col.dtype.is_complex:
