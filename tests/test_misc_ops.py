@@ -240,3 +240,22 @@ def test_merge_join_multibatch_sorted_stream():
     got = run(plan).sort_values("k")
     assert got.k.tolist() == [3, 5, 6]
     assert got.rv.tolist() == [3, 5, 6]
+
+
+def test_arrow_stream_source():
+    """ArrowStreamNode: streaming ingest from a RecordBatchReader
+    (parity: velox/exec/ArrowStream.h:23)."""
+    import pyarrow as pa
+
+    from velox_tpu import types as T
+    from velox_tpu.core import plan as P
+    from velox_tpu.exec.task import Task
+
+    t = pa.table({"x": pa.array(range(100), pa.int64())})
+    reader = pa.RecordBatchReader.from_batches(
+        t.schema, t.to_batches(max_chunksize=30))
+    node = P.ArrowStreamNode(
+        "as0", reader=reader,
+        row_type=T.row(["x"], [T.BIGINT]))
+    out = Task(node).run()
+    assert out.column("x").to_pylist() == list(range(100))

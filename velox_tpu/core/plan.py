@@ -567,6 +567,18 @@ class ExchangeNode(PlanNode):
 
 
 @dataclass(frozen=True)
+class ArrowStreamNode(PlanNode):
+    """Streaming source over a pyarrow RecordBatchReader (or any
+    iterator of record batches/tables). Parity: core/PlanNode.h:280 +
+    exec/ArrowStream.h:23 — the host-engine streaming ingest SPI."""
+    reader: object = None        # RecordBatchReader | iterator factory
+    row_type: T.DataType = None
+
+    def output_type(self):
+        return self.row_type
+
+
+@dataclass(frozen=True)
 class LocalMergeNode(PlanNode):
     """Ordered gather: re-establishes a total order over a source whose
     sorted runs arrive interleaved (multi-driver pipelines). Parity:

@@ -114,6 +114,37 @@ class ValuesOperator(SourceOperator):
         return self._i >= len(self._tables)
 
 
+class ArrowStreamOperator(SourceOperator):
+    """Streaming source: pulls record batches from a pyarrow
+    RecordBatchReader (or any iterator of batches/tables) and stages
+    them on device. Parity: velox/exec/ArrowStream.h:23."""
+
+    def __init__(self, node):
+        super().__init__(node)
+        r = node.reader
+        self._it = iter(r() if callable(r) else r)
+        self._done = False
+
+    def get_output(self):
+        from velox_tpu.vector.device import from_arrow
+        if self._done:
+            return None
+        try:
+            t = next(self._it)
+        except StopIteration:
+            self._done = True
+            return None
+        if isinstance(t, DeviceBatch):
+            return t
+        import pyarrow as pa
+        if isinstance(t, pa.RecordBatch):
+            t = pa.table(t)
+        return from_arrow(t)
+
+    def is_finished(self):
+        return self._done
+
+
 class TableScanOperator(SourceOperator):
     """Parity: velox/exec/TableScan.cpp:75 — pulls splits from the task,
     hands them to a connector DataSource, yields device batches. The

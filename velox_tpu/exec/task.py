@@ -265,6 +265,9 @@ class Task:
         """Recursively build + drive the pipeline rooted at `node`."""
         if isinstance(node, P.ValuesNode):
             yield from self._drive_source(ValuesOperator(node))
+        elif isinstance(node, P.ArrowStreamNode):
+            from velox_tpu.exec.operator import ArrowStreamOperator
+            yield from self._drive_source(ArrowStreamOperator(node))
         elif isinstance(node, P.TableScanNode):
             scan = self._make_scan(node)
             if node.filter is not None:
