@@ -288,3 +288,50 @@ def test_reduce_with_capture():
     out = run_project(
         t, ["reduce(arr, base, (s, x) -> s + x, s -> s) as r"])
     assert out.column("r").to_pylist() == [103, 203]
+
+
+def test_array_position_remove_slice():
+    t = pa.table({
+        "a": pa.array([[1, 2, 3, 2], [], [5, None, 5], None],
+                      pa.list_(pa.int64())),
+        "x": pa.array([2, 1, 5, 1], pa.int64()),
+    })
+    b = PlanBuilder().values([t])
+    b.project(["array_position(a, x) as p", "array_remove(a, x) as r",
+               "slice(a, 2, 2) as s"])
+    out = Task(b.plan()).run()
+    assert out.column("p").to_pylist() == [2, 0, 1, None]
+    assert out.column("r").to_pylist() == [[1, 3], [], [None], None]
+    assert out.column("s").to_pylist() == [[2, 3], [], [None, 5], None]
+
+
+def test_array_concat_flatten():
+    t = pa.table({
+        "a": pa.array([[1, 2], [], [7]], pa.list_(pa.int64())),
+        "b": pa.array([[3], [4, 5], []], pa.list_(pa.int64())),
+        "n": pa.array([[[1], [2, 3]], [[], [4]], None],
+                      pa.list_(pa.list_(pa.int64()))),
+    })
+    b = PlanBuilder().values([t])
+    b.project(["concat(a, b) as c", "flatten(n) as f"])
+    out = Task(b.plan()).run()
+    assert out.column("c").to_pylist() == [[1, 2, 3], [4, 5], [7]]
+    assert out.column("f").to_pylist() == [[1, 2, 3], [4], None]
+
+
+def test_map_entries_and_arrays_overlap():
+    t = pa.table({
+        "m": pa.array([{"a": 1, "b": 2}, {}],
+                      pa.map_(pa.string(), pa.int64())),
+        "x": pa.array([[1, 2], [3, None]], pa.list_(pa.int64())),
+        "y": pa.array([[2, 9], [8, 7]], pa.list_(pa.int64())),
+    })
+    b = PlanBuilder().values([t])
+    b.project(["map_entries(m) as e", "arrays_overlap(x, y) as o"])
+    out = Task(b.plan()).run()
+    ents = out.column("e").to_pylist()
+    assert sorted((d["f0"], d["f1"]) for d in ents[0]) == \
+        [("a", 1), ("b", 2)]
+    assert ents[1] == []
+    # row 1: no common non-null but x has a null -> NULL
+    assert out.column("o").to_pylist() == [True, None]

@@ -694,3 +694,280 @@ _register("transform_keys",
           sig("map(K, V), U -> map(U, V)"), _no_eval)
 _register("zip_with", sig("array(T), array(U), V -> array(V)"), _no_eval)
 _register("reduce", sig("array(T), A, B, C -> C"), _no_eval)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 array batch: position/remove/slice/concat/flatten/map_entries/
+# arrays_overlap. Parity: prestosql ArrayFunctions (ArrayPositionFunction,
+# ArrayRemoveFunction, SliceFunction, ArrayConcatFunction,
+# ArrayFlattenFunction, MapEntriesFunction, ArraysOverlapFunction).
+# ---------------------------------------------------------------------------
+
+def _elem_hit(ctx, arr, x, row_c, in_row, ecap):
+    """Element-space equality mask vs a (possibly per-row) needle."""
+    child = arr.children[0]
+    elem_val = EvalValue(child.data, child.validity,
+                         arr.dtype.children[0], child.dictionary)
+    if x.data is not None and getattr(x.data, "ndim", 0) > 0:
+        xv = x.data[row_c]
+        xvalid = (x.validity[row_c]
+                  if x.validity is not None and x.validity.ndim > 0
+                  else x.validity)
+        x = EvalValue(xv, xvalid, x.dtype, x.dictionary)
+
+    class _ECtx:
+        capacity = ecap
+    eq = eq_value(_ECtx, elem_val, x)
+    hit = eq.data.astype(bool)
+    if eq.validity is not None:
+        hit = hit & eq.validity
+    return hit & in_row
+
+
+def _compact_elements(arr, keep, row_c, in_row, ctx):
+    """Prefix-compact kept elements (row-contiguity preserved) ->
+    (new_lengths, new_child)."""
+    child = arr.children[0]
+    ecap = child.capacity
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    tgt = jnp.where(keep, pos, jnp.int32(ecap))
+    new_data = jnp.zeros_like(child.data).at[tgt].set(child.data,
+                                                      mode="drop")
+    new_validity = None
+    if child.validity is not None:
+        new_validity = jnp.ones((ecap,), bool).at[tgt].set(
+            child.validity, mode="drop")
+    seg = jnp.where(in_row, row_c, jnp.int32(ctx.capacity))
+    new_lens = jax.ops.segment_sum(
+        keep.astype(jnp.int32), seg,
+        num_segments=ctx.capacity + 1)[:ctx.capacity]
+    from velox_tpu.vector.device import DeviceColumn as _DC
+    new_child = _DC(new_data, new_validity, arr.dtype.children[0],
+                    child.dictionary)
+    return new_lens, new_child
+
+
+def _array_position_eval(ctx, out_dtype, args):
+    arr, x = args
+    child = arr.children[0]
+    ecap = child.capacity
+    row_c, in_row = _element_row_map(arr, ctx)
+    starts = _offsets(arr)
+    hit = _elem_hit(ctx, arr, x, row_c, in_row, ecap)
+    e = jnp.arange(ecap, dtype=jnp.int32)
+    within = e - starts[row_c] + 1  # 1-based
+    seg = jnp.where(hit, row_c, jnp.int32(ctx.capacity))
+    first = jax.ops.segment_min(
+        jnp.where(hit, within, jnp.int32(ecap + 1)), seg,
+        num_segments=ctx.capacity + 1)[:ctx.capacity]
+    data = jnp.where(first > ecap, 0, first).astype(jnp.int64)
+    return EvalValue(data, merge_validity(arr, x), T.BIGINT)
+
+
+register("array_position", sig("array(T), T -> bigint"),
+         _array_position_eval)
+
+
+def _array_remove_eval(ctx, out_dtype, args):
+    arr, x = args
+    child = arr.children[0]
+    row_c, in_row = _element_row_map(arr, ctx)
+    hit = _elem_hit(ctx, arr, x, row_c, in_row, child.capacity)
+    keep = in_row & ~hit
+    new_lens, new_child = _compact_elements(arr, keep, row_c, in_row, ctx)
+    return EvalValue(new_lens, merge_validity(arr, x), arr.dtype,
+                     children=(new_child,))
+
+
+register("array_remove", sig("array(T), T -> array(T)"),
+         _array_remove_eval)
+
+
+def _slice_eval(ctx, out_dtype, args):
+    arr, start, length = args
+    child = arr.children[0]
+    ecap = child.capacity
+    row_c, in_row = _element_row_map(arr, ctx)
+    starts = _offsets(arr)
+    lens = arr.data.astype(jnp.int32)[row_c]
+    s = start.full_data(ctx.capacity).astype(jnp.int32)[row_c]
+    ln = length.full_data(ctx.capacity).astype(jnp.int32)[row_c]
+    e = jnp.arange(ecap, dtype=jnp.int32)
+    pos = e - starts[row_c]            # 0-based position in row
+    begin = jnp.where(s > 0, s - 1, lens + s)
+    keep = in_row & (pos >= begin) & (pos < begin + ln) & (s != 0)
+    new_lens, new_child = _compact_elements(arr, keep, row_c, in_row, ctx)
+    return EvalValue(new_lens, merge_validity(arr, start, length),
+                     arr.dtype, children=(new_child,))
+
+
+register("slice", sig("array(T), integral, integral -> array(T)"),
+         _slice_eval)
+
+
+def _array_concat_eval(ctx, out_dtype, args):
+    a, b = args
+    ca, cb = a.children[0], b.children[0]
+    if ca.dictionary is not None and cb.dictionary is not None \
+            and ca.dictionary is not cb.dictionary:
+        raise NotImplementedError(
+            "concat over string arrays with different dictionaries")
+    la = a.data.astype(jnp.int32)
+    lb = b.data.astype(jnp.int32)
+    lo = la + lb
+    starts_out = jnp.cumsum(lo) - lo
+    out_cap = ca.capacity + cb.capacity
+    row_a, in_a = _element_row_map(a, ctx)
+    row_b, in_b = _element_row_map(b, ctx)
+    ea = jnp.arange(ca.capacity, dtype=jnp.int32)
+    eb = jnp.arange(cb.capacity, dtype=jnp.int32)
+    pos_a = ea - _offsets(a)[row_a]
+    pos_b = eb - _offsets(b)[row_b]
+    tgt_a = jnp.where(in_a, starts_out[row_a] + pos_a,
+                      jnp.int32(out_cap))
+    tgt_b = jnp.where(in_b, starts_out[row_b] + la[row_b] + pos_b,
+                      jnp.int32(out_cap))
+    data = jnp.zeros((out_cap + 1,), ca.data.dtype) \
+        .at[tgt_a].set(ca.data, mode="drop") \
+        .at[tgt_b].set(cb.data, mode="drop")[:out_cap]
+    validity = None
+    if ca.validity is not None or cb.validity is not None:
+        va = ca.validity if ca.validity is not None \
+            else jnp.ones((ca.capacity,), bool)
+        vb = cb.validity if cb.validity is not None \
+            else jnp.ones((cb.capacity,), bool)
+        validity = jnp.ones((out_cap + 1,), bool) \
+            .at[tgt_a].set(va, mode="drop") \
+            .at[tgt_b].set(vb, mode="drop")[:out_cap]
+    from velox_tpu.vector.device import DeviceColumn as _DC
+    new_child = _DC(data, validity, a.dtype.children[0],
+                    ca.dictionary or cb.dictionary)
+    return EvalValue(lo, merge_validity(a, b), a.dtype,
+                     children=(new_child,))
+
+
+register("concat", sig("array(T), array(T) -> array(T)"),
+         _array_concat_eval)
+
+
+def _flatten_eval(ctx, out_dtype, args):
+    (arr,) = args           # array(array(T))
+    inner = arr.children[0]  # ARRAY column in outer-element space
+    row_c, in_row = _element_row_map(arr, ctx)   # outer elem -> row
+
+    # inner elements -> outer element map (same machinery, one level in)
+    class _OCtx:
+        capacity = inner.capacity
+    inner_val = EvalValue(inner.data, inner.validity,
+                          arr.dtype.children[0],
+                          children=inner.children)
+    oe_of_ie, in_inner = _element_row_map(inner_val, _OCtx)
+    keep = in_inner & in_row[oe_of_ie]
+    row_of_ie = row_c[oe_of_ie]
+    leaf = inner.children[0]
+    iecap = leaf.capacity
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    tgt = jnp.where(keep, pos, jnp.int32(iecap))
+    data = jnp.zeros_like(leaf.data).at[tgt].set(leaf.data, mode="drop")
+    validity = None
+    if leaf.validity is not None:
+        validity = jnp.ones((iecap,), bool).at[tgt].set(
+            leaf.validity, mode="drop")
+    seg = jnp.where(keep, row_of_ie, jnp.int32(ctx.capacity))
+    new_lens = jax.ops.segment_sum(
+        keep.astype(jnp.int32), seg,
+        num_segments=ctx.capacity + 1)[:ctx.capacity]
+    from velox_tpu.vector.device import DeviceColumn as _DC
+    new_child = _DC(data, validity, out_dtype.children[0],
+                    leaf.dictionary)
+    return EvalValue(new_lens, arr.validity, out_dtype,
+                     children=(new_child,))
+
+
+register("flatten", sig("array(array(T)) -> array(T)"), _flatten_eval)
+
+
+def _map_entries_eval(ctx, out_dtype, args):
+    (m,) = args
+    kchild, vchild = m.children
+    from velox_tpu.vector.device import DeviceColumn as _DC
+    rt = out_dtype.children[0]  # row(K, V)
+    row_child = _DC(jnp.zeros((kchild.capacity,), jnp.int32), None, rt,
+                    None, (kchild, vchild))
+    return EvalValue(m.data, m.validity, out_dtype,
+                     children=(row_child,))
+
+
+register("map_entries",
+         sig("map(K, V) -> array(row(K, V))"), _map_entries_eval)
+
+
+def _arrays_overlap_eval(ctx, out_dtype, args):
+    """true if a common non-null element exists; NULL when no overlap
+    but either side contains a null element (Presto semantics)."""
+    from velox_tpu.exec.sort import radix_sort_perm, value_words
+    a, b = args
+    ca, cb = a.children[0], b.children[0]
+    if ca.dictionary is not None and cb.dictionary is not None \
+            and ca.dictionary is not cb.dictionary:
+        raise NotImplementedError(
+            "arrays_overlap over different string dictionaries")
+    row_a, in_a = _element_row_map(a, ctx)
+    row_b, in_b = _element_row_map(b, ctx)
+    n = ca.capacity + cb.capacity
+    va = ca.validity if ca.validity is not None \
+        else jnp.ones((ca.capacity,), bool)
+    vb = cb.validity if cb.validity is not None \
+        else jnp.ones((cb.capacity,), bool)
+    rows = jnp.concatenate([jnp.where(in_a & va, row_a,
+                                      jnp.int32(ctx.capacity)),
+                            jnp.where(in_b & vb, row_b,
+                                      jnp.int32(ctx.capacity))])
+    src_b = jnp.concatenate([jnp.zeros((ca.capacity,), bool),
+                             jnp.ones((cb.capacity,), bool)])
+    et = a.dtype.children[0]
+    vals = EvalValue(
+        jnp.concatenate([ca.data.astype(et.np_dtype()),
+                         cb.data.astype(et.np_dtype())]),
+        None, et, ca.dictionary or cb.dictionary)
+    words = [rows.astype(jnp.uint32)]
+    bits = [max(1, int(ctx.capacity + 1).bit_length())]
+    vw = value_words(vals, n)
+    words.extend(vw)
+    bits.extend([32] * len(vw))
+    perm = radix_sort_perm(words, bits, n)
+    rows_s = rows[perm]
+    data_s = vals.data[perm]
+    src_s = src_b[perm]
+    prev_same = jnp.concatenate([
+        jnp.zeros((1,), bool),
+        (rows_s[1:] == rows_s[:-1]) & (data_s[1:] == data_s[:-1])])
+    run_id = jnp.cumsum((~prev_same).astype(jnp.int32)) - 1
+    has_a = jax.ops.segment_max((~src_s).astype(jnp.int32), run_id,
+                                num_segments=n)
+    has_b = jax.ops.segment_max(src_s.astype(jnp.int32), run_id,
+                                num_segments=n)
+    both = (has_a + has_b == 2)[run_id] & (rows_s < ctx.capacity)
+    seg = jnp.where(rows_s < ctx.capacity, rows_s,
+                    jnp.int32(ctx.capacity))
+    overlap = jax.ops.segment_max(
+        both.astype(jnp.int32), seg,
+        num_segments=ctx.capacity + 1)[:ctx.capacity] > 0
+    # null handling: no overlap + a null element on either side -> NULL
+    has_null = jnp.zeros((ctx.capacity,), bool)
+    for (cc, rr, ii) in ((ca, row_a, in_a), (cb, row_b, in_b)):
+        if cc.validity is not None:
+            s = jnp.where(ii, rr, jnp.int32(ctx.capacity))
+            hn = jax.ops.segment_max(
+                (ii & ~cc.validity).astype(jnp.int32), s,
+                num_segments=ctx.capacity + 1)[:ctx.capacity] > 0
+            has_null = has_null | hn
+    validity = overlap | ~has_null
+    mv = merge_validity(a, b)
+    if mv is not None:
+        validity = validity & mv
+    return EvalValue(overlap, validity, T.BOOLEAN)
+
+
+register("arrays_overlap", sig("array(T), array(T) -> boolean"),
+         _arrays_overlap_eval)
