@@ -335,3 +335,24 @@ def test_map_entries_and_arrays_overlap():
     assert ents[1] == []
     # row 1: no common non-null but x has a null -> NULL
     assert out.column("o").to_pylist() == [True, None]
+
+
+def test_array_set_ops():
+    t = pa.table({
+        "a": pa.array([[1, 2, 2, None], [5], []], pa.list_(pa.int64())),
+        "b": pa.array([[2, 3, None], [6], [1]], pa.list_(pa.int64())),
+    })
+    b = PlanBuilder().values([t])
+    b.project(["array_intersect(a, b) as i", "array_union(a, b) as u",
+               "array_except(a, b) as e"])
+    out = Task(b.plan()).run()
+    i = out.column("i").to_pylist()
+    assert sorted(x for x in i[0] if x is not None) == [2]
+    assert None in i[0]          # null in both -> null kept
+    assert i[1] == [] and i[2] == []
+    u = out.column("u").to_pylist()
+    assert sorted(x for x in u[0] if x is not None) == [1, 2, 3]
+    assert None in u[0] and len(u[0]) == 4  # dedup incl. one null
+    assert sorted(u[1]) == [5, 6] and u[2] == [1]
+    e = out.column("e").to_pylist()
+    assert e[0] == [1] and e[1] == [5] and e[2] == []

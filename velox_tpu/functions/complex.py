@@ -971,3 +971,91 @@ def _arrays_overlap_eval(ctx, out_dtype, args):
 
 register("arrays_overlap", sig("array(T), array(T) -> boolean"),
          _arrays_overlap_eval)
+
+
+def _array_setop(ctx, a, b, mode, out_dtype):
+    """intersect/union/except over the combined (row, null, value)-sorted
+    element stream: one stable sort, per-run has_a/has_b, emit run heads
+    that satisfy the mode. Output elements are value-sorted within each
+    row (Presto leaves set-op ordering unspecified); null elements
+    compare equal to each other (Presto set semantics)."""
+    from velox_tpu.exec.sort import radix_sort_perm, value_words
+    ca, cb = a.children[0], b.children[0]
+    if ca.dictionary is not None and cb.dictionary is not None \
+            and ca.dictionary is not cb.dictionary:
+        raise NotImplementedError(
+            "array set ops over different string dictionaries")
+    row_a, in_a = _element_row_map(a, ctx)
+    row_b, in_b = _element_row_map(b, ctx)
+    n = ca.capacity + cb.capacity
+    rows = jnp.concatenate([jnp.where(in_a, row_a, jnp.int32(ctx.capacity)),
+                            jnp.where(in_b, row_b, jnp.int32(ctx.capacity))])
+    src_b = jnp.concatenate([jnp.zeros((ca.capacity,), bool),
+                             jnp.ones((cb.capacity,), bool)])
+    va = ca.validity if ca.validity is not None \
+        else jnp.ones((ca.capacity,), bool)
+    vb = cb.validity if cb.validity is not None \
+        else jnp.ones((cb.capacity,), bool)
+    valid = jnp.concatenate([va, vb])
+    et = a.dtype.children[0]
+    raw = jnp.concatenate([ca.data.astype(et.np_dtype()),
+                           cb.data.astype(et.np_dtype())])
+    vals = EvalValue(jnp.where(valid, raw, jnp.zeros_like(raw)), None,
+                     et, ca.dictionary or cb.dictionary)
+    words = [rows.astype(jnp.uint32),
+             (~valid).astype(jnp.uint32)]  # nulls sort after values
+    bits = [max(1, int(ctx.capacity + 1).bit_length()), 1]
+    vw = value_words(vals, n)
+    words.extend(vw)
+    bits.extend([32] * len(vw))
+    perm = radix_sort_perm(words, bits, n)
+    rows_s = rows[perm]
+    data_s = vals.data[perm]
+    valid_s = valid[perm]
+    src_s = src_b[perm]
+    prev_same = jnp.concatenate([
+        jnp.zeros((1,), bool),
+        (rows_s[1:] == rows_s[:-1]) & (data_s[1:] == data_s[:-1])
+        & (valid_s[1:] == valid_s[:-1])])
+    head = ~prev_same
+    run_id = jnp.cumsum(head.astype(jnp.int32)) - 1
+    has_a = jax.ops.segment_max((~src_s).astype(jnp.int32), run_id,
+                                num_segments=n) > 0
+    has_b = jax.ops.segment_max(src_s.astype(jnp.int32), run_id,
+                                num_segments=n) > 0
+    if mode == "intersect":
+        want = has_a & has_b
+    elif mode == "union":
+        want = has_a | has_b
+    else:  # except: in a, not in b
+        want = has_a & ~has_b
+    keep = head & want[run_id] & (rows_s < ctx.capacity)
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    tgt = jnp.where(keep, pos, jnp.int32(n))
+    out_data = jnp.zeros((n + 1,), raw.dtype) \
+        .at[tgt].set(data_s, mode="drop")[:n]
+    out_valid = jnp.ones((n + 1,), bool) \
+        .at[tgt].set(valid_s, mode="drop")[:n]
+    seg = jnp.where(rows_s < ctx.capacity, rows_s, jnp.int32(ctx.capacity))
+    new_lens = jax.ops.segment_sum(
+        keep.astype(jnp.int32), seg,
+        num_segments=ctx.capacity + 1)[:ctx.capacity]
+    from velox_tpu.vector.device import DeviceColumn as _DC
+    new_child = _DC(out_data, out_valid, et,
+                    ca.dictionary or cb.dictionary)
+    return EvalValue(new_lens, merge_validity(a, b), out_dtype,
+                     children=(new_child,))
+
+
+def _setop_eval(mode):
+    def eval_fn(ctx, out_dtype, args):
+        return _array_setop(ctx, args[0], args[1], mode, out_dtype)
+    return eval_fn
+
+
+register("array_intersect", sig("array(T), array(T) -> array(T)"),
+         _setop_eval("intersect"))
+register("array_union", sig("array(T), array(T) -> array(T)"),
+         _setop_eval("union"))
+register("array_except", sig("array(T), array(T) -> array(T)"),
+         _setop_eval("except"))
