@@ -356,3 +356,34 @@ def test_array_set_ops():
     assert sorted(u[1]) == [5, 6] and u[2] == [1]
     e = out.column("e").to_pylist()
     assert e[0] == [1] and e[1] == [5] and e[2] == []
+
+
+def test_map_concat():
+    t = pa.table({
+        "m1": pa.array([{"a": 1, "b": 2}, {}],
+                       pa.map_(pa.string(), pa.int64())),
+        "m2": pa.array([{"b": 9, "c": 3}, {"z": 1}],
+                       pa.map_(pa.string(), pa.int64())),
+    })
+    b = PlanBuilder().values([t])
+    b.project(["map_concat(m1, m2) as m"])
+    out = Task(b.plan()).run()
+    ms = [dict(x) for x in out.column("m").to_pylist()]
+    assert ms[0] == {"a": 1, "b": 9, "c": 3}  # m2 wins duplicate keys
+    assert ms[1] == {"z": 1}
+
+
+def test_array_set_ops_strings_different_dicts():
+    """Binary array ops unify differing string dictionaries."""
+    t = pa.table({
+        "a": pa.array([["x", "y"], ["p"]], pa.list_(pa.string())),
+        "b": pa.array([["y", "z"], ["q"]], pa.list_(pa.string())),
+    })
+    b = PlanBuilder().values([t])
+    b.project(["array_intersect(a, b) as i", "concat(a, b) as c",
+               "arrays_overlap(a, b) as o"])
+    out = Task(b.plan()).run()
+    assert out.column("i").to_pylist() == [["y"], []]
+    assert out.column("c").to_pylist() == [["x", "y", "y", "z"],
+                                           ["p", "q"]]
+    assert out.column("o").to_pylist() == [True, False]

@@ -703,6 +703,28 @@ _register("reduce", sig("array(T), A, B, C -> C"), _no_eval)
 # ArrayFlattenFunction, MapEntriesFunction, ArraysOverlapFunction).
 # ---------------------------------------------------------------------------
 
+def _unify_dicts(ca, cb):
+    """(dictionary, data_a, data_b): remap two dictionary-id columns
+    onto ONE merged sorted dictionary so ids compare across columns
+    (host work is O(distinct), trace-time — the same cost class as
+    dictionary construction itself)."""
+    if ca.dictionary is None or cb.dictionary is None \
+            or ca.dictionary is cb.dictionary:
+        return (ca.dictionary if ca.dictionary is not None
+                else cb.dictionary), ca.data, cb.data
+    from velox_tpu.vector.device import Dictionary
+    va = ca.dictionary.values
+    vb = cb.dictionary.values
+    merged = sorted(set(va.tolist()) | set(vb.tolist()))
+    idx = {v: i for i, v in enumerate(merged)}
+    ra = np.array([idx[v] for v in va], np.int32)
+    rb = np.array([idx[v] for v in vb], np.int32)
+    d = Dictionary(merged)
+    d.is_sorted = True
+    return d, jnp.asarray(ra)[ca.data.astype(jnp.int32)], \
+        jnp.asarray(rb)[cb.data.astype(jnp.int32)]
+
+
 def _elem_hit(ctx, arr, x, row_c, in_row, ecap):
     """Element-space equality mask vs a (possibly per-row) needle."""
     child = arr.children[0]
@@ -808,10 +830,10 @@ register("slice", sig("array(T), integral, integral -> array(T)"),
 def _array_concat_eval(ctx, out_dtype, args):
     a, b = args
     ca, cb = a.children[0], b.children[0]
-    if ca.dictionary is not None and cb.dictionary is not None \
-            and ca.dictionary is not cb.dictionary:
-        raise NotImplementedError(
-            "concat over string arrays with different dictionaries")
+    shared_dict, da_data, db_data = _unify_dicts(ca, cb)
+    from velox_tpu.vector.device import DeviceColumn as _DC0
+    ca = _DC0(da_data, ca.validity, ca.dtype, shared_dict, ca.children)
+    cb = _DC0(db_data, cb.validity, cb.dtype, shared_dict, cb.children)
     la = a.data.astype(jnp.int32)
     lb = b.data.astype(jnp.int32)
     lo = la + lb
@@ -840,8 +862,7 @@ def _array_concat_eval(ctx, out_dtype, args):
             .at[tgt_a].set(va, mode="drop") \
             .at[tgt_b].set(vb, mode="drop")[:out_cap]
     from velox_tpu.vector.device import DeviceColumn as _DC
-    new_child = _DC(data, validity, a.dtype.children[0],
-                    ca.dictionary or cb.dictionary)
+    new_child = _DC(data, validity, a.dtype.children[0], shared_dict)
     return EvalValue(lo, merge_validity(a, b), a.dtype,
                      children=(new_child,))
 
@@ -908,10 +929,7 @@ def _arrays_overlap_eval(ctx, out_dtype, args):
     from velox_tpu.exec.sort import radix_sort_perm, value_words
     a, b = args
     ca, cb = a.children[0], b.children[0]
-    if ca.dictionary is not None and cb.dictionary is not None \
-            and ca.dictionary is not cb.dictionary:
-        raise NotImplementedError(
-            "arrays_overlap over different string dictionaries")
+    shared_dict, da_data, db_data = _unify_dicts(ca, cb)
     row_a, in_a = _element_row_map(a, ctx)
     row_b, in_b = _element_row_map(b, ctx)
     n = ca.capacity + cb.capacity
@@ -927,9 +945,9 @@ def _arrays_overlap_eval(ctx, out_dtype, args):
                              jnp.ones((cb.capacity,), bool)])
     et = a.dtype.children[0]
     vals = EvalValue(
-        jnp.concatenate([ca.data.astype(et.np_dtype()),
-                         cb.data.astype(et.np_dtype())]),
-        None, et, ca.dictionary or cb.dictionary)
+        jnp.concatenate([da_data.astype(et.np_dtype()),
+                         db_data.astype(et.np_dtype())]),
+        None, et, shared_dict)
     words = [rows.astype(jnp.uint32)]
     bits = [max(1, int(ctx.capacity + 1).bit_length())]
     vw = value_words(vals, n)
@@ -981,10 +999,7 @@ def _array_setop(ctx, a, b, mode, out_dtype):
     compare equal to each other (Presto set semantics)."""
     from velox_tpu.exec.sort import radix_sort_perm, value_words
     ca, cb = a.children[0], b.children[0]
-    if ca.dictionary is not None and cb.dictionary is not None \
-            and ca.dictionary is not cb.dictionary:
-        raise NotImplementedError(
-            "array set ops over different string dictionaries")
+    shared_dict, da_data, db_data = _unify_dicts(ca, cb)
     row_a, in_a = _element_row_map(a, ctx)
     row_b, in_b = _element_row_map(b, ctx)
     n = ca.capacity + cb.capacity
@@ -998,10 +1013,10 @@ def _array_setop(ctx, a, b, mode, out_dtype):
         else jnp.ones((cb.capacity,), bool)
     valid = jnp.concatenate([va, vb])
     et = a.dtype.children[0]
-    raw = jnp.concatenate([ca.data.astype(et.np_dtype()),
-                           cb.data.astype(et.np_dtype())])
+    raw = jnp.concatenate([da_data.astype(et.np_dtype()),
+                           db_data.astype(et.np_dtype())])
     vals = EvalValue(jnp.where(valid, raw, jnp.zeros_like(raw)), None,
-                     et, ca.dictionary or cb.dictionary)
+                     et, shared_dict)
     words = [rows.astype(jnp.uint32),
              (~valid).astype(jnp.uint32)]  # nulls sort after values
     bits = [max(1, int(ctx.capacity + 1).bit_length()), 1]
@@ -1041,8 +1056,7 @@ def _array_setop(ctx, a, b, mode, out_dtype):
         keep.astype(jnp.int32), seg,
         num_segments=ctx.capacity + 1)[:ctx.capacity]
     from velox_tpu.vector.device import DeviceColumn as _DC
-    new_child = _DC(out_data, out_valid, et,
-                    ca.dictionary or cb.dictionary)
+    new_child = _DC(out_data, out_valid, et, shared_dict)
     return EvalValue(new_lens, merge_validity(a, b), out_dtype,
                      children=(new_child,))
 
@@ -1059,3 +1073,70 @@ register("array_union", sig("array(T), array(T) -> array(T)"),
          _setop_eval("union"))
 register("array_except", sig("array(T), array(T) -> array(T)"),
          _setop_eval("except"))
+
+
+def _map_concat_eval(ctx, out_dtype, args):
+    """map_concat(m1, m2): union of entries, m2 wins duplicate keys.
+    Same combined-run machinery as the array set ops, but the kept
+    entry is the run TAIL (stable sort puts m1 before m2 in a run, so
+    the tail is m2's entry when both sides carry the key). Ref
+    prestosql MapConcatFunction."""
+    from velox_tpu.exec.sort import radix_sort_perm, value_words
+    a, b = args
+    ka, va_ = a.children
+    kb, vb_ = b.children
+    kdict, ka_data, kb_data = _unify_dicts(ka, kb)
+    vdict, va_data, vb_data = _unify_dicts(va_, vb_)
+    row_a, in_a = _element_row_map(a, ctx)
+    row_b, in_b = _element_row_map(b, ctx)
+    n = ka.capacity + kb.capacity
+    rows = jnp.concatenate([jnp.where(in_a, row_a, jnp.int32(ctx.capacity)),
+                            jnp.where(in_b, row_b, jnp.int32(ctx.capacity))])
+    kt = a.dtype.children[0]
+    keys = EvalValue(jnp.concatenate([ka_data.astype(kt.np_dtype()),
+                                      kb_data.astype(kt.np_dtype())]),
+                     None, kt, kdict)
+    vdata = jnp.concatenate([va_data, vb_data])
+    vvalid = None
+    if va_.validity is not None or vb_.validity is not None:
+        vvalid = jnp.concatenate([
+            va_.validity if va_.validity is not None
+            else jnp.ones((ka.capacity,), bool),
+            vb_.validity if vb_.validity is not None
+            else jnp.ones((kb.capacity,), bool)])
+    words = [rows.astype(jnp.uint32)]
+    bits = [max(1, int(ctx.capacity + 1).bit_length())]
+    vw = value_words(keys, n)
+    words.extend(vw)
+    bits.extend([32] * len(vw))
+    perm = radix_sort_perm(words, bits, n)
+    rows_s = rows[perm]
+    keys_s = keys.data[perm]
+    next_same = jnp.concatenate([
+        (rows_s[1:] == rows_s[:-1]) & (keys_s[1:] == keys_s[:-1]),
+        jnp.zeros((1,), bool)])
+    keep = ~next_same & (rows_s < ctx.capacity)  # run TAILS
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    tgt = jnp.where(keep, pos, jnp.int32(n))
+    out_k = jnp.zeros((n + 1,), keys.data.dtype) \
+        .at[tgt].set(keys_s, mode="drop")[:n]
+    vdata_s = vdata[perm]
+    out_v = jnp.zeros((n + 1,), vdata.dtype) \
+        .at[tgt].set(vdata_s, mode="drop")[:n]
+    out_vv = None
+    if vvalid is not None:
+        out_vv = jnp.ones((n + 1,), bool) \
+            .at[tgt].set(vvalid[perm], mode="drop")[:n]
+    seg = jnp.where(rows_s < ctx.capacity, rows_s, jnp.int32(ctx.capacity))
+    new_lens = jax.ops.segment_sum(
+        keep.astype(jnp.int32), seg,
+        num_segments=ctx.capacity + 1)[:ctx.capacity]
+    from velox_tpu.vector.device import DeviceColumn as _DC
+    kchild = _DC(out_k, None, kt, kdict)
+    vchild = _DC(out_v, out_vv, a.dtype.children[1], vdict)
+    return EvalValue(new_lens, merge_validity(a, b), out_dtype,
+                     children=(kchild, vchild))
+
+
+register("map_concat", sig("map(K, V), map(K, V) -> map(K, V)"),
+         _map_concat_eval)
