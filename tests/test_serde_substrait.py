@@ -218,3 +218,61 @@ def test_substrait_window_row_number(conn):
     for _, grp in list(g)[:20]:
         np.testing.assert_array_equal(grp.rn.to_numpy(),
                                       np.arange(1, len(grp) + 1))
+
+
+def test_substrait_emit_roundtrip_results():
+    """to_substrait -> from_substrait -> identical RESULTS (names are
+    positional in Substrait; values round-trip exactly)."""
+    from velox_tpu.connectors.connector import register_connector
+    from velox_tpu.connectors.tpch import TpchConnector
+    from velox_tpu.exec.task import Task
+    from velox_tpu.substrait import from_substrait
+    from velox_tpu.substrait.emit import to_substrait
+    from velox_tpu.testing.plan_builder import PlanBuilder
+
+    register_connector(TpchConnector("tpch-emit", scale_factor=0.002))
+    b = PlanBuilder()
+    b.table_scan("lineitem",
+                 ["l_quantity", "l_extendedprice", "l_discount",
+                  "l_shipdate"],
+                 connector_id="tpch-emit")
+    b.filter("l_quantity < 24.0")
+    b.single_aggregation([], ["sum(l_extendedprice) as s",
+                              "count() as c"])
+    plan = b.plan()
+    sp = to_substrait(plan)
+    plan2 = from_substrait(sp, connector_id="tpch-emit")
+    a = Task(plan).run().to_pandas()
+    c = Task(plan2).run().to_pandas()
+    assert float(a.iloc[0, 0]) == float(c.iloc[0, 0])
+    assert int(a.c[0]) == int(c.iloc[0, 1])
+
+
+def test_substrait_emit_join_sort_fetch():
+    import pandas as pd
+    import pyarrow as pa
+
+    from velox_tpu.exec.task import Task
+    from velox_tpu.substrait import from_substrait
+    from velox_tpu.substrait.emit import to_substrait
+    from velox_tpu.testing.plan_builder import PlanBuilder
+    import numpy as np
+    rng = np.random.RandomState(5)
+    left = pd.DataFrame({"pk": rng.randint(0, 20, 100).astype("int64"),
+                         "pv": rng.randint(0, 9, 100).astype("int64")})
+    right = pd.DataFrame({"bk": np.arange(15, dtype="int64"),
+                          "bv": np.arange(15, dtype="int64") * 10})
+    b = PlanBuilder()
+    bb = b.new_builder().values([pa.table(right)])
+    b.values([pa.table(left)])
+    b.hash_join(["pk"], ["bk"], bb, output=["pk", "pv", "bv"])
+    b.order_by(["pk", "pv desc"])
+    b.limit(12)
+    plan = b.plan()
+    sp = to_substrait(plan)
+    plan2 = from_substrait(sp)
+    a = Task(plan).run().to_pandas()
+    c = Task(plan2).run().to_pandas()
+    assert len(a) == len(c) == 12
+    np.testing.assert_array_equal(a.pk, c.iloc[:, 0])
+    np.testing.assert_array_equal(a.bv, c.iloc[:, 2])

@@ -158,6 +158,23 @@ class _Converter:
 
     def _rel_read(self, spec: Dict) -> P.PlanNode:
         names = list(spec["baseSchema"]["names"])
+        if "virtualTable" in spec:
+            # literal rows (Expression.Literal.Struct per row)
+            import pyarrow as pa
+            types = [_subs_type(t) for t in
+                     spec["baseSchema"]["struct"]["types"]]
+            rows = spec["virtualTable"].get("values", ())
+            cols: List[List] = [[] for _ in names]
+            for r in rows:
+                for i, lit in enumerate(r.get("fields", ())):
+                    c = self._literal(lit)
+                    cols[i].append(c.value)
+            rt = T.row(names, types)
+            tbl = pa.table(
+                {n: pa.array(v, type=T.to_arrow(t))
+                 for n, v, t in zip(names, cols, types)})
+            return P.ValuesNode(self.ids.next(), row_type=rt,
+                                tables=(tbl,))
         table = spec["namedTable"]["names"][0]
         from velox_tpu.connectors.connector import get_connector
         schema = get_connector(self.connector_id).table_schema(table)
