@@ -69,3 +69,31 @@ def test_faulty_connector():
         Task(plan).run()
     faulty.clear_fault_hook()
     assert Task(plan).run().num_rows == 25
+
+
+def test_debug_sync_operators_attributes_walls():
+    """debug_sync_operators forces device work at stage boundaries so
+    OperatorStats walls cover (nearly) the whole query wall — without
+    it, async dispatch parks execution time at downstream sync points."""
+    import time
+
+    from velox_tpu.connectors.connector import register_connector
+    from velox_tpu.connectors.tpch import TpchConnector
+    from velox_tpu.exec.task import QueryCtx
+    from velox_tpu.tpch import tpch_plan
+
+    register_connector(TpchConnector("tpch-sync", scale_factor=0.01,
+                                     rows_per_split=1 << 14))
+    plan = tpch_plan(3, connector_id="tpch-sync")
+    Task(plan, ctx=QueryCtx({"debug_sync_operators": True})).run()  # warm
+    t0 = time.perf_counter()
+    task = Task(plan, ctx=QueryCtx({"debug_sync_operators": True}))
+    task.run()
+    wall = time.perf_counter() - t0
+    attributed = sum(
+        op.stats.add_input_wall_ns + op.stats.get_output_wall_ns
+        + op.stats.finish_wall_ns + op.stats.build_wall_ns
+        for op in task.operators) / 1e9
+    # the tail outside operators is result extraction + driver overhead
+    assert attributed > 0.5 * wall
+    assert "+build" in task.print_plan_with_stats()

@@ -53,6 +53,13 @@ class QueryConfig:
     # background split preload depth (0 = synchronous scans); parity:
     # velox split prefetch on the I/O executor
     SCAN_PREFETCH_DEPTH = "scan_prefetch_depth"
+    # block on each operator's device state at stage boundaries so
+    # OperatorStats walls attribute truthfully (XLA dispatch is async;
+    # without this, execution time lands at whatever sync point comes
+    # next). Parity intent: the reference's per-operator CPU times are
+    # real because its execution is synchronous. Debug/profiling only —
+    # it serializes the pipeline.
+    DEBUG_SYNC_OPERATORS = "debug_sync_operators"
 
     _DEFAULTS: Dict[str, Any] = {
         AGG_COMPACT_THRESHOLD: 8,

@@ -852,6 +852,11 @@ class AggregationOperator(Operator):
             out = DeviceBatch(out.columns, out.mask)
         return out
 
+    def device_state(self):
+        return (self._partials, self._outputs,
+                getattr(self, "_collect_rows", None),
+                getattr(self, "_global_state", None))
+
     def _compact_partials(self):
         """Fold all pending partial runs into one right-sized state batch.
 

@@ -684,6 +684,9 @@ class HashJoinOperator(Operator):
             self._right_done = True
             self._outputs.append(self._emit_right_phase())
 
+    def device_state(self):
+        return (self._outputs, self._matched)
+
     def get_output(self):
         if self._outputs:
             return self._outputs.pop(0)

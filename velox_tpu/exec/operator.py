@@ -42,6 +42,9 @@ class OperatorStats:
     add_input_wall_ns: int = 0
     get_output_wall_ns: int = 0
     finish_wall_ns: int = 0
+    # wall of an upstream build stage feeding this operator (join
+    # builds run outside the operator SPI, in Task._run_hash_join)
+    build_wall_ns: int = 0
 
     def as_dict(self):
         return dict(self.__dict__)
@@ -76,6 +79,14 @@ class Operator:
         """Release operator resources (threads, buffers). Called by the
         Task at the end of run(), including on error paths. Parity:
         Operator::close (exec/Operator.h)."""
+
+    def device_state(self):
+        """Device arrays (a pytree) holding this operator's buffered
+        state, for ``debug_sync_operators``: the driver blocks on these
+        after add_input/no_more_input so the operator's dispatched work
+        is forced inside ITS OWN timed section. Stateless operators
+        return () — their work is forced via the output batch."""
+        return ()
 
 
 class SourceOperator(Operator):

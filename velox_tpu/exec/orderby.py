@@ -72,6 +72,9 @@ class OrderByOperator(Operator):
     def add_input(self, batch):
         self._buffer.add(batch)
 
+    def device_state(self):
+        return self._out
+
     def no_more_input(self):
         super().no_more_input()
         if len(self._buffer):
@@ -127,6 +130,9 @@ class TopNOperator(Operator):
 
     def add_input(self, batch):
         self._topk = self._merge_fn(self._topk, batch)
+
+    def device_state(self):
+        return (self._topk, self._out)
 
     def no_more_input(self):
         super().no_more_input()

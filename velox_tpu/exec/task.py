@@ -67,9 +67,21 @@ class Task:
         self._trace_dir = qc.get_str(QC.TRACE_DIR)
         ids = qc.get_str(QC.TRACE_NODE_IDS)
         self._trace_ids = set(x for x in ids.split(",") if x) or None
+        self._sync_ops = qc.get_bool(QC.DEBUG_SYNC_OPERATORS)
         if self._trace_enabled and self._trace_dir:
             from velox_tpu.exec.trace import write_plan
             write_plan(self._trace_dir, plan)
+
+    @staticmethod
+    def _block(tree):
+        """Force pending device work (debug_sync_operators)."""
+        if tree is None:
+            return
+        import jax
+        for leaf in jax.tree_util.tree_leaves(tree):
+            block = getattr(leaf, "block_until_ready", None)
+            if block is not None:
+                block()
 
     def _maybe_trace(self, op: Operator, batch: DeviceBatch):
         """Record operator inputs for offline replay.
@@ -248,11 +260,13 @@ class Task:
             for st in by_node.get(node.id, []):
                 ms = (st.add_input_wall_ns + st.get_output_wall_ns
                       + st.finish_wall_ns) / 1e6
+                extra = (f" (+build {st.build_wall_ns / 1e6:.1f} ms)"
+                         if st.build_wall_ns else "")
                 lines.append(
                     f"{pad}    {st.operator_type}: in={st.input_batches} "
                     f"out={st.output_batches} batches "
                     f"({st.input_bytes / 1e6:.0f}/"
-                    f"{st.output_bytes / 1e6:.0f} MB), {ms:.1f} ms")
+                    f"{st.output_bytes / 1e6:.0f} MB), {ms:.1f} ms{extra}")
             for s in node.sources:
                 lines.extend(fmt(s, indent + 1))
             return lines
@@ -566,8 +580,12 @@ class Task:
             pool=self.ctx.memory_pool)
         for batch in self._run_node(node.right):
             build.add_input(batch)
+        t0 = time.perf_counter_ns()
         table = build.finish()
+        if self._sync_ops:
+            self._block(table)
         probe = HashJoinOperator(node)
+        probe.stats.build_wall_ns = time.perf_counter_ns() - t0
         probe.set_built_table(table)
         left = self._maybe_push_dynamic_filter(node, table)
         yield from self._drive(left, probe)
@@ -586,8 +604,12 @@ class Task:
             pool=self.ctx.memory_pool)
         for batch in self._run_node(node.right):
             build.add_input(batch)
+        t0 = time.perf_counter_ns()
         table = build.finish()
+        if self._sync_ops:
+            self._block(table)
         probe = MergeJoinOperator(node)
+        probe.stats.build_wall_ns = time.perf_counter_ns() - t0
         probe.set_built_table(table)
         yield from self._drive(node.left, probe)
 
@@ -687,12 +709,16 @@ class Task:
             from velox_tpu.common.process_trace import TraceContext
             with TraceContext(f"{st.operator_type}[{op.node.id}] add_input"):
                 op.add_input(batch)
+                if self._sync_ops:
+                    self._block(op.device_state())
             st.add_input_wall_ns += time.perf_counter_ns() - t0
             st.input_batches += 1
             st.input_bytes += batch.nbytes
             while True:
                 t0 = time.perf_counter_ns()
                 out = op.get_output()
+                if self._sync_ops:
+                    self._block(out)
                 st.get_output_wall_ns += time.perf_counter_ns() - t0
                 if out is None:
                     break
@@ -703,6 +729,8 @@ class Task:
         from velox_tpu.common.process_trace import TraceContext
         with TraceContext(f"{st.operator_type}[{op.node.id}] finish"):
             op.no_more_input()
+            if self._sync_ops:
+                self._block(op.device_state())
         st.finish_wall_ns += time.perf_counter_ns() - t0
         while True:
             out = op.get_output()
@@ -722,6 +750,8 @@ class Task:
         while not op.is_finished():
             t0 = time.perf_counter_ns()
             out = op.get_output()
+            if self._sync_ops:
+                self._block(out)
             st.get_output_wall_ns += time.perf_counter_ns() - t0
             if out is None:
                 break

@@ -150,6 +150,9 @@ class WindowOperator(Operator):
     def add_input(self, batch):
         self._batches.append(batch)
 
+    def device_state(self):
+        return self._out
+
     def no_more_input(self):
         super().no_more_input()
         if self._batches:
