@@ -848,11 +848,17 @@ class TpchConnector(Connector):
         if cap is None:
             # Fixed capacity per table so every split of a scan shares one
             # compiled program (trace stability). Lineitem splits cover
-            # rows_per_split/5 orders with <= 7 lines each.
+            # rows_per_split/5 orders with <= 7 lines each. Capacity is
+            # capped at the table's actual size: small dimension tables
+            # (customer/nation/region...) must not pad to the lineitem
+            # split size — every downstream operator pays the padded
+            # capacity (a 150K-row build padded to 2M is 13x wasted sort/
+            # probe work).
+            n = self.num_index_rows(table)
             if table == "lineitem":
-                cap = default_capacity((self.rows_per_split // 5) * 7)
+                cap = default_capacity(min(self.rows_per_split // 5, n) * 7)
             else:
-                cap = default_capacity(self.rows_per_split)
+                cap = default_capacity(min(self.rows_per_split, n))
         return TpchDataSource(self.gen, table, columns, cap)
 
     def num_index_rows(self, table: str) -> int:
