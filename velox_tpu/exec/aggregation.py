@@ -129,14 +129,26 @@ class AggregationOperator(Operator):
                             "constant")
                     a.buckets = int(call.inputs[0].value)
             self._collect_rows: List[DeviceBatch] = []
-            self._collect_prep_fn = jax.jit(self._collect_prep)
-            self._collect_final_fn = jax.jit(self._collect_finalize)
+            # collect steps read only node-derived state (incl. stats
+            # ranges) — cache across Tasks like the grouped steps below;
+            # string aggregates bake dictionaries, so those stay per-Task
+            from velox_tpu.exec.jit_cache import cached_jit
+            _c_ok = not any(a.inputs and a.inputs[0].dtype.is_string
+                            for a in self._agg_calls)
+            ck = ("agg_collect", node, self._key_ranges)
+
+            def _mk(name, fn):
+                if not _c_ok:
+                    return jax.jit(fn)
+                return cached_jit(ck + (name,), lambda: jax.jit(fn))
+            self._collect_prep_fn = _mk("prep", self._collect_prep)
+            self._collect_final_fn = _mk("final", self._collect_finalize)
             # knots per group and partial: rank error <= W/K per input
             # fragment, additive under merge
             self._pct_k = 1024
             if self._pct_split:
-                self._pct_compress_fn = jax.jit(self._pct_compress)
-                self._pct_final_fn = jax.jit(self._pct_final)
+                self._pct_compress_fn = _mk("pctc", self._pct_compress)
+                self._pct_final_fn = _mk("pctf", self._pct_final)
         self._partials: List[DeviceBatch] = []
         self._outputs: List[DeviceBatch] = []
         self.error_scalars: List = []  # collected by Task._drive
@@ -901,8 +913,11 @@ class AggregationOperator(Operator):
             # mode scatters groups over the domain — verify before cutting.
             tail = int(jax.device_get(jnp.sum(merged.mask[want:])))
             if tail == 0:
-                merged = jax.jit(
-                    slice_batch, static_argnums=(1, 2))(merged, 0, want)
+                from velox_tpu.exec.jit_cache import cached_jit
+                fn = cached_jit(("agg_shrink_slice", want),
+                                lambda: jax.jit(slice_batch,
+                                                static_argnums=(1, 2)))
+                merged = fn(merged, 0, want)
         return merged
 
     def no_more_input(self):
@@ -986,7 +1001,16 @@ class AggregationOperator(Operator):
                         new_state.append(jnp.maximum(
                             s, jnp.max(data, axis=0)))
                 return new_state, (sum(errs) if errs else None)
-            self._global_fn = jax.jit(_step)
+            _c_ok = not any(a.inputs and a.inputs[0].dtype.is_string
+                            for a in self._agg_calls)
+            if _c_ok:
+                from velox_tpu.exec.jit_cache import cached_jit
+                self._global_fn = cached_jit(
+                    ("agg_global", self.node, self._pre_fn is None,
+                     self._key_ranges),
+                    lambda: jax.jit(_step))
+            else:
+                self._global_fn = jax.jit(_step)
         if self._global_state is None:
             self._global_state = []
             for agg in self._aggs:

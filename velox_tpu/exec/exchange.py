@@ -293,8 +293,10 @@ class PartitionedOutputOperator(Operator):
                 1, mode="drop")
             return out, counts, jnp.sum(batch.mask, dtype=jnp.int64)
 
-        self._bucketize_fn = (jax.jit(_bucketize)
-                              if self._uses_keys else None)
+        from velox_tpu.exec.jit_cache import cached_jit
+        self._bucketize_fn = (
+            cached_jit(("bucketize", node), lambda: jax.jit(_bucketize))
+            if self._uses_keys else None)
 
     def add_input(self, batch: DeviceBatch):
         from velox_tpu.vector.device import to_arrow

@@ -633,9 +633,12 @@ class HashJoinOperator(Operator):
     # ---- right phase (unmatched / matched build rows) -------------------------
 
     def _emit_right_phase(self) -> Optional[DeviceBatch]:
-        return jax.jit(
-            lambda bt, m: emit_right_phase(self._node, bt, m))(
-                self._bt, self._matched)
+        from velox_tpu.exec.jit_cache import cached_jit
+        fn = cached_jit(
+            ("right_phase", self._node),
+            lambda: jax.jit(
+                lambda bt, m: emit_right_phase(self._node, bt, m)))
+        return fn(self._bt, self._matched)
 
     # ---- operator contract --------------------------------------------------
 

@@ -47,12 +47,16 @@ class MarkDistinctOperator(Operator):
         return DeviceBatch(cols, batch.mask), table
 
     def add_input(self, batch):
+        from velox_tpu.exec.jit_cache import cached_jit
         if self._table is None:
-            self._out, self._table = jax.jit(
-                lambda b: self._step(b, None))(batch)
+            fn = cached_jit(
+                ("mark_distinct_init", self.node),
+                lambda: jax.jit(lambda b: self._step(b, None)))
+            self._out, self._table = fn(batch)
         else:
             if not hasattr(self, "_fn"):
-                self._fn = jax.jit(self._step)
+                self._fn = cached_jit(("mark_distinct", self.node),
+                                      lambda: jax.jit(self._step))
             self._out, self._table = self._fn(batch, self._table)
 
     def get_output(self):
@@ -87,7 +91,8 @@ class AssignUniqueIdOperator(Operator):
             new_counter = counter + jnp.sum(batch.mask.astype(jnp.int64))
             return DeviceBatch(cols, batch.mask), new_counter
 
-        self._fn = jax.jit(_step)
+        from velox_tpu.exec.jit_cache import cached_jit
+        self._fn = cached_jit(("assign_uid", node), lambda: jax.jit(_step))
 
     def add_input(self, batch):
         self._out, self._counter = self._fn(batch, self._counter)
@@ -129,7 +134,9 @@ class EnforceSingleRowOperator(Operator):
                 f"Expected single row of input, received {n} rows")
         if n == 1:
             from velox_tpu.exec.batch_utils import compact
-            self._out = jax.jit(compact)(merged)
+            from velox_tpu.exec.jit_cache import cached_jit
+            self._out = cached_jit(("compact_fn",),
+                                   lambda: jax.jit(compact))(merged)
         else:
             # single all-null row
             cols = {
@@ -170,7 +177,10 @@ class ExpandOperator(Operator):
             }
             return DeviceBatch(cols, batch.mask)
 
-        self._fns = [jax.jit(lambda b, i=i: _one(b, i))
+        from velox_tpu.exec.jit_cache import cached_jit
+        self._fns = [cached_jit(("expand", node, i),
+                                lambda i=i: jax.jit(
+                                    lambda b, i=i: _one(b, i)))
                      for i in range(len(node.projection_sets))]
 
     def add_input(self, batch):
@@ -207,7 +217,9 @@ class UnnestOperator(Operator):
         if any(c.is_complex for c in ut.children):
             raise NotImplementedError("nested complex unnest")
         self._out = None
-        self._fn = jax.jit(self._run)
+        from velox_tpu.exec.jit_cache import cached_jit
+        self._fn = cached_jit(("unnest", node),
+                              lambda: jax.jit(self._run))
 
     def _run(self, batch: DeviceBatch) -> DeviceBatch:
         node = self._node
@@ -297,7 +309,10 @@ class GroupIdOperator(Operator):
                 T.BIGINT, None)
             return DeviceBatch(cols, batch.mask)
 
-        self._fns = [jax.jit(lambda b, i=i: _one(b, i))
+        from velox_tpu.exec.jit_cache import cached_jit
+        self._fns = [cached_jit(("group_id", node, i),
+                                lambda i=i: jax.jit(
+                                    lambda b, i=i: _one(b, i)))
                      for i in range(len(node.grouping_sets))]
 
     def add_input(self, batch):
@@ -337,9 +352,12 @@ class NestedLoopJoinOperator(Operator):
 
     def set_build(self, build: DeviceBatch):
         from velox_tpu.exec.batch_utils import compact
-        self._build = jax.jit(compact)(build)
+        from velox_tpu.exec.jit_cache import cached_jit
+        self._build = cached_jit(("compact_fn",),
+                                 lambda: jax.jit(compact))(build)
         self._build_n = int(jax.device_get(build.num_active()))
-        self._emit_fn = jax.jit(self._emit)
+        self._emit_fn = cached_jit(("nlj_emit", self._node),
+                                   lambda: jax.jit(self._emit))
         if self._track_build:
             self._build_matched = jnp.zeros((self._build.capacity,), bool)
 

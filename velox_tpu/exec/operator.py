@@ -307,7 +307,13 @@ class FilterProjectOperator(Operator):
                                errors=prior + jnp.sum(err,
                                                       dtype=jnp.int32))
 
-        self._fn = jax.jit(_run)
+        # cross-task cache (the traced body reads only ctor args, which
+        # the distributed layer may vary independently of the node)
+        from velox_tpu.exec.jit_cache import cached_jit
+        self._fn = cached_jit(
+            ("filter_project", node, filter_expr, tuple(self._names),
+             tuple(self._projections)),
+            lambda: jax.jit(_run))
 
     def add_input(self, batch):
         self._out = self._fn(batch)
@@ -343,7 +349,8 @@ class LimitOperator(Operator):
             new_seen = seen + prefix[-1]
             return batch.with_mask(keep), new_seen
 
-        self._fn = jax.jit(_run)
+        from velox_tpu.exec.jit_cache import cached_jit
+        self._fn = cached_jit(("limit", node), lambda: jax.jit(_run))
 
     def add_input(self, batch):
         if self._seen is None:

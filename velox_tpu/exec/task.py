@@ -149,15 +149,14 @@ class Task:
         out_cap = max(1024, 1 << (max(1, n) - 1).bit_length())
         if out_cap * 2 >= b.capacity:
             return b
-        if not hasattr(self, "_compact_fns"):
-            self._compact_fns = {}
         import functools
-        fn = self._compact_fns.get(out_cap)
-        if fn is None:
-            import jax as _jax
-            fn = _jax.jit(functools.partial(compact_batch,
-                                            out_cap=out_cap))
-            self._compact_fns[out_cap] = fn
+
+        import jax as _jax
+
+        from velox_tpu.exec.jit_cache import cached_jit
+        fn = cached_jit(("compact_for_output", out_cap),
+                        lambda: _jax.jit(functools.partial(
+                            compact_batch, out_cap=out_cap)))
         return fn(b)
 
     def run(self):
@@ -642,7 +641,6 @@ class Task:
         # tunnel and was measured as seconds of Q3 wall.
         import jax.numpy as jnp
 
-        @jax.jit
         def _summaries(batch):
             cap = batch.capacity
             keys = _key_values(batch, node.right_keys)
@@ -665,7 +663,14 @@ class Task:
                 outs.append((lo, hi, s))
             return n, outs
 
-        n_usable, summaries = jax.device_get(_summaries(table.batch))
+        # cross-task cache: a bare @jax.jit here compiled FRESH per Task
+        # (jit caches on function identity) — measured 1.1s of every warm
+        # Q3 wall spent recompiling these two summaries
+        from velox_tpu.exec.jit_cache import cached_jit
+        summaries_fn = cached_jit(
+            ("dyn_filter_summaries", tuple(node.right_keys)),
+            lambda: jax.jit(_summaries))
+        n_usable, summaries = jax.device_get(summaries_fn(table.batch))
         n_usable = int(n_usable)
         if n_usable == 0:
             return left

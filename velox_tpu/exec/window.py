@@ -584,8 +584,11 @@ class RowNumberOperator(Operator):
     def add_input(self, batch):
         if self._table is None:
             # first batch initializes the table inside the traced step
-            out, self._table, self._counts = jax.jit(
-                lambda b: self._step(b, None, None))(batch)
+            from velox_tpu.exec.jit_cache import cached_jit
+            init_fn = cached_jit(
+                (type(self).__name__, self._node, "init"),
+                lambda: jax.jit(lambda b: self._step(b, None, None)))
+            out, self._table, self._counts = init_fn(batch)
         else:
             out, self._table, self._counts = self._fn(
                 batch, self._table, self._counts)
