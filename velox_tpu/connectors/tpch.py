@@ -841,6 +841,18 @@ class TpchConnector(Connector):
         }
         return dyn.get((table, column))
 
+    # dbgen primary keys: no duplicate values by construction (TPC-H spec
+    # 1.4.2.2). Feeds core/stats.resolve_column_unique, which lets join
+    # builds on these columns skip the device dup-keys check.
+    _UNIQUE_COLUMNS = {
+        ("orders", "o_orderkey"), ("customer", "c_custkey"),
+        ("part", "p_partkey"), ("supplier", "s_suppkey"),
+        ("nation", "n_nationkey"), ("region", "r_regionkey"),
+    }
+
+    def column_unique(self, table: str, column: str) -> bool:
+        return (table, column) in self._UNIQUE_COLUMNS
+
     def create_data_source(self, table: str, columns, ctx) -> TpchDataSource:
         cap = None
         if ctx is not None:

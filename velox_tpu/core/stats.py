@@ -63,3 +63,70 @@ def resolve_column_stats(node: P.PlanNode,
     if isinstance(node, (P.OrderByNode, P.TopNNode, P.LimitNode)):
         return resolve_column_stats(node.source, name)
     return None
+
+
+def resolve_column_unique(node: P.PlanNode, name: str) -> bool:
+    """True when output column `name` of `node` provably has no duplicate
+    non-null values (a key). Drives the join build's unique-keys fast path
+    WITHOUT a device round-trip (parity intent: velox decides hash modes
+    from VectorHasher cardinality stats, exec/HashTable.cpp
+    decideHashMode). Conservative: False when unknown.
+
+    Propagation: connector primary-key hints at scans; row-subset
+    operators (Filter/Limit/TopN/OrderBy) preserve; identity projections
+    follow; a SINGLE/FINAL aggregation's sole grouping key is unique by
+    construction; joins preserve a side's uniqueness when each of that
+    side's rows can match at most one row of the other side (the other
+    side's join key contains a unique column), or when the join emits a
+    row subset of that side (semi/anti)."""
+    if isinstance(node, P.TableScanNode):
+        from velox_tpu.connectors.connector import get_connector
+        try:
+            conn = get_connector(node.connector_id)
+        except Exception:
+            return False
+        fn = getattr(conn, "column_unique", None)
+        return bool(fn(node.table, name)) if fn is not None else False
+    if isinstance(node, P.FilterNode):
+        return resolve_column_unique(node.source, name)
+    if isinstance(node, P.ProjectNode):
+        for out, e in zip(node.names, node.expressions):
+            if out == name:
+                if isinstance(e, ex.FieldAccess):
+                    return resolve_column_unique(node.source, e.name)
+                return False
+        return False
+    if isinstance(node, P.AggregationNode):
+        if node.step in (P.AggregationStep.SINGLE,
+                         P.AggregationStep.FINAL) \
+                and len(node.grouping_keys) == 1 \
+                and node.grouping_keys[0].name == name:
+            return True
+        return False
+    if isinstance(node, (P.HashJoinNode, P.MergeJoinNode)):
+        jt = node.join_type
+        lt = node.left.output_type()
+        if name in lt.names:
+            if not resolve_column_unique(node.left, name):
+                return False
+            if jt in (P.JoinType.LEFT_SEMI_FILTER, P.JoinType.ANTI):
+                return True  # row subset of the left side
+            if jt in (P.JoinType.INNER, P.JoinType.LEFT):
+                # n:1 — a superset of a unique key is unique
+                return any(resolve_column_unique(node.right, k.name)
+                           for k in node.right_keys)
+            return False
+        rt = node.right.output_type()
+        if name in rt.names:
+            if not resolve_column_unique(node.right, name):
+                return False
+            if jt is P.JoinType.RIGHT_SEMI_FILTER:
+                return True
+            if jt in (P.JoinType.INNER, P.JoinType.RIGHT):
+                return any(resolve_column_unique(node.left, k.name)
+                           for k in node.left_keys)
+            return False
+        return False
+    if isinstance(node, (P.OrderByNode, P.TopNNode, P.LimitNode)):
+        return resolve_column_unique(node.source, name)
+    return False

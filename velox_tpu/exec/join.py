@@ -257,7 +257,15 @@ class HashJoinOperator(Operator):
             rngs.append((min(a[0], b[0]), max(a[1], b[1]))
                         if a is not None and b is not None else None)
         self._join_key_ranges = tuple(rngs)
-        self._unique_build = not bool(jax.device_get(bt.has_dup_keys))
+        # plan-level uniqueness proof skips the device round-trip (~25ms
+        # through the tunnel per join): a build keyed on a superset of a
+        # provably-unique column has no dup keys
+        from velox_tpu.core.stats import resolve_column_unique
+        if any(resolve_column_unique(self._node.right, k.name)
+               for k in self._node.right_keys):
+            self._unique_build = True
+        else:
+            self._unique_build = not bool(jax.device_get(bt.has_dup_keys))
         if jt in _NEEDS_RIGHT_PHASE:
             self._matched = jnp.zeros((bt.batch.capacity,), bool)
         # probe programs cached across Task instances: the traced bodies
