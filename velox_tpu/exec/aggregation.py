@@ -164,6 +164,9 @@ class AggregationOperator(Operator):
         # them in, and re-registering a table under the same name can
         # change them (jit_cache.py contract)
         cache_key = (node, pre_fn is None, self._key_ranges)
+        # exported for the distributed layer's vmapped-step caching
+        # (None = string aggregates bake dictionaries; never share)
+        self._cross_task_key = cache_key if cacheable else None
         cached = _AGG_JIT_CACHE.get(cache_key) if cacheable else None
         if cached is None:
             cached = (jax.jit(self._partial_step),

@@ -274,8 +274,24 @@ class DistributedTask:
 
     # -- per-shard map ----------------------------------------------------------
 
+    def _cjit(self, key, make):
+        """Cross-task cache of mesh programs (exec/jit_cache.py): keyed
+        by mesh identity + site key so repeated DistributedTasks skip
+        re-lowering their shard_map/vmap programs. ONLY for functions
+        whose device inputs all arrive as ARGUMENTS — a closure over a
+        device array would pin the first task's data."""
+        from velox_tpu.exec.jit_cache import cached_jit
+        mk = (tuple(str(d) for d in self.mesh.devices.flat),
+              tuple(self.mesh.axis_names))
+        return cached_jit(("dist", mk) + key, make)
+
     def _vmapped(self, op) -> "callable":
         fn = op._fn if isinstance(op, FilterProjectOperator) else op
+        if isinstance(op, FilterProjectOperator):
+            return self._cjit(
+                ("vmap_fp", op.node, op._filter, tuple(op._names),
+                 tuple(op._projections)),
+                lambda: jax.jit(jax.vmap(fn)))
         return jax.jit(jax.vmap(fn))
 
     def _map_shards(self, source: Pn.PlanNode, op) -> Iterator[DeviceBatch]:
@@ -291,22 +307,28 @@ class DistributedTask:
         if not node.grouping_keys:
             yield self._run_global_aggregation(node, op)
             return
-        partial_fn = jax.jit(jax.vmap(op._partial_step))
+        ck = op._cross_task_key
+
+        def _avjit(tag, fn):
+            if ck is None:
+                return jax.jit(jax.vmap(fn))
+            return self._cjit(("agg", tag) + ck,
+                              lambda: jax.jit(jax.vmap(fn)))
+        partial_fn = _avjit("partial", op._partial_step)
         partials: List[DeviceBatch] = []
         for stacked in self._run_node(node.source):
             partials.append(partial_fn(stacked))
         if not partials:
             return
         # local merge of all partial waves (per device, no communication)
-        merged = jax.jit(jax.vmap(
-            lambda b: op._compact_step(b)))(
-                _concat_stacked(partials))
+        merged = _avjit("compact", lambda b: op._compact_step(b))(
+            _concat_stacked(partials))
         # exchange so each device owns hash-range of keys (count-based
         # window), then finalize per device
         key_names = [k.name for k in node.grouping_keys]
         window = self._count_window(merged, key_names)
         resharded = self._reshard(merged, key_names, window)
-        yield jax.jit(jax.vmap(op._merge_step))(resharded)
+        yield _avjit("merge", op._merge_step)(resharded)
 
     def _run_global_aggregation(self, node, op) -> DeviceBatch:
         # per-shard accumulation then cross-device reduction of state
@@ -327,7 +349,11 @@ class DistributedTask:
                 return outs
             return jax.vmap(one)(stacked)  # [n_states] of (n,)
 
-        fn = jax.jit(local_state)
+        if op._cross_task_key is not None:
+            fn = self._cjit(("agg", "global") + op._cross_task_key,
+                            lambda: jax.jit(local_state))
+        else:
+            fn = jax.jit(local_state)
         combines = [st.combine for agg in op._aggs for st in agg.states]
         total: Optional[List] = None
         for stacked in self._run_node(node.source):
@@ -361,19 +387,16 @@ class DistributedTask:
         (velox/exec/OutputBuffer.h:157): one count program + one host read
         sizes the exchange instead of worst-case window = capacity."""
         n = self.n
-        key = ("cw", tuple(key_names))
-        fn = self._fn_cache.get(key) if hasattr(self, "_fn_cache") else None
-        if not hasattr(self, "_fn_cache"):
-            self._fn_cache = {}
-        if fn is None:
+
+        def _mk():
             def cmax(local):
                 m = X.partition_max_count(_squeeze0(local), list(key_names),
                                           n)
                 return jax.lax.pmax(m, DATA_AXIS)
-            fn = jax.jit(jax.shard_map(
+            return jax.jit(jax.shard_map(
                 cmax, mesh=self.mesh, in_specs=P(DATA_AXIS),
                 out_specs=P(), check_vma=False))
-            self._fn_cache[key] = fn
+        fn = self._cjit(("cw", tuple(key_names)), _mk)
         return X.window_for(int(jax.device_get(fn(stacked))))
 
     def _reshard(self, stacked: DeviceBatch, key_names,
@@ -383,68 +406,60 @@ class DistributedTask:
         so the compile count stays bounded). ``spread_hot`` (bool[n])
         round-robins rows of hot destinations (skew key-splitting)."""
         n = self.n
-        if not hasattr(self, "_fn_cache"):
-            self._fn_cache = {}
-        key = ("rs", tuple(key_names), window, spread_hot is not None)
-        fn = self._fn_cache.get(key)
-        if fn is None:
+
+        def _mk():
             if spread_hot is None:
                 def repart(local):
                     local = _squeeze0(local)
                     out = X.repartition_all_to_all(
                         local, list(key_names), n, DATA_AXIS, window)
                     return _expand0(out)
-                fn = jax.jit(jax.shard_map(
+                return jax.jit(jax.shard_map(
                     repart, mesh=self.mesh, in_specs=P(DATA_AXIS),
                     out_specs=P(DATA_AXIS), check_vma=False))
-            else:
-                def repart_s(local, h):
-                    local = _squeeze0(local)
-                    out = X.repartition_all_to_all(
-                        local, list(key_names), n, DATA_AXIS, window,
-                        spread_hot=h)
-                    return _expand0(out)
-                fn = jax.jit(jax.shard_map(
-                    repart_s, mesh=self.mesh,
-                    in_specs=(P(DATA_AXIS), P()),
-                    out_specs=P(DATA_AXIS), check_vma=False))
-            self._fn_cache[key] = fn
+
+            def repart_s(local, h):
+                local = _squeeze0(local)
+                out = X.repartition_all_to_all(
+                    local, list(key_names), n, DATA_AXIS, window,
+                    spread_hot=h)
+                return _expand0(out)
+            return jax.jit(jax.shard_map(
+                repart_s, mesh=self.mesh,
+                in_specs=(P(DATA_AXIS), P()),
+                out_specs=P(DATA_AXIS), check_vma=False))
+        fn = self._cjit(
+            ("rs", tuple(key_names), window, spread_hot is not None), _mk)
         return fn(stacked) if spread_hot is None else fn(stacked,
                                                          spread_hot)
 
     def _global_histogram(self, stacked: DeviceBatch, key_names):
         """np.int array[n]: GLOBAL rows per destination (one small fetch)."""
         n = self.n
-        if not hasattr(self, "_fn_cache"):
-            self._fn_cache = {}
-        key = ("gh", tuple(key_names))
-        fn = self._fn_cache.get(key)
-        if fn is None:
+
+        def _mk():
             def hist(local):
                 return X.partition_histogram(_squeeze0(local),
                                              list(key_names), n, DATA_AXIS)
-            fn = jax.jit(jax.shard_map(
+            return jax.jit(jax.shard_map(
                 hist, mesh=self.mesh, in_specs=P(DATA_AXIS),
                 out_specs=P(), check_vma=False))
-            self._fn_cache[key] = fn
+        fn = self._cjit(("gh", tuple(key_names)), _mk)
         return np.asarray(jax.device_get(fn(stacked)))
 
     def _count_window_spread(self, stacked: DeviceBatch, key_names,
                              hot) -> int:
         n = self.n
-        if not hasattr(self, "_fn_cache"):
-            self._fn_cache = {}
-        key = ("cws", tuple(key_names))
-        fn = self._fn_cache.get(key)
-        if fn is None:
+
+        def _mk():
             def cmax(local, h):
                 m = X.partition_max_count_spread(
                     _squeeze0(local), list(key_names), n, DATA_AXIS, h)
                 return jax.lax.pmax(m, DATA_AXIS)
-            fn = jax.jit(jax.shard_map(
+            return jax.jit(jax.shard_map(
                 cmax, mesh=self.mesh, in_specs=(P(DATA_AXIS), P()),
                 out_specs=P(), check_vma=False))
-            self._fn_cache[key] = fn
+        fn = self._cjit(("cws", tuple(key_names)), _mk)
         return X.window_for(int(jax.device_get(fn(stacked, hot))))
 
     def _augment_build_with_hot(self, node, stacked_build, resharded_b,
@@ -474,13 +489,13 @@ class DistributedTask:
                 lambda a, b: jnp.concatenate([a, b], axis=0), lp2, g)
             return _expand0(merged)
 
-        fn = jax.jit(jax.shard_map(
+        fn = self._cjit(("aug", node, wh), lambda: jax.jit(jax.shard_map(
             aug, mesh=self.mesh,
             in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
-            out_specs=P(DATA_AXIS), check_vma=False))
+            out_specs=P(DATA_AXIS), check_vma=False)))
         merged = fn(resharded_b, stacked_build, hot)
-        bt = jax.jit(jax.vmap(
-            lambda b: J.build_table(b, tuple(node.right_keys))))(merged)
+        bt = self._cjit(("build_vmap", node), lambda: jax.jit(jax.vmap(
+            lambda b: J.build_table(b, tuple(node.right_keys)))))(merged)
         has_null = bool(jax.device_get(jnp.any(bt.has_null_key)))
         return bt._replace(has_null_key=jnp.broadcast_to(
             jnp.asarray(has_null), bt.has_null_key.shape))
@@ -520,8 +535,8 @@ class DistributedTask:
         lnames = [k.name for k in node.left_keys]
         bwin = self._count_window(stacked_build, rnames)
         resharded_b = self._reshard(stacked_build, rnames, bwin)
-        bt = jax.jit(jax.vmap(
-            lambda b: J.build_table(b, tuple(node.right_keys))))(
+        bt = self._cjit(("build_vmap", node), lambda: jax.jit(jax.vmap(
+            lambda b: J.build_table(b, tuple(node.right_keys)))))(
                 resharded_b)
         # globalize the null-key flag: null-aware anti must see nulls that
         # landed on ANY device
@@ -544,10 +559,13 @@ class DistributedTask:
             Pn.JoinType.INNER, Pn.JoinType.LEFT, Pn.JoinType.RIGHT,
             Pn.JoinType.FULL, Pn.JoinType.RIGHT_SEMI_FILTER))
 
-        fast_fn = jax.jit(jax.vmap(probe._probe_fast))
-        count_fn = jax.jit(jax.vmap(probe._probe_counts))
-        emit_fn = jax.jit(jax.vmap(probe._emit_chunk,
-                                   in_axes=(0, 0, 0, 0, 0, None)))
+        pk = ("dprobe", node, probe._unique_build, track)
+        fast_fn = self._cjit(pk + ("fast",),
+                             lambda: jax.jit(jax.vmap(probe._probe_fast)))
+        count_fn = self._cjit(pk + ("count",),
+                              lambda: jax.jit(jax.vmap(probe._probe_counts)))
+        emit_fn = self._cjit(pk + ("emit",), lambda: jax.jit(jax.vmap(
+            probe._emit_chunk, in_axes=(0, 0, 0, 0, 0, None))))
         # skew handling (SURVEY §7.2 step 7): EVERY probe wave recomputes
         # the cheap global histogram until skew is detected (skew arriving
         # in later waves is caught); the hot set freezes at first
@@ -608,8 +626,8 @@ class DistributedTask:
             # build rows are PARTITIONED (each device owns its hash range)
             # so the right phase is per-device complete — no cross-device
             # matched merge needed (unlike broadcast)
-            yield jax.jit(jax.vmap(
-                lambda b, m: J.emit_right_phase(node, b, m)))(bt, matched)
+            yield self._cjit(("dright", node), lambda: jax.jit(jax.vmap(
+                lambda b, m: J.emit_right_phase(node, b, m))))(bt, matched)
 
     def _run_broadcast_join(self, node: Pn.HashJoinNode,
                             stacked_build: DeviceBatch
@@ -622,10 +640,10 @@ class DistributedTask:
             return _expand0(X.broadcast_gather(_squeeze0(local), n,
                                                DATA_AXIS))
 
-        gathered = jax.jit(
+        gathered = self._cjit(("bgather",), lambda: jax.jit(
             jax.shard_map(
                 gather, mesh=self.mesh, in_specs=P(DATA_AXIS),
-                out_specs=P(DATA_AXIS), check_vma=False))(stacked_build)
+                out_specs=P(DATA_AXIS), check_vma=False)))(stacked_build)
         # every shard now holds the full build side: build once on shard 0's
         # copy (they are identical) and share the table.
         build_stage = HashBuildStage(node.right_keys)
@@ -649,10 +667,12 @@ class DistributedTask:
             Pn.JoinType.INNER, Pn.JoinType.LEFT, Pn.JoinType.RIGHT,
             Pn.JoinType.FULL, Pn.JoinType.RIGHT_SEMI_FILTER))
         if not needs_expand:
-            probe_fn = jax.jit(jax.vmap(
-                lambda b: probe._probe_fast(b, table)))
+            pk = ("bprobe", node, probe._unique_build, track,
+                  probe._join_key_ranges)
+            probe_fn = self._cjit(pk + ("fast",), lambda: jax.jit(jax.vmap(
+                probe._probe_fast, in_axes=(0, None))))
             for stacked in self._run_node(node.left):
-                out, nm = probe_fn(stacked)
+                out, nm = probe_fn(stacked, table)
                 if track:
                     matched = _acc(matched, nm)
                 if out is not None:
@@ -660,14 +680,16 @@ class DistributedTask:
         else:
             # duplicate-key expanding probe: vmapped count phase, then
             # emit chunks sized by the worst shard (one sync per wave)
-            count_fn = jax.jit(jax.vmap(
-                lambda b: probe._probe_counts(b, table)))
-            emit_fn = jax.jit(jax.vmap(
-                lambda b, slots, hit, cum, start: probe._emit_chunk(
-                    b, table, slots, hit, cum, start),
-                in_axes=(0, 0, 0, 0, None)))
+            pk = ("bprobe", node, probe._unique_build, track,
+                  probe._join_key_ranges)
+            count_fn = self._cjit(pk + ("count",), lambda: jax.jit(jax.vmap(
+                probe._probe_counts, in_axes=(0, None))))
+            emit_fn = self._cjit(pk + ("emit",), lambda: jax.jit(jax.vmap(
+                lambda b, t, slots, hit, cum, start: probe._emit_chunk(
+                    b, t, slots, hit, cum, start),
+                in_axes=(0, None, 0, 0, 0, None))))
             for stacked in self._run_node(node.left):
-                out, slot_hit, cum, total, nm = count_fn(stacked)
+                out, slot_hit, cum, total, nm = count_fn(stacked, table)
                 if track:
                     matched = _acc(matched, nm)
                 if slot_hit is None:
@@ -680,8 +702,8 @@ class DistributedTask:
                 for start in range(0, max(n_total, 1), cap):
                     if n_total == 0:
                         break
-                    emitted, _, _, _, _ = emit_fn(stacked, slots, hit,
-                                                  cum, jnp.int64(start))
+                    emitted, _, _, _, _ = emit_fn(
+                        stacked, table, slots, hit, cum, jnp.int64(start))
                     yield emitted
         if track:
             # merge matched flags across shards (build is replicated) and
