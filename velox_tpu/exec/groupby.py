@@ -269,6 +269,13 @@ def row_group_ids(keys: Sequence[EvalValue], active, capacity: int,
     return ids, first & jnp.asarray(active), num_groups
 
 
+# operand budget for the payload-riding lax.sort: compile time grows
+# steeply with operand count (15-operand sort measured 586 s; <=8 stays
+# in the tens of seconds, one-time via the persistent compile cache)
+_RIDE_MAX_OPERANDS = 8
+_RIDE_MAX_KEY_LANES = 4
+
+
 def reduce_sort_mode(
     keys: List[EvalValue],
     addends: List[Tuple[jnp.ndarray, str]],
@@ -276,16 +283,82 @@ def reduce_sort_mode(
     capacity: int,
     ranges=None,
 ):
-    """Generic grouping: radix sort by key words + segment reduce.
+    """Generic grouping: sort by packed key words + segment reduce.
 
     Same output contract as reduce_hash_mode: (group_keys, group_states,
     group_mask) with groups as a dense prefix of length `capacity` — but
     groups come out in key-sorted order and states land dense directly
     (no compaction scatter).
+
+    Fast path (round 3): addends RIDE the lax.sort as payload operands
+    and group keys are DECODED from the sorted lane bits — zero N-sized
+    gathers. The baseline formulation (sort a permutation, then gather
+    every addend and key column through it) measured ~195 ms/M rows on
+    this chip with gathers/scatters dominating; riding + lane decode
+    removes all of them (~15 ms/M gather per int64 column saved).
     """
-    from velox_tpu.ops.wide import segmented_reduce_sorted
-    perm, gid, boundary, active_sorted, num_groups = sorted_group_info(
-        keys, active, capacity, ranges)
+    from velox_tpu.exec.sort import (
+        decode_key_field, extract_lane_bits, lane_bit_widths,
+        lane_prefix_neq, pack_words_u64, sort_perm_key, sort_words_layout,
+    )
+    from velox_tpu.ops.wide import scatter_unique_set, segmented_reduce_sorted
+
+    words, bits, layout = sort_words_layout(keys, None, capacity, active,
+                                            ranges=ranges)
+    total_bits = int(sum(bits))
+    lanes = pack_words_u64(words, bits)
+    ride = (all(f.decodable for f in layout)
+            and all(d.ndim == 1 for d, _ in addends)
+            and 0 < len(lanes) <= _RIDE_MAX_KEY_LANES
+            and len(lanes) + len(addends) <= _RIDE_MAX_OPERANDS)
+    if ride:
+        ops = tuple(lanes) + tuple(d for d, _ in addends)
+        out = jax.lax.sort(ops, num_keys=len(lanes), is_stable=True)
+        skey = list(out[:len(lanes)])
+        sorted_addends = out[len(lanes):]
+        lw = lane_bit_widths(total_bits)
+        boundary = lane_prefix_neq(skey, lw, total_bits)
+        active_sorted = extract_lane_bits(skey, lw, 0, 1) == 0
+        gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+        num_groups = jnp.sum((boundary & active_sorted).astype(jnp.int32))
+        out_states = [
+            segmented_reduce_sorted(d, gid, boundary, active_sorted,
+                                    capacity, combine)
+            for d, (_, combine) in zip(sorted_addends, addends)]
+        # compact each group's first-sorted-row LANES to a dense prefix
+        # (2 int32 scatters per lane — independent of key count), then
+        # decode the key values out of the compacted lane bits
+        target = jnp.where(boundary & active_sorted, gid,
+                           jnp.int32(capacity))
+        glanes = [scatter_unique_set(capacity + 1, target, ln)[:capacity]
+                  for ln in skey]
+        group_mask = jnp.arange(capacity, dtype=jnp.int32) < num_groups
+        out_keys = []
+        for v, f in zip(keys, layout):
+            data, isnull = decode_key_field(f, glanes, lw, capacity)
+            validity = None
+            if isnull is not None:
+                validity = ~isnull | ~group_mask  # padding rows: non-null
+            out_keys.append(EvalValue(data, validity, v.dtype,
+                                      v.dictionary))
+        return out_keys, out_states, group_mask
+
+    perm, skey = sort_perm_key(words, bits, capacity)
+    if skey is not None:
+        neq = jnp.zeros((capacity,), bool)
+        for w in skey:
+            prev = jnp.concatenate([w[:1], w[:-1]])
+            neq = neq | (w != prev)
+    else:
+        neq = jnp.zeros((capacity,), bool)
+        for w in words:
+            ws = w[perm]
+            prev = jnp.concatenate([ws[:1], ws[:-1]])
+            neq = neq | (ws != prev)
+    boundary = neq.at[0].set(True)
+    gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    active_sorted = jnp.asarray(active)[perm]
+    num_groups = jnp.sum((boundary & active_sorted).astype(jnp.int32))
     out_states = []
     for data, combine in addends:
         # sorted-run reduction: dense cumulative ops + ONE end-of-run

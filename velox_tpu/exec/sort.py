@@ -111,6 +111,38 @@ def _narrow_bits(v: EvalValue, rng) -> int:
     return span.bit_length()
 
 
+class KeyFieldLayout:
+    """Bit layout of one sort key inside the packed msb-first key stream —
+    enough to DECODE the key value back out of sorted lane words, so
+    group-by / order-by never gather key columns through the permutation
+    (XLA:TPU gathers ~7-15 ms/M elements; lane bit ops are ~free).
+
+    kind: 'const' (contributes no bits; value == base), 'narrow'
+    (stats-narrowed: value = base + bits), 'words' (full-width
+    order-preserving words; decode per dtype), 'opaque' (not invertible —
+    DOUBLE's 3xf32 split, int128 limbs)."""
+
+    __slots__ = ("kind", "off", "nb", "base", "desc", "null_off",
+                 "null_is_one", "dtype", "arr_dtype", "dictionary")
+
+    def __init__(self, kind, off, nb, base, desc, null_off, null_is_one,
+                 dtype, arr_dtype, dictionary):
+        self.kind = kind
+        self.off = off
+        self.nb = nb
+        self.base = base
+        self.desc = desc
+        self.null_off = null_off
+        self.null_is_one = null_is_one
+        self.dtype = dtype
+        self.arr_dtype = arr_dtype
+        self.dictionary = dictionary
+
+    @property
+    def decodable(self) -> bool:
+        return self.kind != "opaque"
+
+
 def sort_words(
     keys: Sequence[EvalValue],
     orders,
@@ -118,7 +150,20 @@ def sort_words(
     active,
     ranges=None,
 ) -> Tuple[List, List[int]]:
-    """(words, bit_widths) for a multi-key sort, most significant first.
+    words, bits, _ = sort_words_layout(keys, orders, capacity, active,
+                                       ranges)
+    return words, bits
+
+
+def sort_words_layout(
+    keys: Sequence[EvalValue],
+    orders,
+    capacity: int,
+    active,
+    ranges=None,
+):
+    """(words, bit_widths, layout) for a multi-key sort, most significant
+    first. ``layout`` is one KeyFieldLayout per key (decode metadata).
 
     `orders` is a list of plan.SortOrder or None entries (None = grouping /
     equality only). The leading word puts inactive rows last. `ranges`
@@ -129,11 +174,15 @@ def sort_words(
     """
     # fields: (uint32 array with the value in the LOW nb bits, nb)
     fields: List = [((~active).astype(jnp.uint32), 1)]
+    layout: List[KeyFieldLayout] = []
+    off = 1  # bit offset after the leading active bit
     for i, v in enumerate(keys):
         order = orders[i] if orders is not None else None
         desc = order is not None and not order.ascending
         rng = ranges[i] if ranges is not None else None
         null = None
+        null_off = None
+        null_is_one = True
         if v.validity is not None:
             null = ~v.full_validity(capacity)
             nulls_first = order is not None and order.nulls_first
@@ -141,8 +190,18 @@ def sort_words(
                            jnp.uint32(0)) \
                 if order is not None else null.astype(jnp.uint32)
             fields.append((nw, 1))
+            null_off = off
+            null_is_one = not (order is not None and nulls_first)
+            off += 1
+        arr_dt = v.full_data(capacity).dtype
         nb = _narrow_bits(v, rng)
         if nb == 0:
+            base = 0 if (v.dtype.is_string
+                         or v.dtype.kind is T.TypeKind.BOOLEAN) \
+                else int(rng[0])
+            layout.append(KeyFieldLayout(
+                "const", off, 0, base, desc, null_off, null_is_one,
+                v.dtype, arr_dt, v.dictionary))
             continue  # provably constant: contributes nothing
         if nb > 0:
             data = v.full_data(capacity)
@@ -157,6 +216,10 @@ def sort_words(
             if desc:
                 w = w ^ np.uint32((1 << nb) - 1)
             fields.append((w, nb))
+            layout.append(KeyFieldLayout(
+                "narrow", off, nb, base, desc, null_off, null_is_one,
+                v.dtype, arr_dt, v.dictionary))
+            off += nb
             continue
         vw = value_words(v, capacity)
         if null is not None:
@@ -164,6 +227,13 @@ def sort_words(
         if desc:
             vw = [~x for x in vw]
         fields.extend((x, 32) for x in vw)
+        kind = "words"
+        if v.dtype.kind is T.TypeKind.DOUBLE or v.dtype.is_long_decimal:
+            kind = "opaque"  # 3xf32 split / int128 limbs: not invertible
+        layout.append(KeyFieldLayout(
+            kind, off, 32 * len(vw), 0, desc, null_off, null_is_one,
+            v.dtype, arr_dt, v.dictionary))
+        off += 32 * len(vw)
 
     # msb-first bit packing into up-to-32-bit words
     words: List = []
@@ -186,7 +256,79 @@ def sort_words(
     if cur_bits:
         words.append(cur)
         bits.append(cur_bits)
-    return words, bits
+    return words, bits, layout
+
+
+def extract_lane_bits(lanes: List, lane_bits: List[int], off: int,
+                      nb: int):
+    """Extract the ``nb``-bit field at msb-first stream offset ``off``
+    from packed u64 lanes (inverse of pack_words_u64). nb <= 32; returns
+    uint32. All static shifts — dense VPU ops, no gathers."""
+    assert nb <= 32
+    lane_start = 0
+    for lane, lb in zip(lanes, lane_bits):
+        if off < lane_start + lb:
+            s = off - lane_start
+            avail = lb - s
+            if avail >= nb:
+                piece = (lane >> np.uint64(lb - s - nb)) \
+                    & np.uint64((1 << nb) - 1)
+                return piece.astype(jnp.uint32)
+            # spans into the next lane
+            hi = (lane & np.uint64((1 << avail) - 1)).astype(jnp.uint32)
+            rest = extract_lane_bits(lanes, lane_bits, lane_start + lb,
+                                     nb - avail)
+            return (hi << np.uint32(nb - avail)) | rest
+        lane_start += lb
+    raise ValueError(f"bit range [{off}, {off + nb}) beyond lanes")
+
+
+def _decode_f32_word(u):
+    """Inverse of _f32_monotone_u32."""
+    neg = (u & _SIGN32) == 0
+    bits_u = jnp.where(neg, ~u, u ^ _SIGN32)
+    return jax.lax.bitcast_convert_type(bits_u, jnp.float32)
+
+
+def decode_key_field(f: KeyFieldLayout, lanes: List, lane_bits: List[int],
+                     capacity: int):
+    """(data, isnull_or_None) for one key decoded from packed sorted
+    lanes. Works on any lane arrays with the sort_words bit layout
+    (sorted or compacted)."""
+    isnull = None
+    if f.null_off is not None:
+        nb = extract_lane_bits(lanes, lane_bits, f.null_off, 1)
+        isnull = (nb == 1) if f.null_is_one else (nb == 0)
+    if f.kind == "const":
+        return jnp.full((capacity,), f.base).astype(f.arr_dtype), isnull
+    if f.kind == "narrow":
+        w = extract_lane_bits(lanes, lane_bits, f.off, f.nb)
+        if f.desc:
+            w = w ^ np.uint32((1 << f.nb) - 1)
+        if f.dtype.kind is T.TypeKind.BOOLEAN:
+            return (w != 0).astype(f.arr_dtype), isnull
+        data = w.astype(jnp.int64) + jnp.int64(f.base)
+        return data.astype(f.arr_dtype), isnull
+    if f.kind == "words":
+        nwords = f.nb // 32
+        ws = [extract_lane_bits(lanes, lane_bits, f.off + 32 * j, 32)
+              for j in range(nwords)]
+        if f.desc:
+            ws = [~w for w in ws]
+        dt = f.dtype
+        if dt.kind is T.TypeKind.BOOLEAN:
+            return (ws[0] != 0).astype(f.arr_dtype), isnull
+        if dt.kind is T.TypeKind.REAL:
+            return _decode_f32_word(ws[0]).astype(f.arr_dtype), isnull
+        if nwords == 1:  # biased int32 (incl. dict-id strings, DATE)
+            v32 = jax.lax.bitcast_convert_type(ws[0] ^ _SIGN32, jnp.int32)
+            return v32.astype(f.arr_dtype), isnull
+        if nwords == 2:  # biased-hi int64
+            hi = jax.lax.bitcast_convert_type(ws[0] ^ _SIGN32, jnp.int32)
+            v = (hi.astype(jnp.int64) << jnp.int64(32)) \
+                | ws[1].astype(jnp.int64)
+            return v.astype(f.arr_dtype), isnull
+    raise NotImplementedError(f"cannot decode key field kind {f.kind}")
 
 
 def pack_words_u64(words: List, bits: List[int]):

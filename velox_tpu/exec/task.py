@@ -572,11 +572,13 @@ class Task:
     def _run_join(self, node: P.HashJoinNode) -> Iterator[DeviceBatch]:
         # Build side: nested pipeline run to completion (JoinBridge parity).
         from velox_tpu.core.config import QueryConfig as QC
+        from velox_tpu.exec.join import array_join_range
         build = HashBuildStage(
             node.right_keys,
             offload_bytes=self.ctx.query_config.get_int(
                 QC.JOIN_BUILD_OFFLOAD_BYTES, 4 << 30),
-            pool=self.ctx.memory_pool)
+            pool=self.ctx.memory_pool,
+            array_range=array_join_range(node))
         for batch in self._run_node(node.right):
             build.add_input(batch)
         t0 = time.perf_counter_ns()
