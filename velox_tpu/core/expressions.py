@@ -123,3 +123,15 @@ def call(name: str, *args: TypedExpr, dtype: Optional[T.DataType] = None) -> Cal
         from velox_tpu.functions.registry import resolve_return_type
         dtype = resolve_return_type(name, [a.dtype for a in args])
     return Call(dtype, name, tuple(args))
+
+
+def referenced_fields(expr: TypedExpr) -> set:
+    """Names of every input column referenced under ``expr``."""
+    out = set()
+    stack = [expr]
+    while stack:
+        e = stack.pop()
+        if isinstance(e, FieldAccess):
+            out.add(e.name)
+        stack.extend(e.children)
+    return out

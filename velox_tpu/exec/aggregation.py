@@ -947,9 +947,13 @@ class AggregationOperator(Operator):
             if self._partials:
                 total_cap = sum(b.capacity for b in self._partials)
                 if total_cap <= self._single_merge_max_rows:
-                    # one sort over everything buffered (round 3)
-                    self._outputs.append(self._merge_fn(
-                        concat_batches(self._partials)))
+                    # one sort over everything buffered (round 3); shrink
+                    # the output capacity to ~the group count — the merge
+                    # keeps the 4x-8x padded concat capacity otherwise,
+                    # and every downstream operator (join build, TopN)
+                    # pays for the padding (2 scalar fetches vs 4x work)
+                    self._outputs.append(self._shrink(self._merge_fn(
+                        concat_batches(self._partials))))
                     self._partials = []
                 else:
                     # hierarchical run merge: fold runs k at a time so

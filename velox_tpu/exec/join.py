@@ -115,24 +115,44 @@ def build_sorted_table(b: DeviceBatch, key_fields,
     ``array_range`` = static (min, max) storage bounds of a SINGLE
     integral build key: additionally builds the dense direct-address
     start/count table (HashMode::kArray parity — see SortedBuild)."""
+    from velox_tpu.exec.sort import (
+        decode_key_field, lane_bit_widths, sort_perm_key,
+        sort_words_layout,
+    )
     cap = b.capacity
     keys = _key_values(b, key_fields)
     usable = _usable(b, keys)
     # sort usable rows first, ordered by key words (stable)
-    words, bits = sort_words(keys, None, cap, usable)
-    perm = radix_sort_perm(words, bits, cap)
+    words, bits, layout = sort_words_layout(keys, None, cap, usable)
+    perm, skey = sort_perm_key(words, bits, cap)
     n = jnp.sum(usable.astype(jnp.int32))
-    packed = pack_key_u64(keys, cap)[perm]
+    in_prefix = jnp.arange(cap, dtype=jnp.int32) < n
+    decoded_sorted = None
+    if skey is not None and all(f.decodable for f in layout):
+        # reconstruct the SORTED key values from the sorted lane bits —
+        # no N-sized gathers (a u64 gather costs ~15 ms/M on this chip)
+        lw = lane_bit_widths(int(sum(bits)))
+        decoded_sorted = []
+        for v, f in zip(keys, layout):
+            data, isnull = decode_key_field(f, skey, lw, cap)
+            validity = None if isnull is None else ~isnull
+            decoded_sorted.append(EvalValue(data, validity, v.dtype,
+                                            v.dictionary))
+    if decoded_sorted is not None:
+        packed = pack_key_u64(decoded_sorted, cap)
+    else:
+        packed = pack_key_u64(keys, cap)[perm]
     # force the non-usable tail to MAX so the array is globally
     # sorted for searchsorted (tail key words are arbitrary)
-    in_prefix = jnp.arange(cap, dtype=jnp.int32) < n
     packed = jnp.where(in_prefix, packed, _U64_MAX)
     dup = (packed[1:] == packed[:-1]) & in_prefix[1:]
     arr_start = arr_count = arr_base = None
     if array_range is not None:
         lo_v, hi_v = int(array_range[0]), int(array_range[1])
         domain = hi_v - lo_v + 1
-        ks = keys[0].full_data(cap).astype(jnp.int64)[perm]
+        ks = (decoded_sorted[0].full_data(cap).astype(jnp.int64)
+              if decoded_sorted is not None
+              else keys[0].full_data(cap).astype(jnp.int64)[perm])
         ok = in_prefix & (ks >= lo_v) & (ks <= hi_v)
         norm = jnp.clip(ks - lo_v, 0, domain - 1).astype(jnp.int32)
         iota = jnp.arange(cap, dtype=jnp.int32)
@@ -516,11 +536,21 @@ class HashJoinOperator(Operator):
     def _gather_build_cols(self, build: DeviceBatch, build_row,
                            null_out) -> Dict[str, DeviceColumn]:
         """Gather build columns at build_row; rows where null_out is True
-        get NULL build values (left/full outer semantics)."""
+        get NULL build values (left/full outer semantics). Only columns
+        the join OUTPUTS (or its filter reads) are gathered — each
+        build-column gather costs ~7-15 ms/M probe rows on this chip."""
         from velox_tpu.exec.batch_utils import map_column_rows
+        need = None
+        if self._node.output_columns:
+            from velox_tpu.core.expressions import referenced_fields
+            need = set(self._node.output_columns)
+            if self._node.filter is not None:
+                need |= referenced_fields(self._node.filter)
         row = jnp.clip(build_row, 0, None)
         cols = {}
         for name, col in build.columns.items():
+            if need is not None and name not in need:
+                continue
             c = map_column_rows(col, lambda a: a[row])
             validity = c.validity
             if null_out is not None:

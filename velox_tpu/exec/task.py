@@ -161,13 +161,22 @@ class Task:
 
     def run(self):
         """Execute to completion; return a pyarrow Table."""
+        import jax
         import pyarrow as pa
         from velox_tpu.common import metrics as M
         from velox_tpu.vector.device import to_arrow
         t0 = time.perf_counter()
         try:
-            tables = [to_arrow(self._compact_for_output(b))
-                      for b in self.batches()]
+            dev_batches = [self._compact_for_output(b)
+                           for b in self.batches()]
+            # ONE bulk fetch for all output batches AND the checked-op
+            # error total: each device_get pays a ~25 ms RTT through the
+            # remote tunnel, so the error fetch rides the data fetch
+            err_total = (sum(self._error_scalars)
+                         if self._error_scalars else None)
+            self._error_scalars = []
+            host_batches, err_v = jax.device_get((dev_batches, err_total))
+            tables = [to_arrow(b) for b in host_batches]
         except BaseException as e:
             self._terminate(e)
             raise
@@ -178,11 +187,14 @@ class Task:
                 except Exception:
                     pass
             self._close_traces()
-        try:
-            self.check_errors()
-        except BaseException as e:
+        if err_v is not None and int(err_v):
+            from velox_tpu.common.errors import VeloxUserError
+            e = VeloxUserError(
+                f"{int(err_v)} row(s) failed a checked operation "
+                "(division by zero, integer overflow, or invalid cast); "
+                "wrap the expression in TRY(...) to get NULLs instead")
             self._terminate(e)
-            raise
+            raise e
         M.record_counter(M.K_TASK_QUERIES)
         M.record_histogram(M.K_QUERY_WALL_MS,
                            (time.perf_counter() - t0) * 1e3)
