@@ -51,21 +51,25 @@ def engine_wall(plan_fn):
 def measure_hbm_bw():
     """Achievable device HBM bandwidth (bytes/s) via a jitted stream
     copy — the roofline denominator (BASELINE.md: >=70%-of-roofline
-    target). Read + write of a 512 MB buffer, best of 3."""
+    target). 64 SEQUENTIAL read+write passes over a 512 MB buffer
+    inside one program (lax.fori_loop carries the dependency, so XLA
+    cannot fuse across iterations), ONE host sync: the ~25 ms tunnel
+    RTT amortizes to <5% instead of dominating a single pass."""
     import jax
     import jax.numpy as jnp
     n = 1 << 27  # 512 MB of int32
+    iters = 64
     a = jnp.ones((n,), jnp.int32)
-    f = jax.jit(lambda x: x + 1)
-    y = f(a)
-    jax.device_get(y[0])
+    f = jax.jit(lambda x: jax.lax.fori_loop(0, iters,
+                                            lambda i, y: y + 1, x))
+    jax.device_get(f(a)[0])  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         y = f(a)
         jax.device_get(y[0])
         best = min(best, time.perf_counter() - t0)
-    return 2.0 * n * 4 / best
+    return 2.0 * n * 4 * iters / best
 
 
 def cpu_wall(fn, iters=3):

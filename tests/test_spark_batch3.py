@@ -1,0 +1,137 @@
+"""Spark function batch 3 (velox_tpu/functions/spark_batch3.py).
+
+Expected values checked against Spark semantics (reference:
+velox/functions/sparksql Register.cpp function set)."""
+import datetime as dt
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from velox_tpu.exec.task import Task
+from velox_tpu.testing.plan_builder import PlanBuilder
+
+
+def run_proj(t, exprs):
+    return Task(PlanBuilder().values([t]).project(exprs).plan()).run()
+
+
+def test_string_batch3():
+    t = pa.table({"s": pa.array(["Hello World7", "abc", ""])})
+    out = run_proj(t, [
+        "left(s, 3) as lf", "startswith(s, 'He') as sw",
+        "endswith(s, 'c') as ew", "bit_length(s) as bl",
+        "sha1(s) as h1", "sha2(s, 256) as h2",
+        "mask(s) as mk", "instr(s, 'l') as ins",
+    ]).to_pandas()
+    assert list(out.lf) == ["Hel", "abc", ""]
+    assert list(out.sw) == [True, False, False]
+    assert list(out.ew) == [False, True, False]
+    assert list(out.bl) == [96, 24, 0]
+    assert out.h1[1] == hashlib.sha1(b"abc").hexdigest()
+    assert out.h2[1] == hashlib.sha2 if False else \
+        out.h2[1] == hashlib.sha256(b"abc").hexdigest()
+    assert out.mk[0] == "Xxxxx Xxxxxn"
+    assert list(out.ins) == [3, 0, 0]
+
+
+def test_chr_conv_empty2null():
+    t = pa.table({"n": pa.array([65, 97, -1, 321], pa.int64()),
+                  "s": pa.array(["ff", "10", "", "zz"])})
+    out = run_proj(t, ["chr(n) as c", "conv(s, 16, 10) as cv",
+                       "empty2null(s) as e"]).to_pandas()
+    assert list(out.c) == ["A", "a", "", chr(321 % 256)]
+    assert out.cv[0] == "255" and out.cv[1] == "16"
+    assert out.e.isna()[2]  # '' -> NULL (to_pandas renders NULL as NaN)
+    assert out.e[0] == "ff"
+
+
+def test_datetime_units():
+    d0 = (dt.date(2005, 1, 2) - dt.date(1970, 1, 1)).days  # ISO year 2004
+    t = pa.table({
+        "u": pa.array([0, 19000], pa.int64()),
+        "ts": pa.array([1_700_000_123_456_789, -1], pa.int64())
+        .cast(pa.timestamp("us")),
+        "d": pa.array([d0, 19000], pa.int32()).cast(pa.date32()),
+    })
+    out = run_proj(t, [
+        "date_from_unix_date(u) as dd",
+        "timestamp_millis(u) as tm", "timestamp_micros(u) as tu",
+        "unix_seconds(ts) as us", "unix_millis(ts) as um",
+        "unix_micros(ts) as uu", "year_of_week(d) as yw",
+    ]).to_pandas()
+    assert out.dd[1] == dt.date(1970, 1, 1) + dt.timedelta(days=19000)
+    assert out.tu[1] == dt.datetime(1970, 1, 1) \
+        + dt.timedelta(microseconds=19000)
+    assert out.tm[1] == dt.datetime(1970, 1, 1) \
+        + dt.timedelta(milliseconds=19000)
+    assert out.us[0] == 1_700_000_123 and out.us[1] == -1  # floor div
+    assert out.um[0] == 1_700_000_123_456
+    assert out.uu[0] == 1_700_000_123_456_789
+    assert out.yw[0] == 2004  # 2005-01-02 is ISO week 53 of 2004
+
+
+def test_seeded_hashes_and_ids():
+    t = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    out = run_proj(t, [
+        "hash(x) as h", "hash_with_seed(42, x) as hs",
+        "xxhash64(x) as xx", "xxhash64_with_seed(42, x) as xs2",
+        "monotonically_increasing_id() as id",
+        "spark_partition_id() as pid",
+    ]).to_pandas()
+    # seed 42 == the default-seed functions
+    assert list(out.h) == list(out.hs)
+    assert list(out.xx) == list(out.xs2)
+    assert list(out.id) == [0, 1, 2]
+    assert list(out.pid) == [0, 0, 0]
+
+
+def test_unscaled_value():
+    t = pa.table({"d": pa.array([dt_dec("1.23"), dt_dec("-0.05")],
+                                pa.decimal128(10, 2))})
+    out = run_proj(t, ["unscaled_value(d) as u"]).to_pandas()
+    assert list(out.u) == [123, -5]
+
+
+def dt_dec(s):
+    import decimal
+    return decimal.Decimal(s)
+
+
+def test_split_and_extract_all():
+    t = pa.table({"s": pa.array(["a,b,c", "x", "", "a,,b"])})
+    out = run_proj(t, ["split(s, ',') as sp",
+                       "regexp_extract_all(s, '[a-z]+') as ex"]).to_pandas()
+    assert list(out.sp[0]) == ["a", "b", "c"]
+    assert list(out.sp[1]) == ["x"]
+    assert list(out.sp[2]) == [""]
+    assert list(out.sp[3]) == ["a", "", "b"]
+    assert list(out.ex[0]) == ["a", "b", "c"]
+    assert list(out.ex[2]) == []
+
+
+def test_rlike_exists_sort_array():
+    t = pa.table({"s": pa.array(["abc123", "xyz"]),
+                  "a": pa.array([[3, 1, 2], [5, 4, None]],
+                                pa.list_(pa.int64()))})
+    out = run_proj(t, ["rlike(s, '[0-9]+') as r",
+                       "sort_array(a) as sa",
+                       "exists(a, x -> x > 4) as ex",
+                       "forall(a, x -> x > 1) as fa",
+                       "aggregate(a, 0, (acc, x) -> acc + x, "
+                       "acc -> acc) as ag"]).to_pandas()
+    assert list(out.r) == [True, False]
+    assert list(out.sa[0]) == [1, 2, 3]
+    assert list(out.ex) == [False, True]
+    assert out.fa[0] == False  # 1 > 1 fails  # noqa: E712
+    assert out.ag[0] == 6
+
+
+def test_raise_error_and_try():
+    import pytest
+    from velox_tpu.common.errors import VeloxUserError
+    t = pa.table({"x": pa.array([1, 2], pa.int64())})
+    with pytest.raises(VeloxUserError):
+        run_proj(t, ["raise_error('boom') as e"])
+    out = run_proj(t, ["try(raise_error('boom')) as e"]).to_pandas()
+    assert out.e.isna().all()

@@ -368,6 +368,9 @@ class WindowOperator(Operator):
         within partitions by construction; DESC order negates)."""
         node = self._node
         if len(node.sort_keys) != 1:
+            # parity: the reference enforces the same single-key contract
+            # (checkKRangeFrameBounds, velox/exec/Window.cpp:94-105 —
+            # "The order by needs to be a single column")
             raise NotImplementedError(
                 "RANGE k frames require exactly one ORDER BY key")
         from velox_tpu.expression.eval import value_from_column as vfc

@@ -5,3 +5,6 @@ from velox_tpu.functions import misc  # noqa: F401
 from velox_tpu.functions import complex  # noqa: F401
 from velox_tpu.functions import sparksql  # noqa: F401
 from velox_tpu.functions import strings_ext  # noqa: F401
+# batch 3 aliases shared implementations registered above (regexp_like,
+# json_extract, any_match, ...) — import last
+from velox_tpu.functions import spark_batch3  # noqa: F401

@@ -1,0 +1,399 @@
+"""Spark SQL function breadth, batch 3.
+
+Role parity: ``velox/functions/sparksql`` registrations missing after
+batch 2 (Register.cpp名 list diffed against the registry): string
+utilities (left/instr/startswith/endswith/bit_length/chr/conv/sha1/sha2/
+mask/empty2null/split), datetime unit casts (timestamp_micros/millis,
+unix_seconds/millis/micros, date_from_unix_date, year_of_week,
+to_unix_timestamp), seeded hashes, decimal unscaled_value, id generators,
+raise_error, and HOF/array aliases (rlike, exists, forall, aggregate,
+sort_array, get_json_object, regexp_extract_all).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from velox_tpu import types as T
+from velox_tpu.expression.eval import EvalValue
+from velox_tpu.functions.registry import _REGISTRY, register  # noqa: F401
+from velox_tpu.functions.scalar import _dict_lookup, _dict_map
+from velox_tpu.vector.device import Dictionary
+from velox_tpu.functions.signature import sig
+from velox_tpu.functions.sparksql import _alias, _alias_special, _const_arg
+
+# ---- straight aliases (shared implementations) ----------------------------
+
+_alias("rlike", "regexp_like")
+_alias("exists", "any_match")
+_alias_special("exists", "any_match")
+_alias("forall", "all_match")
+_alias_special("forall", "all_match")
+_alias("aggregate", "reduce")
+_alias_special("aggregate", "reduce")
+_alias("get_json_object", "json_extract")
+_alias("instr", "strpos")
+_alias("to_unix_timestamp", "unix_timestamp")
+# array_sort evaluates as a special form (per-row sort lives in
+# expression space); alias both the registry entry (return typing) and
+# the special form (evaluation)
+_alias("sort_array", "array_sort")  # 1-arg ascending form
+_alias_special("sort_array", "array_sort")
+
+
+# ---- string utilities (dictionary space) ----------------------------------
+
+def _left_eval(ctx, out_dtype, args):
+    n = int(_const_arg(args, 1, "left"))
+    return _dict_map(args[0], lambda s: s[:max(0, n)])
+
+
+register("left", sig("string, integral -> varchar"), _left_eval)
+
+
+def _startswith_eval(ctx, out_dtype, args):
+    p = str(_const_arg(args, 1, "startswith"))
+    return _dict_lookup(args[0], lambda s: s.startswith(p), T.BOOLEAN)
+
+
+def _endswith_eval(ctx, out_dtype, args):
+    p = str(_const_arg(args, 1, "endswith"))
+    return _dict_lookup(args[0], lambda s: s.endswith(p), T.BOOLEAN)
+
+
+register("startswith", sig("string, string -> boolean"), _startswith_eval)
+register("endswith", sig("string, string -> boolean"), _endswith_eval)
+
+
+def _bit_length_eval(ctx, out_dtype, args):
+    return _dict_lookup(args[0], lambda s: 8 * len(s.encode("utf-8")),
+                        T.INTEGER)
+
+
+register("bit_length", sig("string -> integer"), _bit_length_eval)
+
+
+def _chr_eval(ctx, out_dtype, args):
+    """chr(n): ASCII char of n % 256; n < 0 -> '' (Spark Chr semantics,
+    sparksql/String.h)."""
+    vals = sorted({chr(i) for i in range(256)} | {""})
+    d = Dictionary(vals)
+    d.is_sorted = True
+    ids = {v: i for i, v in enumerate(vals)}
+    table = jnp.asarray(np.array(
+        [ids[chr(i)] for i in range(256)], np.int32))
+    empty_id = jnp.int32(ids[""])
+    n = args[0].full_data(ctx.capacity).astype(jnp.int64)
+    data = jnp.where(n < 0, empty_id, table[(n % 256).astype(jnp.int32)])
+    return EvalValue(data, args[0].validity, T.VARCHAR, d)
+
+
+def _int_resolver(out):
+    def r(ts):
+        return out if len(ts) >= 1 and ts[0].is_integral else None
+    return r
+
+
+register("chr", _int_resolver(T.VARCHAR), _chr_eval)
+
+
+def _conv_eval(ctx, out_dtype, args):
+    fb = int(_const_arg(args, 1, "conv"))
+    tb = int(_const_arg(args, 2, "conv"))
+    digs = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+    def f(s):
+        try:
+            v = int(s.strip(), fb)
+        except ValueError:
+            return ""
+        if v == 0:
+            return "0"
+        neg, v = v < 0, abs(v)
+        out = []
+        while v:
+            out.append(digs[v % tb])
+            v //= tb
+        return ("-" if neg else "") + "".join(reversed(out)).upper()
+    return _dict_map(args[0], f)
+
+
+register("conv", sig("string, integral, integral -> varchar"), _conv_eval)
+
+
+def _sha1_eval(ctx, out_dtype, args):
+    import hashlib
+    return _dict_map(args[0],
+                     lambda s: hashlib.sha1(s.encode()).hexdigest())
+
+
+def _sha2_eval(ctx, out_dtype, args):
+    import hashlib
+    bits = int(_const_arg(args, 1, "sha2", 256)) or 256
+    algo = {224: hashlib.sha224, 256: hashlib.sha256,
+            384: hashlib.sha384, 512: hashlib.sha512}.get(bits)
+    if algo is None:
+        raise ValueError(f"sha2: unsupported bit length {bits}")
+    return _dict_map(args[0], lambda s: algo(s.encode()).hexdigest())
+
+
+register("sha1", sig("string -> varchar"), _sha1_eval)
+register("sha2", sig("string, integral -> varchar"), _sha2_eval)
+
+
+def _mask_eval(ctx, out_dtype, args):
+    """mask(s[, upper, lower, digit, other]) — Spark MaskFunction.h
+    defaults X/x/n/unchanged; a NULL (None) replacement keeps the class."""
+    up = _const_arg(args, 1, "mask", "X")
+    lo = _const_arg(args, 2, "mask", "x")
+    dg = _const_arg(args, 3, "mask", "n")
+    ot = _const_arg(args, 4, "mask", "\0")
+
+    def repl(c):
+        if c.isupper():
+            return c if up is None else str(up)
+        if c.islower():
+            return c if lo is None else str(lo)
+        if c.isdigit():
+            return c if dg is None else str(dg)
+        return c if (ot is None or ot == "\0") else str(ot)
+    return _dict_map(args[0], lambda s: "".join(repl(c) for c in s))
+
+
+def _mask_resolver(ts):
+    if ts and ts[0].is_string and len(ts) <= 5:
+        return T.VARCHAR
+    return None
+
+
+register("mask", _mask_resolver, _mask_eval)
+
+
+def _empty2null_eval(ctx, out_dtype, args):
+    v = args[0]
+    nonempty = _dict_lookup(v, lambda s: len(s) > 0, T.BOOLEAN)
+    validity = nonempty.data.astype(bool)
+    if v.validity is not None:
+        validity = validity & v.full_validity(ctx.capacity)
+    return EvalValue(v.data, validity, v.dtype, v.dictionary)
+
+
+register("empty2null", sig("string -> varchar"), _empty2null_eval)
+
+
+# ---- datetime unit casts ---------------------------------------------------
+
+def _scale_resolver(out):
+    def r(ts):
+        return out if len(ts) == 1 else None
+    return r
+
+
+def _date_from_unix_date_eval(ctx, out_dtype, args):
+    d = args[0].full_data(ctx.capacity).astype(jnp.int32)
+    return EvalValue(d, args[0].validity, T.DATE)
+
+
+register("date_from_unix_date", sig("integral -> date"),
+         _date_from_unix_date_eval)
+
+
+def _ts_scale_eval(mult):
+    def eval_fn(ctx, out_dtype, args):
+        v = args[0].full_data(ctx.capacity).astype(jnp.int64)
+        return EvalValue(v * mult, args[0].validity, T.TIMESTAMP)
+    return eval_fn
+
+
+register("timestamp_micros", sig("integral -> timestamp"), _ts_scale_eval(1))
+register("timestamp_millis", sig("integral -> timestamp"),
+         _ts_scale_eval(1000))
+
+
+def _unix_scale_eval(div):
+    def eval_fn(ctx, out_dtype, args):
+        v = args[0].full_data(ctx.capacity).astype(jnp.int64)
+        # floor division (negative timestamps round toward -inf, matching
+        # Spark's MICROS_PER_SECOND floorDiv)
+        return EvalValue(v // div, args[0].validity, T.BIGINT)
+    return eval_fn
+
+
+register("unix_micros", sig("timestamp -> bigint"), _unix_scale_eval(1))
+register("unix_millis", sig("timestamp -> bigint"), _unix_scale_eval(1000))
+register("unix_seconds", sig("timestamp -> bigint"),
+         _unix_scale_eval(1_000_000))
+
+
+def _year_of_week_eval(ctx, out_dtype, args):
+    """ISO week-numbering year: the calendar year of the Thursday in the
+    date's ISO week (epoch 1970-01-01 is a Thursday)."""
+    from velox_tpu.functions.scalar import _civil_from_days
+    days = args[0].full_data(ctx.capacity).astype(jnp.int64)
+    thursday = days - (days + 3) % 7 + 3
+    y, _, _ = _civil_from_days(thursday)
+    return EvalValue(y.astype(jnp.int32), args[0].validity, T.INTEGER)
+
+
+register("year_of_week", sig("date -> integer"), _year_of_week_eval)
+
+
+# ---- seeded hashes / decimal / ids -----------------------------------------
+
+def _hash_with_seed_eval(ctx, out_dtype, args):
+    from velox_tpu.functions.sparksql import _spark_hash_eval
+    seed = int(_const_arg(args, 0, "hash_with_seed"))
+    return _spark_hash_eval(ctx, out_dtype, args[1:], seed=seed)
+
+
+def _xxhash64_with_seed_eval(ctx, out_dtype, args):
+    from velox_tpu.functions.sparksql import _spark_xxhash64_eval
+    seed = int(_const_arg(args, 0, "xxhash64_with_seed"))
+    return _spark_xxhash64_eval(ctx, out_dtype, args[1:], seed=seed)
+
+
+def _seeded_resolver(out):
+    def r(ts):
+        return out if len(ts) >= 2 and ts[0].is_integral else None
+    return r
+
+
+register("hash_with_seed", _seeded_resolver(T.INTEGER),
+         _hash_with_seed_eval)
+register("xxhash64_with_seed", _seeded_resolver(T.BIGINT),
+         _xxhash64_with_seed_eval)
+
+
+def _unscaled_value_eval(ctx, out_dtype, args):
+    v = args[0].full_data(ctx.capacity).astype(jnp.int64)
+    return EvalValue(v, args[0].validity, T.BIGINT)
+
+
+def _unscaled_resolver(ts):
+    if len(ts) == 1 and ts[0].kind is T.TypeKind.DECIMAL \
+            and not ts[0].is_long_decimal:
+        return T.BIGINT
+    return None
+
+
+register("unscaled_value", _unscaled_resolver, _unscaled_value_eval)
+
+
+def _mono_id_eval(ctx, out_dtype, args):
+    """Single-fragment form: ids are the row positions (the distributed
+    form would OR a fragment id into bits 33+, Spark's
+    MonotonicallyIncreasingID; this engine's exchanges renumber rows on
+    AssignUniqueId instead — exec/misc_ops.py)."""
+    return EvalValue(jnp.arange(ctx.capacity, dtype=jnp.int64), None,
+                     T.BIGINT)
+
+
+def _partition_id_eval(ctx, out_dtype, args):
+    return EvalValue(jnp.zeros((ctx.capacity,), jnp.int32), None,
+                     T.INTEGER)
+
+
+def _nullary(out):
+    def r(ts):
+        return out if len(ts) == 0 else None
+    return r
+
+
+register("monotonically_increasing_id", _nullary(T.BIGINT), _mono_id_eval)
+register("spark_partition_id", _nullary(T.INTEGER), _partition_id_eval)
+
+
+def _raise_error_eval(ctx, out_dtype, args):
+    """Flags every active row as errored (the traced error channel,
+    expression/eval.py EvalCtx.flag_error): Task.run raises a
+    VeloxUserError; TRY(...) converts to NULL — Spark RaiseError.h."""
+    ctx.flag_error(jnp.ones((ctx.capacity,), bool))
+    return EvalValue(jnp.zeros((ctx.capacity,), bool),
+                     jnp.zeros((ctx.capacity,), bool), T.UNKNOWN)
+
+
+def _raise_resolver(ts):
+    return T.UNKNOWN if len(ts) <= 1 else None
+
+
+register("raise_error", _raise_resolver, _raise_error_eval)
+
+
+# ---- dictionary-space list explode: split / regexp_extract_all -------------
+
+def _explode_dict(v: EvalValue, ctx, f):
+    """ARRAY(VARCHAR) from a per-distinct-value list function ``f``.
+
+    All list construction happens in DICTIONARY space at trace time (one
+    python pass over distinct values); row space sees only device
+    gathers: lens = L[id], and the flattened child gathers part ids from
+    the dict-space flat parts via searchsorted row recovery. Child
+    capacity is the static bound capacity * max_parts."""
+    from velox_tpu.functions.scalar import _require_dict
+    d = _require_dict(v, "split")
+    parts = [f(x) for x in d.values]
+    maxlen = max((len(p) for p in parts), default=0)
+    all_parts = sorted({p for ps in parts for p in ps})
+    pid = {p: i for i, p in enumerate(all_parts)}
+    child_dict = Dictionary(all_parts)
+    child_dict.is_sorted = True
+    flat = np.array([pid[p] for ps in parts for p in ps], np.int32)
+    if len(flat) == 0:
+        flat = np.zeros((1,), np.int32)
+    L = np.array([len(ps) for ps in parts], np.int32)
+    O = np.concatenate([[0], np.cumsum(L)[:-1]]).astype(np.int32)
+    cap = ctx.capacity
+    ids = v.data.astype(jnp.int32)
+    lens = jnp.asarray(L)[ids]
+    starts = jnp.cumsum(lens) - lens  # row-space element offsets
+    child_cap = max(1, cap * max(1, maxlen))
+    e = jnp.arange(child_cap, dtype=jnp.int32)
+    # element e belongs to the row whose offset run contains it
+    row = jnp.clip(
+        jnp.searchsorted(starts + lens, e, side="right"), 0, cap - 1
+    ).astype(jnp.int32)
+    pos = e - starts[row]
+    src = jnp.asarray(O)[ids[row]] + pos
+    in_use = e < (starts[-1] + lens[-1])
+    src = jnp.clip(src, 0, max(1, len(flat)) - 1)
+    child_data = jnp.where(in_use, jnp.asarray(flat)[src], 0)
+    from velox_tpu.vector.device import DeviceColumn
+    child = DeviceColumn(child_data, None, T.VARCHAR, child_dict)
+    return EvalValue(lens.astype(jnp.int32), v.validity,
+                     T.array(T.VARCHAR), children=(child,))
+
+
+def _split_eval(ctx, out_dtype, args):
+    import re as _re
+    delim = str(_const_arg(args, 1, "split"))
+    limit = int(_const_arg(args, 2, "split", -1))
+    pat = _re.compile(delim)
+
+    def f(s):
+        return pat.split(s, maxsplit=(limit - 1 if limit > 0 else 0))
+    return _explode_dict(args[0], ctx, f)
+
+
+register("split", sig("string, string -> array(varchar)"), _split_eval)
+register("split", sig("string, string, integral -> array(varchar)"),
+         _split_eval)
+
+
+def _regexp_extract_all_eval(ctx, out_dtype, args):
+    import re as _re
+    pat = _re.compile(str(_const_arg(args, 1, "regexp_extract_all")))
+    group = int(_const_arg(args, 2, "regexp_extract_all", 0))
+
+    def f(s):
+        return [m.group(group) or "" for m in pat.finditer(s)]
+    return _explode_dict(args[0], ctx, f)
+
+
+register("regexp_extract_all",
+         sig("string, string -> array(varchar)"),
+         _regexp_extract_all_eval)
+register("regexp_extract_all",
+         sig("string, string, integral -> array(varchar)"),
+         _regexp_extract_all_eval)

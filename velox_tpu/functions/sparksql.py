@@ -261,10 +261,10 @@ def _hash_one_column(v, seed, ctx):
     raise NotImplementedError(f"spark hash over {v.dtype}")
 
 
-def _spark_hash_eval(ctx, out_dtype, args):
+def _spark_hash_eval(ctx, out_dtype, args, seed=42):
     import jax as _jax  # noqa: F401
     cap = ctx.capacity
-    seed = jnp.full((cap,), 42, jnp.uint32)
+    seed = jnp.full((cap,), np.uint32(seed & 0xFFFFFFFF), jnp.uint32)
     for v in args:
         h = _hash_one_column(v, seed, ctx)
         if v.validity is not None:
@@ -442,9 +442,10 @@ def _xx_one_column(v, seed, ctx):
     raise NotImplementedError(f"xxhash64 over {v.dtype}")
 
 
-def _spark_xxhash64_eval(ctx, out_dtype, args):
+def _spark_xxhash64_eval(ctx, out_dtype, args, seed=42):
     cap = ctx.capacity
-    seed = jnp.full((cap,), 42, jnp.uint64)
+    seed = jnp.full((cap,), np.uint64(seed & 0xFFFFFFFFFFFFFFFF),
+                    jnp.uint64)
     for v in args:
         h = _xx_one_column(v, seed, ctx)
         if v.validity is not None:

@@ -327,7 +327,7 @@ class Parser:
 
     _LAMBDA_FNS = ("transform", "filter", "any_match", "all_match",
                    "none_match", "map_filter", "transform_values",
-                   "transform_keys")
+                   "transform_keys", "exists", "forall")
 
     def _parse_call(self, name: str):
         lname = name.lower()
@@ -342,12 +342,12 @@ class Parser:
                     args.append(self._parse_arg_or_lambda(
                         None, ptypes=[args[0].dtype.children[0],
                                       args[1].dtype.children[0]]))
-                elif lname == "reduce" and len(args) == 2:
+                elif lname in ("reduce", "aggregate") and len(args) == 2:
                     # combine (s, x): s from init, x from the array
                     args.append(self._parse_arg_or_lambda(
                         None, ptypes=[args[1].dtype,
                                       args[0].dtype.children[0]]))
-                elif lname == "reduce" and len(args) == 3:
+                elif lname in ("reduce", "aggregate") and len(args) == 3:
                     # output s -> out: s is the combine's result type
                     args.append(self._parse_arg_or_lambda(
                         None, ptypes=[args[2].dtype]))
