@@ -12,14 +12,23 @@ import sys
 import time
 
 
-def timeit(fn, *args, iters=10):
+def _force(r):
+    """Force execution with a host fetch of one element: on the remote
+    TPU tunnel jax.block_until_ready does NOT drain the queue (execution
+    is forced only by fetches), so timing with it measures dispatch
+    rate, not throughput."""
     import jax
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    jax.device_get(leaf.ravel()[0] if getattr(leaf, "ndim", 0) else leaf)
+
+
+def timeit(fn, *args, iters=10):
     r = fn(*args)
-    jax.block_until_ready(r)
+    _force(r)
     t0 = time.perf_counter()
     for _ in range(iters):
         r = fn(*args)
-    jax.block_until_ready(r)
+    _force(r)  # one fetch drains the whole queue (~25 ms / iters bias)
     return (time.perf_counter() - t0) / iters
 
 
@@ -79,6 +88,21 @@ def run_micro(rows_log2: int = 20):
     dt = timeit(group_sum, gk, vals, active)
     rows.append(("hash group-by sum (64K groups)", n / dt / 1e6))
 
+    # sort-mode group-by with payload riding + lane decode (the Q3/Q18
+    # aggregation hot path, exec/groupby.py reduce_sort_mode)
+    from velox_tpu.exec import groupby as G
+    gk2 = jnp.asarray(rng.randint(0, n, n).astype(np.int64))
+
+    @jax.jit
+    def ride_group_sum(gk2, vals, active):
+        kv = [EvalValue(gk2, None, T.BIGINT)]
+        _, gs, _ = G.reduce_sort_mode(kv, [(vals, "sum")], active, n,
+                                      ranges=((0, n - 1),))
+        return gs[0]
+
+    dt = timeit(ride_group_sum, gk2, vals, active)
+    rows.append(("sort-mode group-by sum (ride+decode)", n / dt / 1e6))
+
     # hash-join probe (unique build of n/4 keys)
     bk = jnp.asarray(rng.permutation(n)[:n // 4].astype(np.int64))
     pk = jnp.asarray(rng.randint(0, n, n).astype(np.int64))
@@ -100,6 +124,34 @@ def run_micro(rows_log2: int = 20):
 
     dt = timeit(probe, table, pk)
     rows.append(("hash-join probe (25% hit domain)", n / dt / 1e6))
+
+    # array-mode join probe (HashMode::kArray analogue — the TPC-H path:
+    # dense start/count domain table, two int32 gathers per probe)
+    from velox_tpu import types as _T
+    from velox_tpu.exec import join as J
+    from velox_tpu.vector.device import DeviceBatch, DeviceColumn
+
+    class _KF:
+        def __init__(self, name, dtype):
+            self.name, self.dtype = name, dtype
+
+    kf = (_KF("k", _T.BIGINT),)
+    bb = DeviceBatch({"k": DeviceColumn(bk, None, _T.BIGINT, None)},
+                     jnp.ones((n // 4,), bool))
+    build_fn = jax.jit(lambda b: J.build_sorted_table(b, kf, (0, n - 1)))
+    bt = build_fn(bb)
+
+    @jax.jit
+    def array_probe(bt, pk):
+        norm = pk - bt.arr_base
+        idx = jnp.clip(norm, 0, bt.arr_start.shape[0] - 1) \
+            .astype(jnp.int32)
+        counts = jnp.where((norm >= 0) & (norm < bt.arr_start.shape[0]),
+                           bt.arr_count[idx], 0)
+        return jnp.sum(counts), bt.perm[bt.arr_start[idx]]
+
+    dt = timeit(array_probe, bt, pk)
+    rows.append(("array-mode join probe (dense domain)", n / dt / 1e6))
 
     # gather: XLA take vs the lane-roll flat-gather kernel
     data32 = jnp.asarray(rng.randint(-10**9, 10**9, min(n, 1 << 20))

@@ -732,12 +732,14 @@ class TpchSplit(ConnectorSplit):
 
 class TpchDataSource(DataSource):
     def __init__(self, gen: TpchTableGen, table: str,
-                 columns: Sequence[str], capacity: Optional[int] = None):
+                 columns: Sequence[str], capacity: Optional[int] = None,
+                 uniform_capacity: bool = False):
         self._gen = gen
         self._table = table
         self._columns = list(columns)
         self._schema = TPCH_SCHEMAS[table]
         self._capacity = capacity
+        self._uniform = uniform_capacity
         self._pending: Optional[Tuple[TpchSplit, int]] = None
 
     def dictionaries(self) -> Dict[str, Dictionary]:
@@ -770,6 +772,10 @@ class TpchDataSource(DataSource):
         import jax.numpy as jnp
         n = len(next(iter(arrays.values()))) if arrays else 0
         cap = self._capacity or default_capacity(n)
+        if not self._uniform and n * 4 <= cap:
+            # right-size a tail split (one extra compiled shape per scan;
+            # saves the downstream padding tax — see create_data_source)
+            cap = max(1024, default_capacity(n))
         dicts = self._gen.dictionaries(self._table)
         cols = {}
         for name in self._columns:
@@ -871,7 +877,13 @@ class TpchConnector(Connector):
                 cap = default_capacity(min(self.rows_per_split // 5, n) * 7)
             else:
                 cap = default_capacity(min(self.rows_per_split, n))
-        return TpchDataSource(self.gen, table, columns, cap)
+        # the distributed mesh layer stacks split batches for vmap —
+        # every split must share ONE capacity there; the serial Task
+        # profits from a right-sized tail split (a 1K-row tail padded to
+        # 2M inflates every downstream concat/sort by ~25%)
+        uniform = bool(ctx is not None and ctx.get("scan.splits_per_table"))
+        return TpchDataSource(self.gen, table, columns, cap,
+                              uniform_capacity=uniform)
 
     def num_index_rows(self, table: str) -> int:
         """Split-index domain size (order count for lineitem)."""

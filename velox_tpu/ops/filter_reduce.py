@@ -115,8 +115,10 @@ def filtered_sum_product(cols: List[jnp.ndarray], ranges, ai: int, bi: int,
     n_chunks = -(-n // CHUNK_ROWS)
     padded = n_chunks * CHUNK_ROWS
     if padded != n:
-        cols = [jnp.concatenate(
-            [c, jnp.zeros((padded - n,), jnp.int32)]) for c in cols]
+        # pad inside ONE jitted program: eager per-column concatenates
+        # each cost a device-dispatch round trip on the remote tunnel
+        # (measured ~25 ms of warm Q6 wall)
+        cols = _pad_cols(padded, *cols)
     if interpret:
         # CPU/interpret path: pure-XLA reference of the identical limb
         # arithmetic (emit_pipeline cannot even be constructed off-TPU —
@@ -127,6 +129,19 @@ def filtered_sum_product(cols: List[jnp.ndarray], ranges, ai: int, bi: int,
     with jax.enable_x64(False):
         out = _run_kernel(n_chunks, tuple(ranges), ai, bi, False,
                           jnp.asarray(n_active, jnp.int32), *cols)
+    # limb recombination in one jitted call (x64 back on): 1 dispatch
+    # instead of three eager ops per scan batch
+    return _finish_sums(out)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _pad_cols(padded: int, *cols):
+    return [jnp.concatenate(
+        [c, jnp.zeros((padded - c.shape[0],), jnp.int32)]) for c in cols]
+
+
+@jax.jit
+def _finish_sums(out):
     s1 = jnp.sum(out[:, 0, :].astype(jnp.int64))
     s0 = jnp.sum(out[:, 1, :].astype(jnp.int64))
     return (s1 << np.int64(16)) + s0
