@@ -893,9 +893,12 @@ _QUERIES = {1: q1, 2: q2, 3: q3, 4: q4, 5: q5, 6: q6, 7: q7, 8: q8,
 
 
 def tpch_plan(q: int, connector_id: str = "tpch") -> P.PlanNode:
+    # look up BEFORE calling: a KeyError raised inside the builder (e.g.
+    # connector not registered) must not masquerade as "not implemented"
     try:
-        return _QUERIES[q](connector_id)
+        build = _QUERIES[q]
     except KeyError:
         raise ValueError(
             f"TPC-H Q{q} not implemented (have {sorted(_QUERIES)})"
         ) from None
+    return build(connector_id)
