@@ -135,3 +135,45 @@ def test_raise_error_and_try():
         run_proj(t, ["raise_error('boom') as e"])
     out = run_proj(t, ["try(raise_error('boom')) as e"]).to_pandas()
     assert out.e.isna().all()
+
+
+def test_batch4_arrays_maps():
+    t = pa.table({"a": pa.array([[10, 20, 30], [5]], pa.list_(pa.int64())),
+                  "i": pa.array([1, 3], pa.int64()),
+                  "x": pa.array([7, 8], pa.int64()),
+                  "k": pa.array([["a", "b"], ["c"]], pa.list_(pa.string())),
+                  "v": pa.array([[1, 2], [3]], pa.list_(pa.int64()))})
+    out = run_proj(t, ["get(a, i) as g",
+                       "array_repeat(x, 3) as ar",
+                       "map_from_arrays(k, v) as m"]).to_pandas()
+    assert out.g[0] == 20
+    assert np.isnan(out.g[1])  # index 3 out of bounds -> NULL
+    assert list(out.ar[0]) == [7, 7, 7]
+    assert dict(out.m[0]) == {"a": 1, "b": 2}
+    assert dict(out.m[1]) == {"c": 3}
+
+
+def test_batch4_timestamps():
+    t = pa.table({
+        "ts": pa.array([1_700_000_000_000_000], pa.int64())
+        .cast(pa.timestamp("us")),
+        "y": pa.array([2024], pa.int64()),
+    })
+    out = run_proj(t, [
+        "from_utc_timestamp(ts, 'America/Los_Angeles') as f",
+        "to_utc_timestamp(from_utc_timestamp(ts, 'Asia/Tokyo'),"
+        " 'Asia/Tokyo') as rt",
+        "make_timestamp(y, 2, 29, 12, 30, 5) as mk",
+    ]).to_pandas()
+    # 2023-11-14 22:13:20 UTC -> LA is UTC-8 (PST)
+    assert out.f[0] == out.rt[0] + (dt.datetime(1, 1, 1) - dt.datetime(1, 1, 1)) - dt.timedelta(hours=8)
+    assert out.rt[0] == dt.datetime(2023, 11, 14, 22, 13, 20)
+    assert out.mk[0] == dt.datetime(2024, 2, 29, 12, 30, 5)
+
+
+def test_batch4_str_to_map():
+    t = pa.table({"s": pa.array(["a:1,b:2", "x:9", ""])})
+    out = run_proj(t, ["str_to_map(s) as m"]).to_pandas()
+    assert dict(out.m[0]) == {"a": "1", "b": "2"}
+    assert dict(out.m[1]) == {"x": "9"}
+    assert dict(out.m[2]) == {}
