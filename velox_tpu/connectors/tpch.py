@@ -804,6 +804,7 @@ class TpchConnector(Connector):
         self.scale_factor = scale_factor
         self.rows_per_split = rows_per_split
         self.gen = TpchTableGen(scale_factor)
+        self._max_rows_cache: Dict = {}
 
     def table_schema(self, table: str) -> T.DataType:
         return TPCH_SCHEMAS[table]
@@ -874,7 +875,13 @@ class TpchConnector(Connector):
             # probe work).
             n = self.num_index_rows(table)
             if table == "lineitem":
-                cap = default_capacity(min(self.rows_per_split // 5, n) * 7)
+                # EXACT max rows over the actual splits (line_count_at is
+                # a pure per-order function): the worst-case 7-lines-per-
+                # order bound padded every lineitem batch by ~43%
+                # (2.94M capacity for a 1.68M-row split at SF1), and every
+                # downstream operator pays capacity-proportional costs
+                step = self._split_step(table, ctx)
+                cap = default_capacity(self._max_split_rows(step, n))
             else:
                 cap = default_capacity(min(self.rows_per_split, n))
         # the distributed mesh layer stacks split batches for vmap —
@@ -891,7 +898,7 @@ class TpchConnector(Connector):
             return int(ORDERS_PER_SF * self.gen.sf)
         return self.gen.num_rows(table)
 
-    def default_splits(self, table: str, ctx=None) -> List[TpchSplit]:
+    def _split_step(self, table: str, ctx=None) -> int:
         n = self.num_index_rows(table)
         rps = self.rows_per_split
         if ctx is not None:
@@ -904,7 +911,24 @@ class TpchConnector(Connector):
                 rps = max(1, -(-n // int(want)))
         # lineitem splits are order ranges producing ~4x rows
         step = rps // 5 if table == "lineitem" else rps
-        step = max(1, step)
+        return max(1, step)
+
+    def _max_split_rows(self, step: int, n_orders: int) -> int:
+        """Exact max lineitem rows over the [lo, lo+step) order splits
+        (one cached cheap numpy pass over per-order line counts)."""
+        key = (step, n_orders)
+        cached = self._max_rows_cache.get(key)
+        if cached is None:
+            counts = line_count_at(np.arange(n_orders, dtype=np.int64))
+            sums = [int(counts[lo:lo + step].sum())
+                    for lo in range(0, n_orders, step)]
+            cached = max(sums) if sums else 1
+            self._max_rows_cache[key] = cached
+        return cached
+
+    def default_splits(self, table: str, ctx=None) -> List[TpchSplit]:
+        n = self.num_index_rows(table)
+        step = self._split_step(table, ctx)
         return [TpchSplit(self.connector_id, table, lo, min(lo + step, n))
                 for lo in range(0, n, step)]
 
