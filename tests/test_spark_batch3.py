@@ -177,3 +177,34 @@ def test_batch4_str_to_map():
     assert dict(out.m[0]) == {"a": "1", "b": "2"}
     assert dict(out.m[1]) == {"x": "9"}
     assert dict(out.m[2]) == {}
+
+
+def test_moments_and_first_last():
+    import pandas as pd
+    t = pa.table({"g": pa.array([1, 1, 1, 1, 1, 2, 2, 2, 2, 2], pa.int64()),
+                  "x": pa.array([1.0, 2.0, 4.0, 8.0, 16.0,
+                                 3.0, 3.0, 5.0, 9.0, 100.0])})
+    out = Task(PlanBuilder().values([t]).single_aggregation(
+        ["g"], ["skewness(x) as sk", "kurtosis(x) as ku",
+                "first(x) as fi", "last(x) as la"]).plan()
+    ).run().to_pandas().sort_values("g").reset_index(drop=True)
+    df = t.to_pandas()
+    for i, g in enumerate([1, 2]):
+        xs = df[df.g == g].x
+        assert abs(out.sk[i] - xs.skew() * ((len(xs) - 2) / np.sqrt(
+            len(xs) * (len(xs) - 1)))) < 1e-9  # pandas is sample-adjusted
+        assert abs(out.ku[i] - xs.kurtosis()) < 1e-9
+    # DOUBLE first/last fall back to any-value (min/max) — Spark's
+    # contract is non-deterministic without an order; check membership
+    assert out.fi[0] in list(df[df.g == 1].x)
+    assert out.la[1] in list(df[df.g == 2].x)
+
+
+def test_first_last_positional_int32():
+    t = pa.table({"g": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                  "x": pa.array([7, 3, 9, 4, None], pa.int32())})
+    out = Task(PlanBuilder().values([t]).single_aggregation(
+        ["g"], ["first(x) as fi", "last(x) as la"]).plan()
+    ).run().to_pandas().sort_values("g").reset_index(drop=True)
+    assert out.fi[0] == 7 and out.la[0] == 9
+    assert out.fi[1] == 4 and out.la[1] == 4  # nulls skipped

@@ -350,6 +350,59 @@ class VarianceAgg(AggregateFunction):
         return EvalValue(out, group_valid & (n >= min_n), T.DOUBLE)
 
 
+class CentralMomentsAgg(AggregateFunction):
+    """skewness / kurtosis via raw power sums (n, sum x, x^2, x^3, x^4).
+
+    Parity: functions/prestosql/aggregates/CentralMomentsAggregates.cpp
+    (same result formulas; the reference carries central moments m2..m4
+    directly, here they derive from segment-combinable power sums:
+    m2 = s2 - s1^2/n, m3 = s3 - 3 s2 s1/n + 2 s1^3/n^2,
+    m4 = s4 - 4 s3 s1/n + 6 s2 s1^2/n^2 - 3 s1^4/n^3). Also registered
+    for the Spark package (sparksql shares the implementations)."""
+
+    def __init__(self, name: str, input_type: T.DataType):
+        self.name = name
+        self.input_type = input_type
+        self.result_type = T.DOUBLE
+        self.states = (StateSpec("n", T.BIGINT, "sum"),
+                       StateSpec("s1", T.DOUBLE, "sum"),
+                       StateSpec("s2", T.DOUBLE, "sum"),
+                       StateSpec("s3", T.DOUBLE, "sum"),
+                       StateSpec("s4", T.DOUBLE, "sum"))
+
+    def map_raw(self, ctx, args, active):
+        (v,) = args
+        keep = _valid_and_active(v, active, ctx.capacity)
+        data = v.full_data(ctx.capacity)
+        if v.dtype.kind is T.TypeKind.DECIMAL:
+            data = data.astype(np.float64) / (10.0 ** v.dtype.scale)
+        else:
+            data = data.astype(np.float64)
+        x = jnp.where(keep, data, 0.0)
+        x2 = x * x
+        return [keep.astype(np.int64), x, x2, x2 * x, x2 * x2]
+
+    def extract(self, state_arrays, group_valid):
+        n, s1, s2, s3, s4 = state_arrays
+        nf = jnp.maximum(n.astype(np.float64), 1.0)
+        m2 = s2 - s1 * s1 / nf
+        m2 = jnp.maximum(m2, 0.0)
+        if self.name == "skewness":
+            m3 = s3 - 3.0 * s2 * s1 / nf + 2.0 * s1 ** 3 / (nf * nf)
+            out = jnp.sqrt(nf) * m3 / jnp.maximum(m2, 1e-300) ** 1.5
+            ok = n >= 3  # CentralMomentsAggregates.cpp hasResult
+        else:  # kurtosis (sample excess, reference formula)
+            m4 = (s4 - 4.0 * s3 * s1 / nf + 6.0 * s2 * s1 * s1 / (nf * nf)
+                  - 3.0 * s1 ** 4 / (nf ** 3))
+            c = nf
+            denom = jnp.maximum((c - 2.0) * (c - 3.0), 1.0)
+            out = ((c - 1.0) * c * (c + 1.0)) / denom \
+                * m4 / jnp.maximum(m2 * m2, 1e-300) \
+                - 3.0 * (c - 1.0) * (c - 1.0) / denom
+            ok = n >= 4
+        return EvalValue(out, group_valid & ok, T.DOUBLE)
+
+
 _PACKABLE_32 = (T.TypeKind.BOOLEAN, T.TypeKind.TINYINT, T.TypeKind.SMALLINT,
                 T.TypeKind.INTEGER, T.TypeKind.DATE, T.TypeKind.VARCHAR,
                 T.TypeKind.VARBINARY, T.TypeKind.REAL)
@@ -384,7 +437,14 @@ class MinMaxByAgg(AggregateFunction):
                        StateSpec("count", T.BIGINT, "sum"))
 
     def map_raw(self, ctx, args, active):
-        x, y = args
+        if getattr(self, "position_ordered", False):
+            # first/last: the ordering key is the within-batch position
+            (x,) = args
+            cap = ctx.capacity
+            y = EvalValue(jnp.arange(cap, dtype=jnp.int32), None,
+                          T.INTEGER)
+        else:
+            x, y = args
         cap = ctx.capacity
         keep = _valid_and_active(y, active, cap)
         keep = keep & (jnp.ones((cap,), bool) if x.validity is None
@@ -648,6 +708,34 @@ def resolve_aggregate(name: str, input_types) -> AggregateFunction:
         canon = {"variance": "var_samp", "stddev": "stddev_samp"}.get(
             name, name)
         return VarianceAgg(canon, input_types[0])
+    if name in ("skewness", "kurtosis"):
+        return CentralMomentsAgg(name, input_types[0])
+    if name in ("first", "first_value", "last", "last_value") \
+            and len(input_types) == 1:
+        # Spark first/last: non-deterministic without an explicit order
+        # ("depends on the order of the rows", Spark docs) — realized as
+        # min_by/max_by over the within-batch row position, null inputs
+        # skipped (ignoreNulls semantics)
+        if input_types[0].kind not in _PACKABLE_32:
+            # wider types: any value is a conforming result (the Spark
+            # contract is explicitly non-deterministic without an order);
+            # min/max keeps the result deterministic per data set
+            if input_types[0].is_long_decimal:
+                agg = CollectMinMaxByAgg(
+                    "min" if name.startswith("first") else "max",
+                    input_types[0], input_types[0])
+            else:
+                agg = MinMaxAgg(
+                    "min" if name.startswith("first") else "max",
+                    input_types[0])
+            agg.agg_name = name
+            return agg
+        agg = MinMaxByAgg(
+            "min_by" if name.startswith("first") else "max_by",
+            input_types[0], T.INTEGER)
+        agg.agg_name = name
+        agg.position_ordered = True
+        return agg
     if name in ("min_by", "max_by"):
         if (input_types[0].kind in _PACKABLE_32
                 and input_types[1].kind in _PACKABLE_32):
