@@ -208,3 +208,16 @@ def test_first_last_positional_int32():
     ).run().to_pandas().sort_values("g").reset_index(drop=True)
     assert out.fi[0] == 7 and out.la[0] == 9
     assert out.fi[1] == 4 and out.la[1] == 4  # nulls skipped
+
+
+def test_arrays_zip():
+    t = pa.table({"a": pa.array([[1, 2, 3], [9]], pa.list_(pa.int64())),
+                  "b": pa.array([[10, 20], [7, 8]], pa.list_(pa.int64()))})
+    out = run_proj(t, ["arrays_zip(a, b) as z"]).to_pandas()
+    z0 = [dict(r) for r in out.z[0]]
+    assert z0[0] == {"0": 1, "1": 10}
+    assert z0[1] == {"0": 2, "1": 20}
+    assert z0[2]["0"] == 3 and z0[2]["1"] is None
+    z1 = [dict(r) for r in out.z[1]]
+    assert z1[0] == {"0": 9, "1": 7}
+    assert z1[1]["0"] is None and z1[1]["1"] == 8

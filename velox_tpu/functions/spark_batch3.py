@@ -596,3 +596,54 @@ def _str_to_map_resolver(ts):
 
 
 register("str_to_map", _str_to_map_resolver, _str_to_map_eval)
+
+
+def _arrays_zip_eval(ctx, out_dtype, args):
+    """arrays_zip(a, b) -> array(row(0, 1)): element j of the output row
+    pairs a[j] with b[j]; the shorter array contributes NULLs (Spark
+    ArraysZip). Output element space is a fresh layout sized
+    |a elements| + |b elements| (>= sum of per-row max lengths)."""
+    from velox_tpu.vector.device import DeviceColumn
+    a, b = args
+    ca, cb = a.children[0], b.children[0]
+    la = a.data.astype(jnp.int32)
+    lb = b.data.astype(jnp.int32)
+    lo = jnp.maximum(la, lb)
+    starts_out = jnp.cumsum(lo) - lo
+    out_cap = ca.capacity + cb.capacity
+    cap = ctx.capacity
+    e = jnp.arange(out_cap, dtype=jnp.int32)
+    row = jnp.clip(jnp.searchsorted(starts_out + lo, e, side="right"),
+                   0, cap - 1).astype(jnp.int32)
+    pos = e - starts_out[row]
+
+    def field(arr, child, lens):
+        from velox_tpu.functions.complex import _offsets
+        offs = _offsets(arr)
+        in_src = pos < lens[row]
+        src = jnp.clip(offs[row] + pos, 0, child.capacity - 1) \
+            .astype(jnp.int32)
+        data = child.data[src]
+        validity = in_src
+        if child.validity is not None:
+            validity = validity & child.validity[src]
+        return DeviceColumn(data, validity,
+                            arr.dtype.children[0], child.dictionary)
+
+    f0 = field(a, ca, la)
+    f1 = field(b, cb, lb)
+    rt = out_dtype.children[0]
+    row_child = DeviceColumn(jnp.zeros((out_cap,), jnp.int32), None, rt,
+                             None, (f0, f1))
+    return EvalValue(lo, merge_validity(a, b), out_dtype,
+                     children=(row_child,))
+
+
+def _arrays_zip_resolver(ts):
+    if len(ts) == 2 and all(t.kind is T.TypeKind.ARRAY for t in ts):
+        return T.array(T.row(["0", "1"],
+                             [ts[0].children[0], ts[1].children[0]]))
+    return None
+
+
+register("arrays_zip", _arrays_zip_resolver, _arrays_zip_eval)
