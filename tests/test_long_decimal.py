@@ -212,3 +212,20 @@ def test_grouped_avg_long_decimal():
         exp = (abs(s) + n // 2) // n * (1 if s >= 0 else -1)
         got = int(D.Decimal(str(out[out.g == gid].a.iloc[0])).scaleb(4))
         assert got == exp
+
+
+def test_short_decimal_sum_widens_to_38():
+    """sum(DECIMAL(p, s)) -> DECIMAL(38, s): a 19-digit total must not
+    overflow the declared precision (hit at SF10 Q1 sum_charge;
+    parity: Presto DecimalSumAggregate -> decimal(38, s))."""
+    import decimal
+    import pyarrow as pa
+    from velox_tpu.exec.task import Task
+    from velox_tpu.testing.plan_builder import PlanBuilder
+    big = decimal.Decimal("99999999999999.99")  # 16 digits, scale 2
+    t = pa.table({"g": pa.array([1] * 200, pa.int64()),
+                  "d": pa.array([big] * 200, pa.decimal128(16, 2))})
+    out = Task(PlanBuilder().values([t]).single_aggregation(
+        ["g"], ["sum(d) as s"]).plan()).run()
+    assert out.schema.field("s").type == pa.decimal128(38, 2)
+    assert out.to_pandas().s[0] == big * 200  # 19 digits

@@ -90,7 +90,13 @@ def _valid_and_active(v: EvalValue, active, capacity):
 class SumAgg(AggregateFunction):
     def __init__(self, input_type: T.DataType):
         self.name = "sum"
-        self._long = input_type.is_long_decimal
+        # EVERY decimal sum returns DECIMAL(38, s) over int128 limb
+        # states (parity: Presto sum(decimal) -> decimal(38, s),
+        # DecimalSumAggregate over int128). Short-decimal inputs used to
+        # keep an int64 state with the INPUT precision declared — at
+        # SF10 Q1's sum_charge has 19 digits, overflowing the declared
+        # precision (and eventually int64 itself).
+        self._long = input_type.kind is T.TypeKind.DECIMAL
         if self._long:
             # long decimal: four planar 32-bit limb parts accumulate in
             # independent int64 sums and recombine at extraction
@@ -122,11 +128,13 @@ class SumAgg(AggregateFunction):
         data = v.full_data(ctx.capacity)
         if self._long:
             from velox_tpu.ops.int128 import split_parts
-            lo = data
-            hi = (v.children[0].data if v.children
-                  else jnp.zeros_like(lo))
-            if hi.ndim == 0:
-                hi = jnp.broadcast_to(hi, lo.shape)
+            lo = data.astype(jnp.int64)
+            if v.dtype.is_long_decimal and v.children:
+                hi = v.children[0].data
+                if hi.ndim == 0:
+                    hi = jnp.broadcast_to(hi, lo.shape)
+            else:
+                hi = lo >> jnp.int64(63)  # short decimal: sign extension
             parts = split_parts(lo, hi)
             return [_masked(p, keep, 0) for p in parts] \
                 + [keep.astype(np.int64)]
@@ -205,11 +213,13 @@ class AvgAgg(AggregateFunction):
         data = v.full_data(ctx.capacity)
         if self._long:
             from velox_tpu.ops.int128 import split_parts
-            lo = data
-            hi = (v.children[0].data if v.children
-                  else jnp.zeros_like(lo))
-            if hi.ndim == 0:
-                hi = jnp.broadcast_to(hi, lo.shape)
+            lo = data.astype(jnp.int64)
+            if v.dtype.is_long_decimal and v.children:
+                hi = v.children[0].data
+                if hi.ndim == 0:
+                    hi = jnp.broadcast_to(hi, lo.shape)
+            else:
+                hi = lo >> jnp.int64(63)  # short decimal: sign extension
             parts = split_parts(lo, hi)
             return [_masked(p, keep, 0) for p in parts] \
                 + [keep.astype(np.int64)]

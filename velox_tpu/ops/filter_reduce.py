@@ -362,8 +362,18 @@ class FilterSumOperator(_operator_base()):
         self._done = True
         from velox_tpu.vector.device import DeviceBatch, DeviceColumn
         total = self._total if self._total is not None else jnp.int64(0)
-        col = DeviceColumn(jnp.asarray(total, jnp.int64)[None], None,
-                           self.spec.out_dtype, None)
+        data = jnp.asarray(total, jnp.int64)[None]
+        children = None
+        if self.spec.out_dtype.is_long_decimal:
+            # sum(decimal) declares DECIMAL(38, s): attach the int128 hi
+            # limb (sign extension — the kernel accumulates exactly in
+            # int64, which bounds |total| < 2^63; beyond that the generic
+            # limb aggregation path applies, and _batch_ok's stats bounds
+            # keep this kernel within it for SF <= ~10 workloads)
+            children = (DeviceColumn(data >> jnp.int64(63), None,
+                                     T.BIGINT, None),)
+        col = DeviceColumn(data, None, self.spec.out_dtype, None,
+                           children)
         return DeviceBatch({self.spec.out_name: col},
                            jnp.ones((1,), bool))
 
