@@ -221,3 +221,11 @@ def test_arrays_zip():
     z1 = [dict(r) for r in out.z[1]]
     assert z1[0] == {"0": 9, "1": 7}
     assert z1[1]["0"] is None and z1[1]["1"] == 8
+
+
+def test_json_object_keys():
+    t = pa.table({"j": pa.array(['{"a": 1, "b": {"c": 2}}', '[1,2]',
+                                 'nonsense'])})
+    out = run_proj(t, ["json_object_keys(j) as k"]).to_pandas()
+    assert list(out.k[0]) == ["a", "b"]
+    assert out.k.isna()[1] and out.k.isna()[2]

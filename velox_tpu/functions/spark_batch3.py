@@ -647,3 +647,39 @@ def _arrays_zip_resolver(ts):
 
 
 register("arrays_zip", _arrays_zip_resolver, _arrays_zip_eval)
+
+
+def _json_object_keys_eval(ctx, out_dtype, args):
+    """json_object_keys(json): top-level keys in order, NULL for
+    non-objects (Spark JsonObjectKeys.h) — dictionary-space explode."""
+    import json as _json
+    from velox_tpu.functions.scalar import _require_dict
+    v = args[0]
+    d = _require_dict(v, "json_object_keys")
+    is_obj = []
+    for s in d.values:
+        try:
+            val = _json.loads(s)
+            is_obj.append(isinstance(val, dict))
+        except Exception:
+            is_obj.append(False)
+
+    def f(s):
+        try:
+            val = _json.loads(s)
+        except Exception:
+            return []
+        return list(val.keys()) if isinstance(val, dict) else []
+    out = _explode_dict(v, ctx, f)
+    objness = _dict_lookup(
+        EvalValue(v.data, None, T.VARCHAR, d),
+        lambda s, _t={x: i for i, x in enumerate(d.values)}:
+        is_obj[_t[s]], T.BOOLEAN)
+    validity = objness.data.astype(bool)
+    if v.validity is not None:
+        validity = validity & v.full_validity(ctx.capacity)
+    return EvalValue(out.data, validity, out.dtype, children=out.children)
+
+
+register("json_object_keys", sig("string -> array(varchar)"),
+         _json_object_keys_eval)
