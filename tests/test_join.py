@@ -372,3 +372,28 @@ def test_wide_key_fallback_join():
     for c in cols:
         np.testing.assert_array_equal(g[c].to_numpy("int64"),
                                       e[c].to_numpy("int64"))
+
+
+def test_array_join_masked_duplicate_of_max_key():
+    """Regression: a masked-out build row whose key CLIPS onto the last
+    usable key must not suppress that key's run-end flag (negative
+    arr_count dropped all its matches)."""
+    import pyarrow as pa
+
+    from velox_tpu.exec.join import build_sorted_table
+    from velox_tpu.vector.device import from_arrow
+
+    t = pa.table({"k": pa.array([1, 2, 3, 3], pa.int64())})
+    b = from_arrow(t, capacity=4)
+    import jax.numpy as jnp
+    # mask out the duplicate 3 (e.g. a filtered build side)
+    b = b.with_mask(jnp.asarray([True, True, True, False]))
+
+    class KF:
+        name, dtype = "k", __import__(
+            "velox_tpu.types", fromlist=["BIGINT"]).BIGINT
+
+    bt = build_sorted_table(b, (KF(),), array_range=(1, 3))
+    import numpy as np
+    counts = np.asarray(bt.arr_count)
+    assert list(counts) == [1, 1, 1]

@@ -229,3 +229,18 @@ def test_short_decimal_sum_widens_to_38():
         ["g"], ["sum(d) as s"]).plan()).run()
     assert out.schema.field("s").type == pa.decimal128(38, 2)
     assert out.to_pandas().s[0] == big * 200  # 19 digits
+
+
+def test_double_sum_beyond_f32_range():
+    """Regression: the f64 triple-f32 split scatter overflows to NaN for
+    |v| > f32 max; such batches must take the exact 64-bit scatter."""
+    import pyarrow as pa
+    from velox_tpu.exec.task import Task
+    from velox_tpu.testing.plan_builder import PlanBuilder
+    t = pa.table({"g": pa.array([1, 1, 2, 2], pa.int64()),
+                  "x": pa.array([1e300, 1e300, 2.0, 3.0])})
+    out = Task(PlanBuilder().values([t]).single_aggregation(
+        ["g"], ["sum(x) as s"]).plan()
+    ).run().to_pandas().sort_values("g").reset_index(drop=True)
+    assert out.s[0] == 2e300
+    assert out.s[1] == 5.0

@@ -76,14 +76,17 @@ def test_seeded_hashes_and_ids():
     out = run_proj(t, [
         "hash(x) as h", "hash_with_seed(42, x) as hs",
         "xxhash64(x) as xx", "xxhash64_with_seed(42, x) as xs2",
-        "monotonically_increasing_id() as id",
         "spark_partition_id() as pid",
     ]).to_pandas()
     # seed 42 == the default-seed functions
     assert list(out.h) == list(out.hs)
     assert list(out.xx) == list(out.xs2)
-    assert list(out.id) == [0, 1, 2]
     assert list(out.pid) == [0, 0, 0]
+    # monotonically_increasing_id would restart per batch - refused in
+    # expression space (AssignUniqueId is the plan-level form)
+    import pytest
+    with pytest.raises(Exception):
+        run_proj(t, ["monotonically_increasing_id() as id"])
 
 
 def test_unscaled_value():
@@ -229,3 +232,38 @@ def test_json_object_keys():
     out = run_proj(t, ["json_object_keys(j) as k"]).to_pandas()
     assert list(out.k[0]) == ["a", "b"]
     assert out.k.isna()[1] and out.k.isna()[2]
+
+
+def test_to_utc_timestamp_dst_edge():
+    """03:00 local on the US spring-forward day is PDT (UTC-7): the
+    offset must resolve at the corrected UTC instant, not at
+    local-as-UTC (which is still PST)."""
+    base = np.datetime64("2024-03-10T03:00:00", "us").astype("int64")
+    t = pa.table({"ts": pa.array([int(base)], pa.int64())
+                  .cast(pa.timestamp("us"))})
+    out = run_proj(t, [
+        "to_utc_timestamp(ts, 'America/Los_Angeles') as u"]).to_pandas()
+    assert out.u[0] == dt.datetime(2024, 3, 10, 10, 0, 0)
+
+
+def test_conv_negative_unsigned_wrap():
+    t = pa.table({"s": pa.array(["-7"])})
+    out = run_proj(t, ["conv(s, 10, 16) as c"]).to_pandas()
+    assert out.c[0] == "FFFFFFFFFFFFFFF9"  # Spark NumberConverter
+
+
+def test_raise_error_message_surfaces():
+    import pytest
+    from velox_tpu.common.errors import VeloxUserError
+    t = pa.table({"x": pa.array([1], pa.int64())})
+    with pytest.raises(VeloxUserError, match="boom-specific"):
+        run_proj(t, ["raise_error('boom-specific') as e"])
+
+
+def test_moments_constant_group_null():
+    t = pa.table({"g": pa.array([1, 1, 1, 1], pa.int64()),
+                  "x": pa.array([5.0, 5.0, 5.0, 5.0])})
+    out = Task(PlanBuilder().values([t]).single_aggregation(
+        ["g"], ["skewness(x) as sk", "kurtosis(x) as ku"]).plan()
+    ).run().to_pandas()
+    assert out.sk.isna()[0] and out.ku.isna()[0]

@@ -27,3 +27,22 @@ class VeloxUserError(VeloxError):
 
 class VeloxRuntimeError(VeloxError):
     """Engine invariant violations (Presto INTERNAL_ERROR class)."""
+
+
+# raise_error() messages registered at TRACE time: the traced channel
+# carries only a count, so the Task appends these notes to the raised
+# VeloxUserError. Process-wide by design (messages are trace-time
+# constants; a note may describe a program compiled for another query —
+# the wording says "possibly").
+TRACED_ERROR_NOTES: set = set()
+
+
+def note_traced_error(msg: str) -> None:
+    TRACED_ERROR_NOTES.add(str(msg))
+
+
+def traced_error_suffix() -> str:
+    if not TRACED_ERROR_NOTES:
+        return ""
+    return ("; possibly raise_error(): "
+            + "; ".join(sorted(TRACED_ERROR_NOTES)))

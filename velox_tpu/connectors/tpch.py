@@ -758,8 +758,11 @@ class TpchDataSource(DataSource):
         # device-resident scan cache (AsyncDataCache analogue): repeated
         # scans of the same split skip generation + upload
         from velox_tpu.connectors.cache import DataCache
+        # _uniform in the key: a right-sized tail batch cached by a
+        # serial task must not serve a distributed scan (vmap stacking
+        # needs every split at ONE capacity), and vice versa
         key = ("tpch", self._gen.sf, self._table, tuple(self._columns),
-               lo, hi, self._capacity)
+               lo, hi, self._capacity, self._uniform)
         cached = DataCache.instance().get(key)
         if cached is not None:
             return cached

@@ -61,11 +61,10 @@ def compact(batch: DeviceBatch) -> DeviceBatch:
     def scat(a):
         return jnp.zeros_like(a).at[target].set(a, mode="drop")
 
-    cols = {}
-    for name, col in batch.columns.items():
-        data = scat(col.data)
-        validity = scat(col.validity) if col.validity is not None else None
-        cols[name] = DeviceColumn(data, validity, col.dtype, col.dictionary)
+    # map_column_rows: row-aligned children (ROW fields, the
+    # long-decimal hi limb) must compact along with the parent
+    cols = {name: map_column_rows(col, scat)
+            for name, col in batch.columns.items()}
     n = batch.num_active()
     mask = jnp.arange(cap, dtype=jnp.int32) < n
     return DeviceBatch(cols, mask)

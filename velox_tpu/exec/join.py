@@ -156,10 +156,16 @@ def build_sorted_table(b: DeviceBatch, key_fields,
         ok = in_prefix & (ks >= lo_v) & (ks <= hi_v)
         norm = jnp.clip(ks - lo_v, 0, domain - 1).astype(jnp.int32)
         iota = jnp.arange(cap, dtype=jnp.int32)
+        # run boundaries must treat an ok/not-ok edge as a run end: a
+        # masked tail row whose CLIPPED norm equals the last usable key
+        # would otherwise suppress that key's `last` flag, making
+        # arr_count negative and silently dropping its matches
+        prev_ok = jnp.concatenate([jnp.zeros((1,), bool), ok[:-1]])
+        next_ok = jnp.concatenate([ok[1:], jnp.zeros((1,), bool)])
         prev = jnp.concatenate([norm[:1] - 1, norm[:-1]])
-        first = ok & ((norm != prev) | (iota == 0))
-        last = ok & jnp.concatenate(
-            [norm[1:] != norm[:-1], jnp.ones((1,), bool)])
+        nxt = jnp.concatenate([norm[1:], norm[-1:] - 1])
+        first = ok & (~prev_ok | (norm != prev))
+        last = ok & (~next_ok | (nxt != norm))
         arr_start = jnp.zeros((domain,), jnp.int32).at[
             jnp.where(first, norm, jnp.int32(domain))].set(
                 iota, mode="drop")

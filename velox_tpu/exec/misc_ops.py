@@ -374,17 +374,14 @@ class NestedLoopJoinOperator(Operator):
         prow = jnp.clip((j // nb).astype(jnp.int32), 0, cap - 1)
         brow = jnp.clip((j % nb).astype(jnp.int32), 0,
                         build.capacity - 1)
+        from velox_tpu.exec.batch_utils import map_column_rows
         cols: Dict[str, DeviceColumn] = {}
         for name, col in batch.columns.items():
-            cols[name] = DeviceColumn(
-                col.data[prow],
-                col.validity[prow] if col.validity is not None else None,
-                col.dtype, col.dictionary)
+            # map_column_rows: ROW fields / long-decimal hi limbs gather
+            # along with the parent rows
+            cols[name] = map_column_rows(col, lambda a: a[prow])
         for name, col in build.columns.items():
-            cols[name] = DeviceColumn(
-                col.data[brow],
-                col.validity[brow] if col.validity is not None else None,
-                col.dtype, col.dictionary)
+            cols[name] = map_column_rows(col, lambda a: a[brow])
         out = DeviceBatch(cols, valid)
         if node.filter is not None:
             f = ExprSet([node.filter], None).eval_batch(out)[0]

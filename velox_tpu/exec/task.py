@@ -124,11 +124,14 @@ class Task:
         total = int(jax.device_get(sum(self._error_scalars)))
         self._error_scalars = []
         if total:
-            from velox_tpu.common.errors import VeloxUserError
+            from velox_tpu.common.errors import (
+                VeloxUserError, traced_error_suffix,
+            )
             raise VeloxUserError(
                 f"{total} row(s) failed a checked operation (division by "
                 "zero, integer overflow, or invalid cast); wrap the "
-                "expression in TRY(...) to get NULLs instead")
+                "expression in TRY(...) to get NULLs instead"
+                + traced_error_suffix())
 
     def batches(self) -> Iterator[DeviceBatch]:
         for b in self._run_node(self.plan):
@@ -188,11 +191,14 @@ class Task:
                     pass
             self._close_traces()
         if err_v is not None and int(err_v):
-            from velox_tpu.common.errors import VeloxUserError
+            from velox_tpu.common.errors import (
+                VeloxUserError, traced_error_suffix,
+            )
             e = VeloxUserError(
                 f"{int(err_v)} row(s) failed a checked operation "
                 "(division by zero, integer overflow, or invalid cast); "
-                "wrap the expression in TRY(...) to get NULLs instead")
+                "wrap the expression in TRY(...) to get NULLs instead"
+                + traced_error_suffix())
             self._terminate(e)
             raise e
         M.record_counter(M.K_TASK_QUERIES)

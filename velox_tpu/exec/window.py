@@ -485,16 +485,26 @@ class WindowOperator(Operator):
         if name in ("sum", "avg"):
             from velox_tpu.functions.aggregates import resolve_aggregate
             agg = resolve_aggregate(name, [v.dtype])
-            acc_dt = agg.states[0].dtype
-            contrib = jnp.where(valid, data, 0).astype(acc_dt.np_dtype())
+            # decimal frames accumulate in plain int64 (frame sums are
+            # range differences of one batch's prefix sum — int64-exact);
+            # the declared DECIMAL(38, s) result gets a sign-extension hi
+            # limb below
+            acc_np = (jnp.int64 if v.dtype.kind is T.TypeKind.DECIMAL
+                      else agg.states[0].dtype.np_dtype())
+            contrib = jnp.where(valid, data, 0).astype(acc_np)
             pref = jnp.cumsum(contrib)
             ssum = _range_sum(pref, lo, hi, cap)
             pc = jnp.cumsum(valid.astype(jnp.int64))
             cnt = _range_sum(pc, lo, hi, cap)
             has = (~empty) & (cnt > 0) & mask
             if name == "sum":
-                return DeviceColumn(ssum, has, agg.result_type,
-                                    v.dictionary)
+                rt = agg.result_type
+                children = None
+                if rt.is_long_decimal:
+                    children = (DeviceColumn(ssum >> jnp.int64(63), None,
+                                             T.BIGINT, None),)
+                return DeviceColumn(ssum, has, rt, v.dictionary,
+                                    children)
             if agg.result_type.kind is T.TypeKind.DECIMAL:
                 c_safe = jnp.maximum(cnt, 1)
                 half = c_safe // 2

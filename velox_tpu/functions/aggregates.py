@@ -400,7 +400,9 @@ class CentralMomentsAgg(AggregateFunction):
         if self.name == "skewness":
             m3 = s3 - 3.0 * s2 * s1 / nf + 2.0 * s1 ** 3 / (nf * nf)
             out = jnp.sqrt(nf) * m3 / jnp.maximum(m2, 1e-300) ** 1.5
-            ok = n >= 3  # CentralMomentsAggregates.cpp hasResult
+            # hasResult (CentralMomentsAggregates.cpp) + zero-variance
+            # groups are NULL, not 0/0 = NaN
+            ok = (n >= 3) & (m2 > 0.0)
         else:  # kurtosis (sample excess, reference formula)
             m4 = (s4 - 4.0 * s3 * s1 / nf + 6.0 * s2 * s1 * s1 / (nf * nf)
                   - 3.0 * s1 ** 4 / (nf ** 3))
@@ -409,7 +411,7 @@ class CentralMomentsAgg(AggregateFunction):
             out = ((c - 1.0) * c * (c + 1.0)) / denom \
                 * m4 / jnp.maximum(m2 * m2, 1e-300) \
                 - 3.0 * (c - 1.0) * (c - 1.0) / denom
-            ok = n >= 4
+            ok = (n >= 4) & (m2 > 0.0)
         return EvalValue(out, group_valid & ok, T.DOUBLE)
 
 

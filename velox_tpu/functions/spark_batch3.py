@@ -113,12 +113,15 @@ def _conv_eval(ctx, out_dtype, args):
             return ""
         if v == 0:
             return "0"
-        neg, v = v < 0, abs(v)
+        if v < 0:
+            # Spark NumberConverter: negative values wrap to unsigned
+            # 64-bit before re-encoding (sparksql conv semantics)
+            v &= (1 << 64) - 1
         out = []
         while v:
             out.append(digs[v % tb])
             v //= tb
-        return ("-" if neg else "") + "".join(reversed(out)).upper()
+        return "".join(reversed(out)).upper()
     return _dict_map(args[0], f)
 
 
@@ -284,12 +287,15 @@ register("unscaled_value", _unscaled_resolver, _unscaled_value_eval)
 
 
 def _mono_id_eval(ctx, out_dtype, args):
-    """Single-fragment form: ids are the row positions (the distributed
-    form would OR a fragment id into bits 33+, Spark's
-    MonotonicallyIncreasingID; this engine's exchanges renumber rows on
-    AssignUniqueId instead — exec/misc_ops.py)."""
-    return EvalValue(jnp.arange(ctx.capacity, dtype=jnp.int64), None,
-                     T.BIGINT)
+    """Expression-space id generation cannot see the batch ordinal (all
+    batches of a scan share one traced program), so ids would RESTART
+    per batch — silently duplicated "unique" ids. The plan-level
+    AssignUniqueId operator (exec/misc_ops.py, the reference's
+    AssignUniqueId node) is the supported form."""
+    raise NotImplementedError(
+        "monotonically_increasing_id: use the AssignUniqueId plan node "
+        "(PlanBuilder.assign_unique_id) — expression-space ids would "
+        "repeat across batches")
 
 
 def _partition_id_eval(ctx, out_dtype, args):
@@ -310,7 +316,11 @@ register("spark_partition_id", _nullary(T.INTEGER), _partition_id_eval)
 def _raise_error_eval(ctx, out_dtype, args):
     """Flags every active row as errored (the traced error channel,
     expression/eval.py EvalCtx.flag_error): Task.run raises a
-    VeloxUserError; TRY(...) converts to NULL — Spark RaiseError.h."""
+    VeloxUserError with the message appended as a trace-time note;
+    TRY(...) converts to NULL — Spark RaiseError.h."""
+    if args and getattr(args[0], "py_value", None) is not None:
+        from velox_tpu.common.errors import note_traced_error
+        note_traced_error(str(args[0].py_value))
     ctx.flag_error(jnp.ones((ctx.capacity,), bool))
     return EvalValue(jnp.zeros((ctx.capacity,), bool),
                      jnp.zeros((ctx.capacity,), bool), T.UNKNOWN)
@@ -325,25 +335,13 @@ register("raise_error", _raise_resolver, _raise_error_eval)
 
 # ---- dictionary-space list explode: split / regexp_extract_all -------------
 
-def _explode_dict(v: EvalValue, ctx, f):
-    """ARRAY(VARCHAR) from a per-distinct-value list function ``f``.
-
-    All list construction happens in DICTIONARY space at trace time (one
-    python pass over distinct values); row space sees only device
-    gathers: lens = L[id], and the flattened child gathers part ids from
-    the dict-space flat parts via searchsorted row recovery. Child
-    capacity is the static bound capacity * max_parts."""
-    from velox_tpu.functions.scalar import _require_dict
-    d = _require_dict(v, "split")
-    parts = [f(x) for x in d.values]
+def _explode_core(v: EvalValue, ctx, parts):
+    """Shared machinery for dictionary-space list explodes: given the
+    per-DISTINCT-VALUE part lists, return (lens, src, in_use) where
+    ``src`` gathers each output element's index into the flat
+    concatenation of ``parts`` (trace-time python; row space sees only
+    device gathers + one searchsorted row recovery)."""
     maxlen = max((len(p) for p in parts), default=0)
-    all_parts = sorted({p for ps in parts for p in ps})
-    pid = {p: i for i, p in enumerate(all_parts)}
-    child_dict = Dictionary(all_parts)
-    child_dict.is_sorted = True
-    flat = np.array([pid[p] for ps in parts for p in ps], np.int32)
-    if len(flat) == 0:
-        flat = np.zeros((1,), np.int32)
     L = np.array([len(ps) for ps in parts], np.int32)
     O = np.concatenate([[0], np.cumsum(L)[:-1]]).astype(np.int32)
     cap = ctx.capacity
@@ -357,14 +355,35 @@ def _explode_dict(v: EvalValue, ctx, f):
         jnp.searchsorted(starts + lens, e, side="right"), 0, cap - 1
     ).astype(jnp.int32)
     pos = e - starts[row]
-    src = jnp.asarray(O)[ids[row]] + pos
+    n_flat = max(1, int(L.sum()))
+    src = jnp.clip(jnp.asarray(O)[ids[row]] + pos, 0, n_flat - 1)
     in_use = e < (starts[-1] + lens[-1])
-    src = jnp.clip(src, 0, max(1, len(flat)) - 1)
-    child_data = jnp.where(in_use, jnp.asarray(flat)[src], 0)
+    return lens.astype(jnp.int32), src, in_use
+
+
+def _flat_string_child(parts, src, in_use):
+    """VARCHAR child column gathering ``src`` from the flat parts."""
     from velox_tpu.vector.device import DeviceColumn
-    child = DeviceColumn(child_data, None, T.VARCHAR, child_dict)
-    return EvalValue(lens.astype(jnp.int32), v.validity,
-                     T.array(T.VARCHAR), children=(child,))
+    all_parts = sorted({p for ps in parts for p in ps})
+    pid = {p: i for i, p in enumerate(all_parts)}
+    child_dict = Dictionary(all_parts)
+    child_dict.is_sorted = True
+    flat = np.array([pid[p] for ps in parts for p in ps], np.int32)
+    if len(flat) == 0:
+        flat = np.zeros((1,), np.int32)
+    child_data = jnp.where(in_use, jnp.asarray(flat)[src], 0)
+    return DeviceColumn(child_data, None, T.VARCHAR, child_dict)
+
+
+def _explode_dict(v: EvalValue, ctx, f):
+    """ARRAY(VARCHAR) from a per-distinct-value list function ``f``."""
+    from velox_tpu.functions.scalar import _require_dict
+    d = _require_dict(v, "split")
+    parts = [f(x) for x in d.values]
+    lens, src, in_use = _explode_core(v, ctx, parts)
+    child = _flat_string_child(parts, src, in_use)
+    return EvalValue(lens, v.validity, T.array(T.VARCHAR),
+                     children=(child,))
 
 
 def _split_eval(ctx, out_dtype, args):
@@ -492,21 +511,38 @@ register("map_from_arrays", _map_from_arrays_resolver,
          _map_from_arrays_eval)
 
 
-def _utc_shift_eval(sign):
-    def eval_fn(ctx, out_dtype, args):
-        from velox_tpu.functions.datetime import _tz_offset_seconds
-        ts = args[0].full_data(ctx.capacity).astype(jnp.int64)
-        tz = _const_arg(args, 1, "from/to_utc_timestamp")
-        off = _tz_offset_seconds(ts, str(tz)).astype(jnp.int64)
-        return EvalValue(ts + sign * off * 1_000_000, args[0].validity,
-                         T.TIMESTAMP)
-    return eval_fn
+def _local_to_utc(local_us, tz: str):
+    """Local wall-clock micros -> UTC micros. TZif transition tables are
+    indexed by UTC instants, so resolve with a double lookup: a first
+    offset estimate at local-as-UTC, then the final offset at the
+    corrected provisional instant (fixes the hour around each DST
+    transition; ambiguous/skipped local times resolve to the
+    post-transition offset)."""
+    from velox_tpu.functions.datetime import _tz_offset_seconds
+    off1 = _tz_offset_seconds(local_us, tz).astype(jnp.int64)
+    off2 = _tz_offset_seconds(local_us - off1 * 1_000_000,
+                              tz).astype(jnp.int64)
+    return local_us - off2 * 1_000_000
+
+
+def _from_utc_eval(ctx, out_dtype, args):
+    from velox_tpu.functions.datetime import _tz_offset_seconds
+    ts = args[0].full_data(ctx.capacity).astype(jnp.int64)
+    tz = str(_const_arg(args, 1, "from_utc_timestamp"))
+    off = _tz_offset_seconds(ts, tz).astype(jnp.int64)
+    return EvalValue(ts + off * 1_000_000, args[0].validity, T.TIMESTAMP)
+
+
+def _to_utc_eval(ctx, out_dtype, args):
+    ts = args[0].full_data(ctx.capacity).astype(jnp.int64)
+    tz = str(_const_arg(args, 1, "to_utc_timestamp"))
+    return EvalValue(_local_to_utc(ts, tz), args[0].validity, T.TIMESTAMP)
 
 
 register("from_utc_timestamp", sig("timestamp, string -> timestamp"),
-         _utc_shift_eval(+1))
+         _from_utc_eval)
 register("to_utc_timestamp", sig("timestamp, string -> timestamp"),
-         _utc_shift_eval(-1))
+         _to_utc_eval)
 
 
 def _make_timestamp_eval(ctx, out_dtype, args):
@@ -528,6 +564,8 @@ def _make_timestamp_eval(ctx, out_dtype, args):
           & (micros >= 0) & (micros < 61_000_000))
     days = _days_from_civil(y, mo, d)
     ts = (days * 86_400 + h * 3_600 + mi * 60) * 1_000_000 + micros
+    if len(args) > 6:  # 7-arg form: fields are local time in this zone
+        ts = _local_to_utc(ts, str(_const_arg(args, 6, "make_timestamp")))
     validity = ok
     for a in args[:6]:
         if a.validity is not None:
@@ -545,8 +583,9 @@ register("make_timestamp", _make_ts_resolver, _make_timestamp_eval)
 
 
 def _str_to_map_eval(ctx, out_dtype, args):
-    """str_to_map(s[, entry_delim, kv_delim]) via the dictionary-space
-    explode: keys and values are parallel VARCHAR children."""
+    """str_to_map(s[, entry_delim, kv_delim]): ONE dictionary-space
+    explode; keys/values/null-flags are positionally parallel flat
+    tables over the shared offsets layout."""
     from velox_tpu.functions.scalar import _require_dict
     from velox_tpu.vector.device import DeviceColumn
     v = args[0]
@@ -560,33 +599,21 @@ def _str_to_map_eval(ctx, out_dtype, args):
             k, _, val = part.partition(d2)
             kv.append((k, val if d2 in part else None))
         pairs.append(kv)
-    # two parallel dictionary-space flat tables share one offsets layout
-    keys_l = [[k for k, _ in ps] for ps in pairs]
-    vals_l = [["" if x is None else x for _, x in ps] for ps in pairs]
-    vnull_l = [[x is None for _, x in ps] for ps in pairs]
-    out_k = _explode_dict(v, ctx, lambda s, _t={x: i for i, x in
-                                                enumerate(d.values)}:
-                          keys_l[_t[s]])
-    out_v = _explode_dict(v, ctx, lambda s, _t={x: i for i, x in
-                                                enumerate(d.values)}:
-                          vals_l[_t[s]])
-    kv_child = out_v.children[0]
-    # value NULLs: explode again over the bool lists, as int
-    out_n = _explode_dict(v, ctx, lambda s, _t={x: i for i, x in
-                                                enumerate(d.values)}:
-                          ["1" if b else "0" for b in
-                           vnull_l[_t[s]]])
-    from velox_tpu.functions.scalar import _dict_lookup
-    null_child = out_n.children[0]
-    isnull = _dict_lookup(
-        EvalValue(null_child.data, None, T.VARCHAR,
-                  null_child.dictionary),
-        lambda s: s == "1", T.BOOLEAN)
-    vchild = DeviceColumn(kv_child.data, ~isnull.data.astype(bool),
-                          T.VARCHAR, kv_child.dictionary)
-    return EvalValue(out_k.data, v.validity,
-                     T.map_(T.VARCHAR, T.VARCHAR),
-                     children=(out_k.children[0], vchild))
+    lens, src, in_use = _explode_core(v, ctx, pairs)
+    kchild = _flat_string_child([[k for k, _ in ps] for ps in pairs],
+                                src, in_use)
+    vchild = _flat_string_child(
+        [["" if x is None else x for _, x in ps] for ps in pairs],
+        src, in_use)
+    flat_null = np.array([x is None for ps in pairs for _, x in ps],
+                         bool)
+    if len(flat_null) == 0:
+        flat_null = np.zeros((1,), bool)
+    isnull = jnp.where(in_use, jnp.asarray(flat_null)[src], False)
+    vchild = DeviceColumn(vchild.data, ~isnull, T.VARCHAR,
+                          vchild.dictionary)
+    return EvalValue(lens, v.validity, T.map_(T.VARCHAR, T.VARCHAR),
+                     children=(kchild, vchild))
 
 
 def _str_to_map_resolver(ts):

@@ -38,17 +38,35 @@ def scatter_unique_set(out_len: int, idx, values, mode: str = "drop"):
         # exact triple-f32 split (same decomposition as the f64 sort-key
         # encoding, exec/sort.py): hi/lo/lo2 are successive f32 roundings
         # whose f64 sum reconstructs the value exactly (<=5 residual bits
-        # after 48, and the true sum is representable)
-        hi = values.astype(jnp.float32)
-        lo = (values - hi.astype(jnp.float64)).astype(jnp.float32)
-        lo2 = (values - hi.astype(jnp.float64)
-               - lo.astype(jnp.float64)).astype(jnp.float32)
-        shi = jnp.zeros((out_len,), jnp.float32).at[idx].set(hi, mode=mode)
-        slo = jnp.zeros((out_len,), jnp.float32).at[idx].set(lo, mode=mode)
-        slo2 = jnp.zeros((out_len,), jnp.float32).at[idx].set(lo2,
-                                                              mode=mode)
-        return (shi.astype(jnp.float64) + slo.astype(jnp.float64)
-                + slo2.astype(jnp.float64))
+        # after 48, and the true sum is representable). EXACT ONLY inside
+        # f32's dynamic range: |v| beyond ~2^126 overflows the hi
+        # component to inf (inf - inf = NaN corrupts every group
+        # downstream) and |v| below ~2^-100 pushes the residuals past
+        # f32 subnormals — a traced range check picks the slow exact
+        # 64-bit scatter for such batches (lax.cond: one branch runs).
+        av = jnp.abs(values)
+        safe = jnp.all(jnp.isfinite(values) & (av < 2.0 ** 126)
+                       & ((av > 2.0 ** -100) | (values == 0.0)))
+
+        def _split(vals):
+            hi = vals.astype(jnp.float32)
+            lo = (vals - hi.astype(jnp.float64)).astype(jnp.float32)
+            lo2 = (vals - hi.astype(jnp.float64)
+                   - lo.astype(jnp.float64)).astype(jnp.float32)
+            shi = jnp.zeros((out_len,), jnp.float32).at[idx].set(
+                hi, mode=mode)
+            slo = jnp.zeros((out_len,), jnp.float32).at[idx].set(
+                lo, mode=mode)
+            slo2 = jnp.zeros((out_len,), jnp.float32).at[idx].set(
+                lo2, mode=mode)
+            return (shi.astype(jnp.float64) + slo.astype(jnp.float64)
+                    + slo2.astype(jnp.float64))
+
+        def _wide(vals):
+            return jnp.zeros((out_len,), jnp.float64).at[idx].set(
+                vals, mode=mode)
+
+        return jax.lax.cond(safe, _split, _wide, values)
     if values.ndim == 1 and _is_wide_int(dt):
         u = values.astype(jnp.uint64)
         lo = jax.lax.bitcast_convert_type(
@@ -81,19 +99,29 @@ def segmented_reduce_sorted(data, gid, boundary, active_sorted,
     """
     is_end = jnp.concatenate([boundary[1:], jnp.ones((1,), bool)])
     idx_end = jnp.where(is_end & active_sorted, gid, jnp.int32(capacity))
-    if combine == "sum":
+    if combine == "sum" and not jnp.issubdtype(data.dtype, jnp.floating):
+        # integer sums: global cumsum + end-of-run scatter + adjacent
+        # difference (exact — integer addition is associative)
         cs = jnp.cumsum(data, axis=0)
         ends = scatter_unique_set(capacity + 1, idx_end, cs)[:capacity]
         prev = jnp.concatenate([jnp.zeros_like(ends[:1]), ends[:-1]])
         return ends - prev
-    op = jnp.minimum if combine == "min" else jnp.maximum
-    if jnp.issubdtype(data.dtype, jnp.floating):
-        ident = jnp.asarray(jnp.inf if combine == "min" else -jnp.inf,
-                            data.dtype)
+    if combine == "sum":
+        # FLOATING sums run the SEGMENTED shift-add scan below instead:
+        # the cumsum-difference form absorbs small groups that follow a
+        # huge one (cs = 2e300 + 5 == 2e300 -> the 5-group differences
+        # to 0.0), because the running total mixes groups
+        op = jnp.add
+        ident = jnp.asarray(0.0, data.dtype)
     else:
-        info = jnp.iinfo(data.dtype)
-        ident = jnp.asarray(info.max if combine == "min" else info.min,
-                            data.dtype)
+        op = jnp.minimum if combine == "min" else jnp.maximum
+        if jnp.issubdtype(data.dtype, jnp.floating):
+            ident = jnp.asarray(jnp.inf if combine == "min" else -jnp.inf,
+                                data.dtype)
+        else:
+            info = jnp.iinfo(data.dtype)
+            ident = jnp.asarray(info.max if combine == "min" else info.min,
+                                data.dtype)
     iota = jnp.arange(capacity, dtype=jnp.int32)
     run_start = jax.lax.cummax(jnp.where(boundary, iota, jnp.int32(0)))
     off = iota - run_start
