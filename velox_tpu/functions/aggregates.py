@@ -97,6 +97,18 @@ class SumAgg(AggregateFunction):
         # SF10 Q1's sum_charge has 19 digits, overflowing the declared
         # precision (and eventually int64 itself).
         self._long = input_type.kind is T.TypeKind.DECIMAL
+        self._two_part = self._long and not input_type.is_long_decimal
+        if self._two_part:
+            # short-decimal input: TWO planar parts (v & M32 >= 0 and
+            # the signed v >> 32) recombine to int128 at extraction
+            # (ops/int128.py combine_two_parts) — half the limb states
+            # of the long-decimal form
+            self.input_type = input_type
+            self.result_type = T.decimal(38, input_type.scale)
+            self.states = (StateSpec("slo", T.BIGINT, "sum"),
+                           StateSpec("shi", T.BIGINT, "sum"),
+                           StateSpec("count", T.BIGINT, "sum"))
+            return
         if self._long:
             # long decimal: four planar 32-bit limb parts accumulate in
             # independent int64 sums and recombine at extraction
@@ -126,6 +138,12 @@ class SumAgg(AggregateFunction):
         (v,) = args
         keep = _valid_and_active(v, active, ctx.capacity)
         data = v.full_data(ctx.capacity)
+        if self._two_part:
+            lo = data.astype(jnp.int64)
+            p_lo = lo & jnp.int64(0xFFFFFFFF)
+            p_hi = lo >> jnp.int64(32)  # arithmetic: keeps the sign
+            return [_masked(p_lo, keep, 0), _masked(p_hi, keep, 0),
+                    keep.astype(np.int64)]
         if self._long:
             from velox_tpu.ops.int128 import split_parts
             lo = data.astype(jnp.int64)
@@ -149,6 +167,14 @@ class SumAgg(AggregateFunction):
                 keep.astype(np.int64)]
 
     def extract(self, state_arrays, group_valid):
+        if self._two_part:
+            from velox_tpu.ops.int128 import combine_two_parts
+            from velox_tpu.vector.device import DeviceColumn
+            s_lo, s_hi, c = state_arrays
+            lo, hi = combine_two_parts(s_lo, s_hi)
+            hi_col = DeviceColumn(hi, None, T.BIGINT, None)
+            return EvalValue(lo, group_valid & (c > 0),
+                             self.result_type, children=(hi_col,))
         if self._long:
             from velox_tpu.ops.int128 import combine_parts
             from velox_tpu.vector.device import DeviceColumn
@@ -186,6 +212,20 @@ class AvgAgg(AggregateFunction):
     def __init__(self, input_type: T.DataType):
         self.name = "avg"
         self._long = input_type.is_long_decimal
+        self._two_part = (input_type.kind is T.TypeKind.DECIMAL
+                          and not input_type.is_long_decimal)
+        if self._two_part:
+            # short-decimal avg: the internal SUM runs at int128 (two
+            # planar parts — the int64 sum state overflowed at scale),
+            # divided half-up by the count at extraction; the quotient
+            # fits the input type (avg <= max input). Parity:
+            # DecimalAverageAggregate (sum at 38 digits).
+            self.input_type = input_type
+            self.result_type = input_type
+            self.states = (StateSpec("slo", T.BIGINT, "sum"),
+                           StateSpec("shi", T.BIGINT, "sum"),
+                           StateSpec("count", T.BIGINT, "sum"))
+            return
         if self._long:
             # long decimal: planar limb sums (as SumAgg) + exact int128
             # half-up division by count at extraction (ops/int128.py
@@ -211,6 +251,12 @@ class AvgAgg(AggregateFunction):
         (v,) = args
         keep = _valid_and_active(v, active, ctx.capacity)
         data = v.full_data(ctx.capacity)
+        if self._two_part:
+            lo = data.astype(jnp.int64)
+            p_lo = lo & jnp.int64(0xFFFFFFFF)
+            p_hi = lo >> jnp.int64(32)  # arithmetic: keeps the sign
+            return [_masked(p_lo, keep, 0), _masked(p_hi, keep, 0),
+                    keep.astype(np.int64)]
         if self._long:
             from velox_tpu.ops.int128 import split_parts
             lo = data.astype(jnp.int64)
@@ -231,6 +277,15 @@ class AvgAgg(AggregateFunction):
         return [_masked(data, keep, 0), keep.astype(np.int64)]
 
     def extract(self, state_arrays, group_valid):
+        if self._two_part:
+            from velox_tpu.ops.int128 import (
+                combine_two_parts, div128_round_half_up,
+            )
+            s_lo, s_hi, c = state_arrays
+            lo, hi = combine_two_parts(s_lo, s_hi)
+            qlo, _ = div128_round_half_up(lo, hi, jnp.maximum(c, 1))
+            return EvalValue(qlo, group_valid & (c > 0),
+                             self.result_type)
         if self._long:
             from velox_tpu.ops.int128 import (
                 combine_parts, div128_round_half_up,

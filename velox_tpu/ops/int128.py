@@ -155,6 +155,18 @@ def combine_parts(p0, p1, p2, p3):
     return lo, hi
 
 
+def combine_two_parts(s_lo, s_hi):
+    """(lo, hi) int128 from TWO planar parts of summed int64 values:
+    s_lo = sum of (v & 0xFFFFFFFF) >= 0, s_hi = sum of (v >> 32)
+    (arithmetic, signed). value = s_hi * 2^32 + s_lo exactly. Short-
+    decimal SUM states use this 2-part form (half the scatters of the
+    4-part int128 form; exact while row counts stay below 2^31)."""
+    shl_lo = _s(_u(s_hi) << np.uint64(32))
+    shl_hi = _s(((_u(s_hi) >> np.uint64(32))
+                 | (_u(s_hi >> np.int64(63)) << np.uint64(32))))
+    return add128(shl_lo, shl_hi, s_lo, jnp.zeros_like(s_lo))
+
+
 def split_parts(lo, hi):
     """(lo, hi) -> four planar 32-bit parts as int64 (p3 keeps sign)."""
     ulo = _u(lo)
