@@ -276,3 +276,27 @@ def test_substrait_emit_join_sort_fetch():
     assert len(a) == len(c) == 12
     np.testing.assert_array_equal(a.pk, c.iloc[:, 0])
     np.testing.assert_array_equal(a.bv, c.iloc[:, 2])
+
+
+def test_substrait_emit_window_roundtrip():
+    """WindowNode -> ConsistentPartitionWindowRel -> identical results."""
+    import pyarrow as pa
+
+    from velox_tpu.exec.task import Task
+    from velox_tpu.substrait import from_substrait
+    from velox_tpu.substrait.emit import to_substrait
+    from velox_tpu.testing.plan_builder import PlanBuilder
+
+    t = pa.table({"g": pa.array([1, 1, 2], pa.int64()),
+                  "x": pa.array([3.0, 1.0, 5.0])})
+    plan = (PlanBuilder().values([t])
+            .window(["g"], ["x"],
+                    ["row_number() as rn", "sum(x) as s"]).plan())
+    sp = to_substrait(plan)
+    plan2 = from_substrait(sp)
+    a = Task(plan).run().to_pandas().sort_values(
+        ["g", "x"]).reset_index(drop=True)
+    b = Task(plan2).run().to_pandas().sort_values(
+        ["g", "x"]).reset_index(drop=True)
+    assert list(a.rn) == list(b.iloc[:, -2])
+    assert list(a.s) == list(b.iloc[:, -1])

@@ -236,8 +236,55 @@ class _Emitter:
                 and node.filter is None:
             return {"cross": {"left": self.rel(node.left),
                               "right": self.rel(node.right)}}
+        if isinstance(node, P.WindowNode):
+            return self._window_rel(node)
         raise ValueError(
             f"cannot emit substrait for {type(node).__name__}")
+
+    def _window_rel(self, node: "P.WindowNode") -> Dict:
+        """ConsistentPartitionWindowRel — the exact shape
+        velox_tpu.substrait's _rel_consistentPartitionWindow ingests
+        (parity: VeloxToSubstraitPlan window handling)."""
+        from velox_tpu.exec.window import BoundType, FrameType
+        it = node.source.output_type()
+
+        def bound(bt: BoundType, value) -> Dict:
+            if bt in (BoundType.UNBOUNDED_PRECEDING,
+                      BoundType.UNBOUNDED_FOLLOWING):
+                return {"unbounded": {}}
+            if bt is BoundType.CURRENT_ROW:
+                return {"currentRow": {}}
+            if not isinstance(value, int):
+                raise ValueError(
+                    "substrait window bounds must be constants "
+                    f"(got column offset {value!r})")
+            key = ("preceding" if bt is BoundType.PRECEDING
+                   else "following")
+            return {key: {"offset": int(value)}}
+
+        wfs = []
+        for call in node.functions:
+            wfs.append({
+                "functionReference": self._anchor(call.name),
+                "arguments": [{"value": self.expr(a, it)}
+                              for a in call.inputs],
+                "outputType": _subs_type(call.result_type),
+                "boundsType": ("BOUNDS_TYPE_ROWS"
+                               if call.frame.frame_type is FrameType.ROWS
+                               else "BOUNDS_TYPE_RANGE"),
+                "lowerBound": bound(call.frame.start_type,
+                                    call.frame.start_value),
+                "upperBound": bound(call.frame.end_type,
+                                    call.frame.end_value),
+            })
+        return {"consistentPartitionWindow": {
+            "input": self.rel(node.source),
+            "partitionExpressions": [self.expr(k, it)
+                                     for k in node.partition_keys],
+            "sorts": [{"expr": self.expr(k, it),
+                       "direction": _SORT_INV[o]}
+                      for k, o in zip(node.sort_keys, node.sort_orders)],
+            "windowFunctions": wfs}}
 
 
 def to_substrait(plan: P.PlanNode) -> Dict:
