@@ -280,3 +280,17 @@ def test_multimap_agg_global():
     assert sorted(m[1]) == [7, 9]
     assert sorted(m[2]) == [8, 10]
     assert m[3] == [11]
+
+
+def test_mode():
+    import pyarrow as pa
+
+    from velox_tpu.exec.task import Task
+    from velox_tpu.testing.plan_builder import PlanBuilder
+    t = pa.table({"g": pa.array([1, 1, 1, 2, 2, 2, 2], pa.int64()),
+                  "x": pa.array([5, 5, 9, 7, None, 3, 3], pa.int64())})
+    out = Task(PlanBuilder().values([t]).single_aggregation(
+        ["g"], ["mode(x) as m"]).plan()
+    ).run().to_pandas().sort_values("g").reset_index(drop=True)
+    assert out.m[0] == 5
+    assert out.m[1] == 3

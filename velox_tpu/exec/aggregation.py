@@ -507,6 +507,49 @@ class AggregationOperator(Operator):
             return DeviceColumn(lengths, gmask, agg.result_type, None,
                                 (kchild, vchild))
 
+        if kind == "mode":
+            # Spark/Presto mode(x): value of the most frequent run —
+            # the approx_most_frequent pass-2 ordering ((group, -count,
+            # value) sort) with exactly ONE taken run per group; ties
+            # resolve to the smallest value (deterministic).
+            vvf = (None if v.validity is None else v.full_validity(cap))
+            perm, gid, boundary, act_s, _, vb = G.sorted_group_info_vals(
+                keys, [v], active, cap, self._key_ranges)
+            pass_ = jnp.asarray(row_active)[perm] & act_s
+            if vvf is not None:
+                pass_ = pass_ & vvf[perm]
+            run_id = jnp.cumsum(vb.astype(jnp.int32)) - 1
+            c = jnp.cumsum(pass_.astype(jnp.int32))
+            ce = c - pass_.astype(jnp.int32)
+            rs_ce = scatter_unique_set(
+                cap + 1, jnp.where(vb, run_id, jnp.int32(cap)), ce)[:cap]
+            is_end = jnp.concatenate([vb[1:], jnp.ones((1,), bool)])
+            re_c = scatter_unique_set(
+                cap + 1, jnp.where(is_end, run_id, jnp.int32(cap)),
+                c)[:cap]
+            run_cnt = (re_c - rs_ce)[run_id]
+            cnt_orig = jnp.zeros((cap,), jnp.int32).at[perm].set(
+                run_cnt.astype(jnp.int32)).astype(jnp.int64)
+            negc = EvalValue(-cnt_orig, None, T.BIGINT)
+            perm2, gid2, b2, act2, _, vb2 = G.sorted_group_info_vals(
+                keys, [negc, v], active, cap, self._key_ranges)
+            pass2 = jnp.asarray(row_active)[perm2] & act2
+            if vvf is not None:
+                pass2 = pass2 & vvf[perm2]
+            # first passing row per GROUP in pass-2 order = the mode row
+            cg = jnp.cumsum(pass2.astype(jnp.int32))
+            iota = jnp.arange(cap, dtype=jnp.int32)
+            grp_start = jax.lax.cummax(jnp.where(b2, iota, jnp.int32(0)))
+            cg_before_grp = (cg - pass2.astype(jnp.int32))[grp_start]
+            take = pass2 & ((cg - pass2.astype(jnp.int32))
+                            == cg_before_grp)
+            tgt = jnp.where(take, gid2, jnp.int32(cap))
+            data = scatter_unique_set(
+                cap + 1, tgt, v.full_data(cap)[perm2])[:cap]
+            has = jnp.zeros((cap,), bool).at[tgt].set(True, mode="drop")
+            return DeviceColumn(data, gmask & has, agg.result_type,
+                                v.dictionary)
+
         if kind in ("min_by", "max_by"):
             # sort by (group, y); first/last passing row's x per group.
             # min/max over long decimals arrive with ONE argument (x==y).

@@ -683,6 +683,19 @@ class MapUnionAgg(CollectAgg):
         self.result_type = map_type
 
 
+class ModeAgg(CollectAgg):
+    """mode(x): the most frequent non-null value per group (ties ->
+    smallest value). Parity: Spark Mode / Presto mode — realized on the
+    approx_most_frequent two-pass run-count machinery
+    (exec/aggregation.py _collect_result kind 'mode')."""
+    collect_kind = "mode"
+
+    def __init__(self, input_type: T.DataType):
+        self.name = "mode"
+        self.input_type = input_type
+        self.result_type = input_type
+
+
 class HistogramAgg(CollectAgg):
     collect_kind = "histogram"
 
@@ -820,6 +833,8 @@ def resolve_aggregate(name: str, input_types) -> AggregateFunction:
         return MultimapAgg(input_types[0], input_types[1])
     if name == "map_union":
         return MapUnionAgg(input_types[0])
+    if name == "mode":
+        return ModeAgg(input_types[0])
     if name == "histogram":
         return HistogramAgg(input_types[0])
     if name == "approx_percentile":
