@@ -294,3 +294,24 @@ def test_mode():
     ).run().to_pandas().sort_values("g").reset_index(drop=True)
     assert out.m[0] == 5
     assert out.m[1] == 3
+
+
+def test_bloom_filter_agg_might_contain():
+    import pyarrow as pa
+
+    from velox_tpu.exec.task import Task
+    from velox_tpu.testing.plan_builder import PlanBuilder
+    build = pa.table({"k": pa.array(list(range(0, 2000, 2)), pa.int64())})
+    probe = pa.table({"x": pa.array(list(range(100)), pa.int64())})
+    b = PlanBuilder()
+    bloom = (b.new_builder().values([build])
+             .single_aggregation([], ["bloom_filter_agg(k) as bf"])
+             .enforce_single_row())
+    out = Task(b.values([probe])
+               .nested_loop_join(bloom)
+               .project(["x", "might_contain(bf, x) as mc"])
+               .plan()).run().to_pandas()
+    evens = out[out.x % 2 == 0]
+    odds = out[out.x % 2 == 1]
+    assert evens.mc.all()          # no false negatives, ever
+    assert odds.mc.sum() < 20      # ~0 false positives at this density

@@ -387,3 +387,32 @@ def test_array_set_ops_strings_different_dicts():
     assert out.column("c").to_pylist() == [["x", "y", "y", "z"],
                                            ["p", "q"]]
     assert out.column("o").to_pylist() == [True, False]
+
+
+def test_array_column_through_hash_join():
+    """Arrays carried through a join: the build rows are REORDERED and
+    possibly duplicated while the element children stay shared — the
+    explicit starts layout (DeviceColumn.starts) keeps each row's slice
+    correct (regression: dense cumsum offsets silently mis-sliced)."""
+    import pyarrow as pa
+
+    from velox_tpu.exec.task import Task
+    from velox_tpu.testing.plan_builder import PlanBuilder
+
+    build = pa.table({"k": pa.array([10, 20, 30], pa.int64()),
+                      "a": pa.array([[1], [2, 2], [3, 3, 3]],
+                                    pa.list_(pa.int64()))})
+    probe = pa.table({"x": pa.array([30, 10, 30, 20], pa.int64())})
+    b = PlanBuilder()
+    right = b.new_builder().values([build])
+    out = Task(b.values([probe])
+               .hash_join(["x"], ["k"], right,
+                          output=["x", "a"])
+               .project(["x", "a", "cardinality(a) as n",
+                         "element_at(a, 1) as e"])
+               .plan()).run().to_pandas().sort_index()
+    got = {int(r.x): (list(r.a), int(r.n), int(r.e))
+           for r in out.itertuples()}
+    assert got[10] == ([1], 1, 1)
+    assert got[20] == ([2, 2], 2, 2)
+    assert got[30] == ([3, 3, 3], 3, 3)

@@ -121,6 +121,21 @@ class AggregationOperator(Operator):
                     if c.dtype.kind is T.TypeKind.DECIMAL:
                         p /= 10.0 ** c.dtype.scale  # unscaled literal
                     a.percentile = p
+                from velox_tpu.functions.aggregates import BloomFilterAgg
+                if isinstance(a, BloomFilterAgg) and len(call.inputs) > 1:
+                    from velox_tpu.core import expressions as ex
+                    for ci in call.inputs[1:]:
+                        if not isinstance(ci, ex.Constant):
+                            raise NotImplementedError(
+                                "bloom_filter_agg: size hints must be "
+                                "constants")
+                    # numBits explicit (arg 3) or ~8 bits/item (arg 2)
+                    want = (int(call.inputs[2].value)
+                            if len(call.inputs) > 2
+                            else 8 * int(call.inputs[1].value))
+                    a.num_bits = max(
+                        1 << 10, min(1 << 23,
+                                     1 << max(1, want - 1).bit_length()))
                 if isinstance(a, ApproxMostFrequentAgg):
                     from velox_tpu.core import expressions as ex
                     if not isinstance(call.inputs[0], ex.Constant):
@@ -327,8 +342,10 @@ class AggregationOperator(Operator):
         from velox_tpu.functions.aggregates import (
             ApproxMostFrequentAgg, ApproxPercentileAgg,
         )
+        from velox_tpu.functions.aggregates import BloomFilterAgg
         call = self._agg_calls[i]
-        if isinstance(self._aggs[i], ApproxPercentileAgg):
+        if isinstance(self._aggs[i], (ApproxPercentileAgg,
+                                      BloomFilterAgg)):
             return [call.inputs[0]]
         if isinstance(self._aggs[i], ApproxMostFrequentAgg):
             return [call.inputs[1]]  # the value; buckets/cap are consts
@@ -506,6 +523,35 @@ class AggregationOperator(Operator):
             vchild = DeviceColumn(children[1][0], None, T.BIGINT, None)
             return DeviceColumn(lengths, gmask, agg.result_type, None,
                                 (kchild, vchild))
+
+        if kind == "bloom":
+            if self._keys:
+                raise NotImplementedError(
+                    "bloom_filter_agg supports GLOBAL aggregation only "
+                    "(build it with a scalar subquery, Spark-style)")
+            from velox_tpu.exec.hashtable import bloom_hashes
+            m = agg.num_bits
+            keep = jnp.asarray(row_active)
+            if v.validity is not None:
+                keep = keep & v.full_validity(cap)
+            h1, h2 = bloom_hashes(v, cap)
+            bits = jnp.zeros((m,), jnp.int32)
+            for i in range(agg.K):
+                p = ((h1 + np.uint32(i) * h2)
+                     & np.uint32(m - 1)).astype(jnp.int32)
+                bits = bits.at[jnp.where(keep, p, jnp.int32(m))].max(
+                    1, mode="drop")
+            # pack 32 bits/word (uint32 shifts; bitcast back to int32)
+            ub = jax.lax.bitcast_convert_type(bits, jnp.uint32) \
+                .reshape(m // 32, 32)
+            words_u = jnp.sum(
+                ub << jnp.arange(32, dtype=jnp.uint32)[None, :],
+                axis=1, dtype=jnp.uint32)
+            words = jax.lax.bitcast_convert_type(words_u, jnp.int32)
+            child = DeviceColumn(words, None, T.INTEGER, None)
+            lengths = jnp.zeros((cap,), jnp.int32).at[0].set(m // 32)
+            return DeviceColumn(lengths, gmask, agg.result_type, None,
+                                (child,))
 
         if kind == "mode":
             # Spark/Presto mode(x): value of the most frequent run —

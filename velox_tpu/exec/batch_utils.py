@@ -72,16 +72,22 @@ def compact(batch: DeviceBatch) -> DeviceBatch:
 
 def map_column_rows(col: DeviceColumn, f) -> DeviceColumn:
     """Apply a row-axis transform to a column, recursing into
-    row-aligned children: ROW fields and the long-decimal hi limb
-    (ARRAY/MAP children live in element space and are left untouched)."""
+    row-aligned children: ROW fields and the long-decimal hi limb.
+    ARRAY/MAP children live in element space and stay SHARED — the
+    per-row element START offsets are materialized and transformed
+    along, so reordering/duplicating rows keeps each row's slice valid
+    (vector/device.py DeviceColumn.starts)."""
     from velox_tpu import types as T
     data = f(col.data)
     validity = f(col.validity) if col.validity is not None else None
     children = col.children
+    starts = None
     if col.dtype.kind is T.TypeKind.ROW or col.dtype.is_long_decimal:
         children = tuple(map_column_rows(c, f) for c in col.children)
+    elif col.dtype.is_complex:
+        starts = f(col.offsets())
     return DeviceColumn(data, validity, col.dtype, col.dictionary,
-                        children)
+                        children, starts)
 
 
 def take(batch: DeviceBatch, indices, valid_rows) -> DeviceBatch:

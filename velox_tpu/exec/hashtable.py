@@ -201,3 +201,13 @@ def extract_keys(table: HashTable,
         validity = None if v.validity is None else cval
         out.append(EvalValue(col, validity, v.dtype, v.dictionary))
     return out
+
+
+def bloom_hashes(v, capacity: int):
+    """(h1, h2) uint32 pair for double-hashed bloom filters — the SHARED
+    contract between bloom_filter_agg and might_contain (bit i of k is
+    (h1 + k*h2) mod m). Parity target: sparksql BloomFilterAggAggregate /
+    MightContain (layout differs; see functions/spark_batch3.py)."""
+    h1 = hash_rows([v], capacity)
+    h2 = _mix32(h1 ^ np.uint32(0xB5297A4D))
+    return h1, h2

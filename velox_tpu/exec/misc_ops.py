@@ -242,14 +242,14 @@ class UnnestOperator(Operator):
         src = jnp.clip(orig_starts[row_c] + within, 0, ecap - 1)
         out_mask = j < total
 
+        from velox_tpu.exec.batch_utils import map_column_rows
         cols: Dict[str, DeviceColumn] = {}
         for name, c in batch.columns.items():
             if name == node.unnest_column:
                 continue
-            cols[name] = DeviceColumn(
-                c.data[row_c],
-                c.validity[row_c] if c.validity is not None else None,
-                c.dtype, c.dictionary, c.children)
+            # map_column_rows: sibling complex columns get explicit
+            # starts (their element children stay shared)
+            cols[name] = map_column_rows(c, lambda a: a[row_c])
 
         def gather_child(ch):
             return DeviceColumn(
@@ -409,7 +409,8 @@ class NestedLoopJoinOperator(Operator):
         for name, col in source.columns.items():
             c = map_column_rows(col, lambda a: a[row0])
             cols[name] = DeviceColumn(c.data, jnp.zeros((cap,), bool),
-                                      c.dtype, c.dictionary, c.children)
+                                      c.dtype, c.dictionary, c.children,
+                                      c.starts)
         return cols
 
     def _emit_probe_unmatched(self, batch: DeviceBatch, matched):

@@ -50,6 +50,8 @@ class EvalValue:
     dictionary: Optional[Dictionary] = None
     py_value: Any = None
     children: tuple = ()  # complex types: flattened element columns
+    starts: Any = None    # complex: explicit element offsets (see
+    #                       vector/device.py DeviceColumn.starts)
 
     @property
     def is_scalar(self) -> bool:
@@ -76,12 +78,13 @@ class EvalValue:
         if v is not None and v.ndim == 0:
             v = jnp.broadcast_to(v, (capacity,))
         return DeviceColumn(self.full_data(capacity), v, self.dtype,
-                            self.dictionary, self.children)
+                            self.dictionary, self.children, self.starts)
 
 
 def value_from_column(col: DeviceColumn) -> EvalValue:
     return EvalValue(col.data, col.validity, col.dtype, col.dictionary,
-                     children=col.children)
+                     children=col.children,
+                     starts=getattr(col, "starts", None))
 
 
 def merge_validity(*vals: EvalValue):

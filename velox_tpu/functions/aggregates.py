@@ -696,6 +696,26 @@ class ModeAgg(CollectAgg):
         self.result_type = input_type
 
 
+class BloomFilterAgg(CollectAgg):
+    """bloom_filter_agg(x[, estimatedNumItems[, numBits]]): a bloom
+    sketch over the non-null inputs, k=3 double-hashed probes.
+
+    Parity target: sparksql BloomFilterAggAggregate.h + MightContain.h.
+    Deviation: the sketch type is ARRAY(INTEGER) of packed 32-bit words
+    (this engine's VARBINARY values are trace-time dictionaries, which
+    cannot hold data-dependent bytes); might_contain consumes the same
+    layout on-device. GLOBAL aggregation only (the Spark usage: a scalar
+    subquery over the build side)."""
+    collect_kind = "bloom"
+    K = 3
+
+    def __init__(self, input_type: T.DataType):
+        self.name = "bloom_filter_agg"
+        self.input_type = input_type
+        self.result_type = T.array(T.INTEGER)
+        self.num_bits = 1 << 20  # operator overrides from const args
+
+
 class HistogramAgg(CollectAgg):
     collect_kind = "histogram"
 
@@ -835,6 +855,8 @@ def resolve_aggregate(name: str, input_types) -> AggregateFunction:
         return MapUnionAgg(input_types[0])
     if name == "mode":
         return ModeAgg(input_types[0])
+    if name == "bloom_filter_agg":
+        return BloomFilterAgg(input_types[0])
     if name == "histogram":
         return HistogramAgg(input_types[0])
     if name == "approx_percentile":

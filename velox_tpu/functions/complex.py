@@ -20,8 +20,22 @@ from velox_tpu.functions.signature import sig
 
 
 def _offsets(v):
+    st = getattr(v, "starts", None)
+    if st is not None:
+        return st.astype(jnp.int32)
     lens = v.data.astype(jnp.int32)
     return jnp.cumsum(lens) - lens
+
+
+def _require_dense(v, fname: str):
+    """Element-space transforms assume each row OWNS its element slice
+    (dense cumsum layout). A column with explicit starts shares/reorders
+    children (e.g. an array carried through a join) — materialize first."""
+    if getattr(v, "starts", None) is not None:
+        raise NotImplementedError(
+            f"{fname}: element-space transform over a shared-slice array "
+            "(carried through a join) is not supported; project the "
+            "array before the join instead")
 
 
 def _cardinality_eval(ctx, out_dtype, args):
@@ -136,6 +150,7 @@ from velox_tpu.functions.registry import register as _register
 
 def _element_row_map(arr: EvalValue, ctx):
     """(row_of_element, in_row mask) over the child capacity."""
+    _require_dense(arr, "element-space transform")
     child = arr.children[0]
     ecap = child.capacity
     lens = arr.data.astype(jnp.int32)

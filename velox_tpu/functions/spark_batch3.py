@@ -710,3 +710,46 @@ def _json_object_keys_eval(ctx, out_dtype, args):
 
 register("json_object_keys", sig("string -> array(varchar)"),
          _json_object_keys_eval)
+
+
+def _might_contain_eval(ctx, out_dtype, args):
+    """might_contain(bloom, x): tests the k=3 double-hashed bit probes
+    against an ARRAY(INTEGER) bloom sketch (bloom_filter_agg's layout —
+    functions/aggregates.py BloomFilterAgg; Spark MightContain.h parity
+    with a different sketch encoding). NULL bloom or NULL x -> NULL."""
+    from velox_tpu.exec.hashtable import bloom_hashes
+    from velox_tpu.functions.aggregates import BloomFilterAgg
+    from velox_tpu.functions.complex import _offsets
+    arr, x = args
+    cap = ctx.capacity
+    child = arr.children[0]
+    lens = arr.data.astype(jnp.int32)
+    starts = _offsets(arr)
+    m = lens * 32  # bits; power of two by construction
+    h1, h2 = bloom_hashes(x, cap)
+    hit = jnp.ones((cap,), bool)
+    cw = jax.lax.bitcast_convert_type(
+        child.data.astype(jnp.int32), jnp.uint32)
+    for i in range(BloomFilterAgg.K):
+        p = ((h1 + np.uint32(i) * h2).astype(jnp.int64)
+             % jnp.maximum(m, 1).astype(jnp.int64)).astype(jnp.int32)
+        wi = p >> 5
+        bi = (p & 31).astype(jnp.uint32)
+        src = jnp.clip(starts + wi, 0, child.capacity - 1)
+        w = cw[src]
+        hit = hit & (((w >> bi) & jnp.uint32(1)) != 0)
+    validity = lens > 0
+    if arr.validity is not None:
+        validity = validity & arr.validity
+    if x.validity is not None:
+        validity = validity & x.full_validity(cap)
+    return EvalValue(hit, validity, T.BOOLEAN)
+
+
+def _might_contain_resolver(ts):
+    if len(ts) == 2 and ts[0].kind is T.TypeKind.ARRAY:
+        return T.BOOLEAN
+    return None
+
+
+register("might_contain", _might_contain_resolver, _might_contain_eval)

@@ -105,36 +105,52 @@ class DeviceColumn:
 
     def __init__(self, data, validity=None, dtype: T.DataType = T.BIGINT,
                  dictionary: Optional[Dictionary] = None,
-                 children: Optional[tuple] = None):
+                 children: Optional[tuple] = None, starts=None):
         self.data = data
         self.validity = validity
         self.dtype = dtype
         self.dictionary = dictionary
         self.children = tuple(children) if children else ()
+        # complex columns: EXPLICIT per-row element start offsets. None
+        # means the dense layout (starts = cumsum(lens) - lens). Row
+        # gathers through joins REORDER/DUPLICATE rows while SHARING the
+        # element children, so the dense contract breaks — explicit
+        # starts are Arrow/Velox's offsets for exactly this reason
+        # (vector/ComplexVector.h rawOffsets).
+        self.starts = starts
 
     def tree_flatten(self):
         leaves = (self.data,) + ((self.validity,)
                                  if self.validity is not None else ())
-        return leaves + self.children, \
+        leaves = leaves + self.children
+        if self.starts is not None:
+            leaves = leaves + (self.starts,)
+        return leaves, \
             (self.validity is not None, self.dtype, self.dictionary,
-             len(self.children))
+             len(self.children), self.starts is not None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        has_validity, dtype, dictionary, n_children = aux
+        has_validity, dtype, dictionary, n_children, has_starts = aux
         it = list(children)
         data = it[0]
         validity = it[1] if has_validity else None
-        kids = tuple(it[1 + int(has_validity):])
-        return cls(data, validity, dtype, dictionary, kids)
+        base = 1 + int(has_validity)
+        kids = tuple(it[base:base + n_children])
+        starts = it[base + n_children] if has_starts else None
+        return cls(data, validity, dtype, dictionary, kids, starts)
 
     @property
     def capacity(self) -> int:
         return self.data.shape[0]
 
     def offsets(self):
-        """Exclusive start offsets for complex columns (from lengths)."""
+        """Exclusive element start offsets for complex columns: the
+        explicit starts when present (shared/reordered children), else
+        derived from the dense lengths layout."""
         import jax.numpy as jnp
+        if self.starts is not None:
+            return self.starts.astype(jnp.int32)
         lens = self.data.astype(jnp.int32)
         return jnp.cumsum(lens) - lens
 
@@ -486,7 +502,12 @@ def _complex_to_arrow(col: DeviceColumn, mask: np.ndarray):
             out = out.take(indices)
         return out
     lengths = np.asarray(jax.device_get(col.data)).astype(np.int64)
-    starts = np.cumsum(lengths) - lengths
+    if getattr(col, "starts", None) is not None:
+        # shared-slice layout (array carried through a join): explicit
+        # per-row starts into the shared children
+        starts = np.asarray(jax.device_get(col.starts)).astype(np.int64)
+    else:
+        starts = np.cumsum(lengths) - lengths
     act_len = lengths[mask]
     act_start = starts[mask]
     idx = np.concatenate([np.arange(s, s + l) for s, l in
