@@ -267,3 +267,18 @@ def test_moments_constant_group_null():
         ["g"], ["skewness(x) as sk", "kurtosis(x) as ku"]).plan()
     ).run().to_pandas()
     assert out.sk.isna()[0] and out.ku.isna()[0]
+
+
+def test_array_map_ctors_get_timestamp():
+    t = pa.table({"a": pa.array([1, 2], pa.int64()),
+                  "b": pa.array([10, None], pa.int64()),
+                  "s": pa.array(["2024-02-29 12:30:05", "junk"])})
+    out = run_proj(t, ["array(a, b, 7) as arr",
+                       "map(a, b) as m",
+                       "get_timestamp(s, 'yyyy-MM-dd HH:mm:ss') as ts",
+                       ]).to_pandas()
+    assert list(out.arr[0]) == [1, 10, 7]
+    assert out.arr[1][0] == 2 and np.isnan(out.arr[1][1])  # NULL elem
+    assert dict(out.m[0]) == {1: 10}
+    assert out.ts[0] == dt.datetime(2024, 2, 29, 12, 30, 5)
+    assert out.ts.isna()[1]

@@ -753,3 +753,97 @@ def _might_contain_resolver(ts):
 
 
 register("might_contain", _might_contain_resolver, _might_contain_eval)
+
+
+def _array_ctor_eval(ctx, out_dtype, args):
+    """array(e1, ..., eN): per-row N-element arrays (row-major
+    interleave — dense layout)."""
+    from velox_tpu.vector.device import DeviceColumn
+    cap = ctx.capacity
+    et = out_dtype.children[0]
+    n = len(args)
+    if n == 0:
+        child = DeviceColumn(jnp.zeros((1,), et.np_dtype()), None, et,
+                             None)
+        return EvalValue(jnp.zeros((cap,), jnp.int32), None, out_dtype,
+                         children=(child,))
+    # unify string dictionaries across the operands
+    dicts = [a.dictionary for a in args]
+    d0 = next((d for d in dicts if d is not None), None)
+    datas = [a.full_data(cap) for a in args]
+    if d0 is not None and any(d is not None and d is not d0
+                              for d in dicts):
+        raise NotImplementedError(
+            "array(): string operands must share one dictionary")
+    data = jnp.stack([d.astype(datas[0].dtype) for d in datas],
+                     axis=1).reshape(-1)
+    validity = None
+    if any(a.validity is not None for a in args):
+        validity = jnp.stack(
+            [a.full_validity(cap) for a in args], axis=1).reshape(-1)
+    child = DeviceColumn(data, validity, et, d0)
+    return EvalValue(jnp.full((cap,), n, jnp.int32), None, out_dtype,
+                     children=(child,))
+
+
+def _array_ctor_resolver(ts):
+    if not ts:
+        return None
+    t0 = ts[0]
+    if all(t == t0 or (t.is_numeric and t0.is_numeric) for t in ts):
+        return T.array(t0)
+    return None
+
+
+register("array", _array_ctor_resolver, _array_ctor_eval)
+
+
+def _map_ctor_eval(ctx, out_dtype, args):
+    """map(k1, v1, ..., kN, vN)."""
+    ka = _array_ctor_eval(ctx, T.array(out_dtype.children[0]), args[0::2])
+    va = _array_ctor_eval(ctx, T.array(out_dtype.children[1]), args[1::2])
+    return EvalValue(ka.data, None, out_dtype,
+                     children=(ka.children[0], va.children[0]))
+
+
+def _map_ctor_resolver(ts):
+    if len(ts) >= 2 and len(ts) % 2 == 0:
+        return T.map_(ts[0], ts[1])
+    return None
+
+
+register("map", _map_ctor_resolver, _map_ctor_eval)
+
+
+def _get_timestamp_eval(ctx, out_dtype, args):
+    """get_timestamp(s, fmt): parse with a Java SimpleDateFormat-style
+    pattern (the common subset maps onto strptime); unparseable -> NULL.
+    Dictionary-space (one parse per distinct value)."""
+    import datetime as _dt
+    fmt = str(_const_arg(args, 1, "get_timestamp"))
+    pyfmt = (fmt.replace("yyyy", "%Y").replace("MM", "%m")
+             .replace("dd", "%d").replace("HH", "%H")
+             .replace("mm", "%M").replace("ss", "%S"))
+
+    def f(s):
+        try:
+            d = _dt.datetime.strptime(s, pyfmt)
+        except ValueError:
+            return None
+        return int((d - _dt.datetime(1970, 1, 1)).total_seconds()
+                   * 1_000_000)
+    from velox_tpu.functions.scalar import _require_dict
+    d = _require_dict(args[0], "get_timestamp")
+    vals = [f(x) for x in d.values]
+    table = jnp.asarray(np.array([0 if v is None else v for v in vals],
+                                 np.int64))
+    okt = jnp.asarray(np.array([v is not None for v in vals], bool))
+    ids = args[0].data.astype(jnp.int32)
+    validity = okt[ids]
+    if args[0].validity is not None:
+        validity = validity & args[0].full_validity(ctx.capacity)
+    return EvalValue(table[ids], validity, T.TIMESTAMP)
+
+
+register("get_timestamp", sig("string, string -> timestamp"),
+         _get_timestamp_eval)
