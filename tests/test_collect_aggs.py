@@ -315,3 +315,24 @@ def test_bloom_filter_agg_might_contain():
     odds = out[out.x % 2 == 1]
     assert evens.mc.all()          # no false negatives, ever
     assert odds.mc.sum() < 20      # ~0 false positives at this density
+
+
+def test_bloom_over_strings_cross_dictionary():
+    """Build and probe string columns have DIFFERENT dictionaries: the
+    bloom must hash distinct VALUES, not dictionary ids (regression:
+    id-space hashing gave false negatives)."""
+    import pyarrow as pa
+
+    from velox_tpu.exec.task import Task
+    from velox_tpu.testing.plan_builder import PlanBuilder
+    build = pa.table({"k": pa.array(["apple", "cherry", "mango"])})
+    probe = pa.table({"x": pa.array(["mango", "kiwi", "apple", "zzz"])})
+    b = PlanBuilder()
+    bloom = (b.new_builder().values([build])
+             .single_aggregation([], ["bloom_filter_agg(k) as bf"])
+             .enforce_single_row())
+    out = Task(b.values([probe]).nested_loop_join(bloom)
+               .project(["x", "might_contain(bf, x) as mc"])
+               .plan()).run().to_pandas()
+    got = dict(zip(out.x, out.mc))
+    assert got["mango"] and got["apple"]  # members: never negative

@@ -416,3 +416,20 @@ def test_array_column_through_hash_join():
     assert got[10] == ([1], 1, 1)
     assert got[20] == ([2, 2], 2, 2)
     assert got[30] == ([3, 3, 3], 3, 3)
+
+
+def test_array_column_concat_across_batches():
+    """Multi-batch ARRAY columns through concat_batches: part 2+'s rows
+    must reference part 2's elements (regression: only part 0's children
+    were kept)."""
+    import pyarrow as pa
+
+    from velox_tpu.exec.task import Task
+    from velox_tpu.testing.plan_builder import PlanBuilder
+    t1 = pa.table({"a": pa.array([[1, 1], [2]], pa.list_(pa.int64()))})
+    t2 = pa.table({"a": pa.array([[3, 3, 3]], pa.list_(pa.int64()))})
+    out = Task(PlanBuilder().values([t1, t2])
+               .project(["a", "cardinality(a) as n"])
+               .order_by(["n"]).plan()).run().to_pandas()
+    got = [list(r) for r in out.a]
+    assert got == [[2], [1, 1], [3, 3, 3]]

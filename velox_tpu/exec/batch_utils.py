@@ -39,6 +39,22 @@ def concat_batches(batches: List[DeviceBatch]) -> DeviceBatch:
             children = tuple(
                 concat_cols([p.children[i] for p in parts])
                 for i in range(len(first.children)))
+        elif first.dtype.is_complex and len(parts) > 1:
+            # ARRAY/MAP: element children concatenate in ELEMENT space
+            # and every part's row starts shift by the element capacity
+            # before it (explicit starts — keeping only part 0's
+            # children pointed part 2+'s rows at the wrong elements)
+            children = tuple(
+                concat_cols([p.children[i] for p in parts])
+                for i in range(len(first.children)))
+            off = 0
+            sp = []
+            for p in parts:
+                sp.append(p.offsets() + jnp.int32(off))
+                off += p.children[0].capacity
+            return DeviceColumn(data, validity, first.dtype,
+                                first.dictionary, children,
+                                jnp.concatenate(sp))
         return DeviceColumn(data, validity, first.dtype,
                             first.dictionary, children)
 

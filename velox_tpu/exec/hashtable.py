@@ -207,7 +207,32 @@ def bloom_hashes(v, capacity: int):
     """(h1, h2) uint32 pair for double-hashed bloom filters — the SHARED
     contract between bloom_filter_agg and might_contain (bit i of k is
     (h1 + k*h2) mod m). Parity target: sparksql BloomFilterAggAggregate /
-    MightContain (layout differs; see functions/spark_batch3.py)."""
-    h1 = hash_rows([v], capacity)
+    MightContain (layout differs; see functions/spark_batch3.py).
+
+    Hashes are VALUE-canonical, not storage-canonical: the build and
+    probe sides have independent dictionaries / storage widths, so
+    string columns hash their distinct VALUES at trace time (device
+    gather by id) and numeric columns canonicalize to the type's
+    np_dtype before word extraction — otherwise present values could
+    hash differently on the two sides and test false-NEGATIVE."""
+    from velox_tpu.expression.eval import EvalValue as _EV
+    if v.dtype.is_string:
+        if v.dictionary is None:
+            raise NotImplementedError(
+                "bloom over non-dictionary string columns")
+        import zlib
+        tbl = np.array([zlib.crc32(str(x).encode("utf-8"))
+                        for x in v.dictionary.values], np.uint32)
+        if len(tbl) == 0:
+            tbl = np.zeros((1,), np.uint32)
+        ids = jnp.clip(v.data.astype(jnp.int32), 0, len(tbl) - 1)
+        h0 = jnp.asarray(tbl)[ids]
+        h1 = _mix32(h0 ^ np.uint32(0x9E3779B9))
+    else:
+        want = v.dtype.np_dtype()
+        data = v.full_data(capacity)
+        if data.dtype != want:
+            v = _EV(data.astype(want), v.validity, v.dtype)
+        h1 = hash_rows([v], capacity)
     h2 = _mix32(h1 ^ np.uint32(0xB5297A4D))
     return h1, h2

@@ -83,14 +83,9 @@ def _contains_eval(ctx, out_dtype, args):
     arr, x = args
     child = arr.children[0]
     ecap = child.capacity
-    lens = arr.data.astype(jnp.int32)
-    starts = _offsets(arr)
-    # element e belongs to row r iff starts[r] <= e < starts[r]+lens[r]:
-    # invert with searchsorted over starts (rows ascending)
-    e = jnp.arange(ecap, dtype=jnp.int32)
-    row = jnp.searchsorted(starts, e, side="right").astype(jnp.int32) - 1
-    row_c = jnp.clip(row, 0, ctx.capacity - 1)
-    in_row = (e >= starts[row_c]) & (e < starts[row_c] + lens[row_c])
+    # _element_row_map guards shared-slice (starts-bearing) inputs: its
+    # searchsorted inversion requires the dense sorted-starts layout
+    row_c, in_row = _element_row_map(arr, ctx)
     from velox_tpu.expression.eval import EvalValue as EV
     elem_val = EV(child.data, child.validity, arr.dtype.children[0],
                   child.dictionary)
@@ -472,7 +467,8 @@ def _map_child_eval(which):
         (m,) = args
         child = m.children[which]
         return EvalValue(m.data, m.validity, out_dtype,
-                         children=(child,))
+                         children=(child,),
+                         starts=getattr(m, "starts", None))
     return eval_fn
 
 
@@ -495,7 +491,8 @@ def _get_field_eval(ctx, out_dtype, args):
         validity = (row.validity if validity is None
                     else (validity & row.validity))
     return EvalValue(child.data, validity, row.dtype.children[i],
-                     child.dictionary, children=child.children)
+                     child.dictionary, children=child.children,
+                     starts=getattr(child, "starts", None))
 
 
 def _get_field_resolver(ts):
@@ -931,6 +928,7 @@ def _map_entries_eval(ctx, out_dtype, args):
     row_child = _DC(jnp.zeros((kchild.capacity,), jnp.int32), None, rt,
                     None, (kchild, vchild))
     return EvalValue(m.data, m.validity, out_dtype,
+                     starts=getattr(m, "starts", None),
                      children=(row_child,))
 
 

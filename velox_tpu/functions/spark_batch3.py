@@ -775,7 +775,10 @@ def _array_ctor_eval(ctx, out_dtype, args):
                               for d in dicts):
         raise NotImplementedError(
             "array(): string operands must share one dictionary")
-    data = jnp.stack([d.astype(datas[0].dtype) for d in datas],
+    # common element dtype (Spark promotes to the least common type;
+    # casting everything to arg0's dtype silently truncated doubles)
+    common = np.result_type(*[np.dtype(d.dtype) for d in datas])
+    data = jnp.stack([d.astype(common) for d in datas],
                      axis=1).reshape(-1)
     validity = None
     if any(a.validity is not None for a in args):
@@ -790,8 +793,15 @@ def _array_ctor_resolver(ts):
     if not ts:
         return None
     t0 = ts[0]
-    if all(t == t0 or (t.is_numeric and t0.is_numeric) for t in ts):
+    if all(t == t0 for t in ts):
         return T.array(t0)
+    if all(t.is_numeric for t in ts):
+        # least-common numeric element type (Spark TypeCoercion)
+        out = t0
+        for t in ts[1:]:
+            from velox_tpu.functions.scalar import promote_numeric
+            out = promote_numeric(out, t)
+        return T.array(out)
     return None
 
 
@@ -799,9 +809,21 @@ register("array", _array_ctor_resolver, _array_ctor_eval)
 
 
 def _map_ctor_eval(ctx, out_dtype, args):
-    """map(k1, v1, ..., kN, vN)."""
-    ka = _array_ctor_eval(ctx, T.array(out_dtype.children[0]), args[0::2])
+    """map(k1, v1, ..., kN, vN). NULL keys and duplicate keys flag the
+    traced error channel (Spark: 'Cannot use null as map key' /
+    EXCEPTION dedup policy); TRY(map(...)) gives NULL rows instead."""
+    cap = ctx.capacity
+    keys = args[0::2]
+    ka = _array_ctor_eval(ctx, T.array(out_dtype.children[0]), keys)
     va = _array_ctor_eval(ctx, T.array(out_dtype.children[1]), args[1::2])
+    bad = jnp.zeros((cap,), bool)
+    for k in keys:
+        if k.validity is not None:
+            bad = bad | ~k.full_validity(cap)
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            bad = bad | (keys[i].full_data(cap) == keys[j].full_data(cap))
+    ctx.flag_error(bad)
     return EvalValue(ka.data, None, out_dtype,
                      children=(ka.children[0], va.children[0]))
 
@@ -820,10 +842,30 @@ def _get_timestamp_eval(ctx, out_dtype, args):
     pattern (the common subset maps onto strptime); unparseable -> NULL.
     Dictionary-space (one parse per distinct value)."""
     import datetime as _dt
+    import re as _re
     fmt = str(_const_arg(args, 1, "get_timestamp"))
-    pyfmt = (fmt.replace("yyyy", "%Y").replace("MM", "%m")
-             .replace("dd", "%d").replace("HH", "%H")
-             .replace("mm", "%M").replace("ss", "%S"))
+    # Java SimpleDateFormat tokens -> strptime, longest-first via one
+    # regex pass (sequential str.replace corrupted adjacent tokens)
+    _TOK = {"yyyy": "%Y", "yy": "%y", "MM": "%m", "M": "%m",
+            "dd": "%d", "d": "%d", "HH": "%H", "H": "%H",
+            "mm": "%M", "m": "%M", "ss": "%S", "s": "%S"}
+    parts = []
+    for piece in _re.split(r"(y+|M+|d+|H+|m+|s+)", fmt):
+        if not piece:
+            continue
+        if _re.fullmatch(r"y+|M+|d+|H+|m+|s+", piece):
+            if piece not in _TOK:
+                raise NotImplementedError(
+                    f"get_timestamp: unsupported pattern token "
+                    f"{piece!r} in {fmt!r}")
+            parts.append(_TOK[piece])
+        else:
+            if _re.search(r"[A-Za-z%]", piece):
+                raise NotImplementedError(
+                    f"get_timestamp: unsupported pattern literal "
+                    f"{piece!r} in {fmt!r}")
+            parts.append(piece)
+    pyfmt = "".join(parts)
 
     def f(s):
         try:

@@ -518,6 +518,13 @@ def _complex_to_arrow(col: DeviceColumn, mask: np.ndarray):
 
     def child_values(child: DeviceColumn):
         if child.dtype.is_complex:
+            if getattr(col, "starts", None) is not None:
+                # shared-slice parent: idx may duplicate/reorder nested
+                # ranges, which the boolean-mask gather below cannot
+                # express — refuse instead of emitting misaligned rows
+                raise NotImplementedError(
+                    "extracting a nested complex column carried through "
+                    "a join is not supported; project it before the join")
             m = np.zeros(child.capacity, bool)
             m[idx] = True
             # preserve order: _complex_to_arrow gathers in mask order ==
