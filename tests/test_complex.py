@@ -433,3 +433,22 @@ def test_array_column_concat_across_batches():
                .order_by(["n"]).plan()).run().to_pandas()
     got = [list(r) for r in out.a]
     assert got == [[2], [1, 1], [3, 3, 3]]
+
+
+def test_map_zip_with():
+    import pyarrow as pa
+
+    from velox_tpu.exec.task import Task
+    from velox_tpu.testing.plan_builder import PlanBuilder
+    t = pa.table({
+        "m1": pa.array([{"a": 1, "b": 2}, {"x": 5}],
+                       pa.map_(pa.string(), pa.int64())),
+        "m2": pa.array([{"b": 10, "c": 20}, {}],
+                       pa.map_(pa.string(), pa.int64())),
+    })
+    out = Task(PlanBuilder().values([t]).project([
+        "map_zip_with(m1, m2, (k, v1, v2) -> "
+        "coalesce(v1, 0) + coalesce(v2, 0)) as z"]).plan()
+    ).run().to_pandas()
+    assert dict(out.z[0]) == {"a": 1, "b": 12, "c": 20}
+    assert dict(out.z[1]) == {"x": 5}

@@ -1153,3 +1153,133 @@ def _map_concat_eval(ctx, out_dtype, args):
 
 register("map_concat", sig("map(K, V), map(K, V) -> map(K, V)"),
          _map_concat_eval)
+
+
+@special_form("map_zip_with")
+def _map_zip_with(expr, ctx, cache):
+    """map_zip_with(m1, m2, (k, v1, v2) -> r): merge by KEY UNION; keys
+    present in only one map see NULL for the other value. Parity:
+    prestosql MapZipWithFunction. TPU-first: concatenate both entry
+    streams, ONE sort by (row, key, source) over the combined element
+    space, and read each union key's v1/v2 off the <=2-entry runs
+    (map keys are unique per map by construction)."""
+    from velox_tpu.exec.sort import (
+        lane_bit_widths, lane_prefix_neq, sort_perm_key, sort_words,
+    )
+    from velox_tpu.ops.wide import scatter_unique_set
+    from velox_tpu.vector.device import DeviceColumn as _DC
+
+    m1 = _eval_expr(expr.args[0], ctx, cache)
+    m2 = _eval_expr(expr.args[1], ctx, cache)
+    lam = expr.args[2]
+    _require_dense(m1, "map_zip_with")
+    _require_dense(m2, "map_zip_with")
+    cap = ctx.capacity
+    k1, v1c = m1.children
+    k2, v2c = m2.children
+    kdict, k1d, k2d = _unify_dicts(k1, k2)
+    E1, E2 = k1.capacity, k2.capacity
+    M = E1 + E2
+    row1, in1 = _element_row_map(m1, ctx)
+    row2, in2 = _element_row_map(m2, ctx)
+    rows = jnp.concatenate([row1, row2]).astype(jnp.int32)
+    ink = jnp.concatenate([in1, in2])
+    kt = m1.dtype.children[0]
+    if kt.is_string:
+        kdata = jnp.concatenate([k1d.astype(jnp.int32),
+                                 k2d.astype(jnp.int32)])
+    else:
+        common = np.result_type(np.dtype(k1.data.dtype),
+                                np.dtype(k2.data.dtype))
+        kdata = jnp.concatenate([k1.data.astype(common),
+                                 k2.data.astype(common)])
+    src = jnp.concatenate([jnp.zeros((E1,), bool), jnp.ones((E2,), bool)])
+    key_ev = EvalValue(kdata, None, kt, kdict)
+    row_ev = EvalValue(rows, None, T.INTEGER)
+    src_ev = EvalValue(src, None, T.BOOLEAN)
+    words, bits = sort_words([row_ev, key_ev, src_ev], None, M, ink,
+                             ranges=((0, max(1, cap - 1)), None, None))
+    perm, skey = sort_perm_key(words, bits, M)
+    total = int(sum(bits))
+    if skey is not None:
+        boundary = lane_prefix_neq(skey, lane_bit_widths(total),
+                                   total - 1)  # (row, key) runs: drop src
+    else:
+        neq = jnp.zeros((M,), bool)
+        consumed = 0
+        for w, nb in zip(words, bits):
+            take = min(nb, (total - 1) - consumed)
+            if take <= 0:
+                break
+            ws = (w >> np.uint32(nb - take))[perm]
+            prev = jnp.concatenate([ws[:1], ws[:-1]])
+            neq = neq | (ws != prev)
+            consumed += take
+        boundary = neq.at[0].set(True)
+    ink_s = ink[perm]
+    rows_s = jnp.clip(rows[perm], 0, cap - 1)
+    src_s = src[perm]
+    is_end = jnp.concatenate([boundary[1:], jnp.ones((1,), bool)])
+    idx1 = jnp.clip(perm, 0, E1 - 1)
+    idx2 = jnp.clip(perm - E1, 0, E2 - 1)
+    ks = kdata[perm]
+
+    def _val(child, idx, have):
+        d = child.data[idx]
+        valid = have if child.validity is None \
+            else have & child.validity[idx]
+        return d, valid
+
+    v1_here, v1_ok = _val(v1c, idx1, ~src_s & ink_s)
+    v2_here, v2_ok = _val(v2c, idx2, src_s & ink_s)
+    # v2 of a 2-entry run lives at the NEXT sorted position (src sorts
+    # m1-entries first within a run)
+    nxt = lambda a, fill: jnp.concatenate([a[1:], jnp.full((1,), fill,
+                                                           a.dtype)])
+    v2_start = jnp.where(is_end, v2_here, nxt(v2_here, 0))
+    v2_start_ok = jnp.where(is_end, v2_ok, nxt(v2_ok, False))
+    take = boundary & ink_s
+    # lambda over the sorted element space at run starts
+    binds = [
+        (lam.params[0], EvalValue(ks, None, kt, kdict)),
+        (lam.params[1], EvalValue(v1_here, v1_ok, m1.dtype.children[1],
+                                  v1c.dictionary)),
+        (lam.params[2], EvalValue(v2_start, v2_start_ok,
+                                  m2.dtype.children[1],
+                                  v2c.dictionary)),
+    ]
+    cols = _LiftedColumns(ctx.columns, rows_s, M)
+    for name, val in binds:
+        cols[name] = val
+    ectx = _EvalCtx(cols, M)
+    out = _eval_expr(lam.body, ectx, {})
+    if ectx.errors is not None:
+        ctx.flag_error(jax.ops.segment_max(
+            (ectx.errors & take).astype(jnp.int32),
+            jnp.where(take, rows_s, cap),
+            num_segments=cap + 1)[:cap] > 0)
+    # compact union entries (run starts) to a dense output layout
+    pos = jnp.cumsum(take.astype(jnp.int32)) - 1
+    tgt = jnp.where(take, pos, jnp.int32(M))
+    out_k = scatter_unique_set(M + 1, tgt, ks)[:M]
+    od = out.full_data(M)
+    out_v = scatter_unique_set(M + 1, tgt, od)[:M]
+    ov_valid = None
+    if out.validity is not None:
+        ov_valid = jnp.ones((M,), bool).at[tgt].set(
+            out.full_validity(M), mode="drop")
+    lens = jnp.zeros((cap,), jnp.int32).at[
+        jnp.where(take, rows_s, jnp.int32(cap))].add(1, mode="drop")
+    row_valid = None
+    for mm in (m1, m2):
+        if mm.validity is not None:
+            row_valid = (mm.validity if row_valid is None
+                         else row_valid & mm.validity)
+    kchild = _DC(out_k, None, kt, kdict)
+    vchild = _DC(out_v, ov_valid, lam.dtype, out.dictionary)
+    return EvalValue(lens, row_valid, expr.dtype,
+                     children=(kchild, vchild))
+
+
+_register("map_zip_with",
+          sig("map(K, V), map(K, U), W -> map(K, W)"), _no_eval)

@@ -342,6 +342,12 @@ class Parser:
                     args.append(self._parse_arg_or_lambda(
                         None, ptypes=[args[0].dtype.children[0],
                                       args[1].dtype.children[0]]))
+                elif lname == "map_zip_with" and len(args) == 2:
+                    # (k, v1, v2) from the two map arguments
+                    args.append(self._parse_arg_or_lambda(
+                        None, ptypes=[args[0].dtype.children[0],
+                                      args[0].dtype.children[1],
+                                      args[1].dtype.children[1]]))
                 elif lname in ("reduce", "aggregate") and len(args) == 2:
                     # combine (s, x): s from init, x from the array
                     args.append(self._parse_arg_or_lambda(
