@@ -18,7 +18,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from tpch_sql import ORACLE_SQL, TOLERANCES
+from tpch_sql import ORACLE_SQL, TOLERANCES, normalize_dates, oracle_sql
 from velox_tpu.connectors.connector import register_connector
 from velox_tpu.connectors.hive import HiveConnector
 from velox_tpu.exec.task import Task
@@ -433,16 +433,32 @@ def test_q21_on_real_dbgen(setup_aux):
 
 GOLDEN_REMAINING = (7, 8, 11, 14, 15, 16, 17, 19, 20, 22)
 
+# With the spec-default substitution parameters, Q7/Q8/Q20 return ZERO
+# rows on this SF0.001 snapshot and Q17/Q19 a single all-NULL row —
+# vacuous comparisons. These per-query parameter choices (verified
+# against SQLite over the snapshot) make every golden test compare real
+# rows; both the engine plan and the oracle SQL get the same values.
+GOLDEN_PARAMS = {
+    7: dict(nation1="IRAN", nation2="MOZAMBIQUE"),
+    8: dict(region="AFRICA", p_type="ECONOMY BRUSHED COPPER",
+            nation="UNITED KINGDOM"),
+    17: dict(brand="Brand#14", container="JUMBO PACK"),
+    19: dict(b3="Brand#52", q3=1),
+    20: dict(color="navajo", nation="CANADA"),
+}
+
 
 @pytest.mark.parametrize("q", GOLDEN_REMAINING)
 def test_remaining_queries_on_real_dbgen(q, setup_aux):
     conn, oracle = setup_aux
-    rel_tol, min_rows = TOLERANCES.get(q, (1e-9, 0))
-    got = Task(tpch_plan(q, connector_id="hive-dbgen")).run().to_pandas()
-    for c in got.columns:  # engine DATEs -> oracle epoch days
-        if len(got) and isinstance(got[c].iloc[0], datetime.date):
-            got[c] = (got[c].to_numpy().astype("datetime64[D]")
-                      - np.datetime64("1970-01-01")).astype("int64")
-    exp = oracle.query(ORACLE_SQL[q])
-    assert len(exp) >= min_rows, f"Q{q} oracle returned too few rows"
+    rel_tol, _ = TOLERANCES.get(q, (1e-9, 1))
+    params = GOLDEN_PARAMS.get(q, {})
+    got = normalize_dates(Task(
+        tpch_plan(q, connector_id="hive-dbgen", **params))
+        .run().to_pandas())
+    exp = oracle.query(oracle_sql(q, **params))
+    # every golden query must compare at least one REAL row (an empty or
+    # all-NULL oracle result makes the comparison vacuous)
+    assert len(exp.dropna(how="all")) >= 1, \
+        f"Q{q} oracle returned no real rows on this snapshot"
     assert_frames_match(got, exp, sort=True, rel_tol=rel_tol)

@@ -18,6 +18,7 @@ import pandas as pd
 import pytest
 
 from tpch_sql import ORACLE_SQL, TOLERANCES
+from tpch_sql import normalize_dates as tpch_sql_normalize_dates
 from velox_tpu.connectors.tpch import TPCH_SCHEMAS, register_tpch
 from velox_tpu.exec.task import Task
 from velox_tpu.testing.oracle import SqliteOracle, assert_frames_match
@@ -47,14 +48,7 @@ def oracle(conn):
     return o
 
 
-def normalize_dates(got: pd.DataFrame) -> pd.DataFrame:
-    """Engine DATE columns come back as datetime.date objects; the oracle
-    speaks epoch-day ints."""
-    for c in got.columns:
-        if len(got) and isinstance(got[c].iloc[0], datetime.date):
-            got[c] = (got[c].to_numpy().astype("datetime64[D]")
-                      - np.datetime64("1970-01-01")).astype("int64")
-    return got
+normalize_dates = tpch_sql_normalize_dates
 
 
 @pytest.mark.parametrize("q", sorted(ORACLE_SQL))

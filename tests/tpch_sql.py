@@ -11,6 +11,8 @@ doubles). Parity role: the per-query SQL in the reference's
 against DuckDB.
 """
 
+import datetime
+
 import numpy as np
 
 
@@ -19,8 +21,133 @@ def days(iso: str) -> int:
                .astype(int))
 
 
+def normalize_dates(got):
+    """Engine DATE columns come back as datetime.date objects; the oracle
+    speaks epoch-day ints. Detects date columns from the first NON-NULL
+    value (a NULL in row 0 must not leave the column unconverted)."""
+    for c in got.columns:
+        s = got[c].dropna()
+        if len(s) and isinstance(s.iloc[0], datetime.date):
+            got[c] = (got[c].to_numpy().astype("datetime64[D]")
+                      - np.datetime64("1970-01-01")).astype("int64")
+    return got
+
+
 # per-query comparison knobs: (rel_tol, min_rows)
 TOLERANCES = {17: (1e-6, 1), 20: (1e-9, 0)}
+
+
+def oracle_sql(q: int, **params) -> str:
+    """Oracle SQL for query ``q``. Queries 7/8/17/19/20 accept the spec's
+    substitution parameters (TPC-H spec §2.4: each query is defined with
+    substitution parameters; the ORACLE_SQL defaults are the validation
+    values) so tiny data snapshots can pick values that produce rows."""
+    fn = _PARAM_SQL.get(q)
+    if fn is None:
+        assert not params, f"Q{q} takes no parameters"
+        return ORACLE_SQL[q]
+    return fn(**params)
+
+
+def _q7_sql(nation1="FRANCE", nation2="GERMANY"):
+    return f"""
+      SELECT supp_nation, cust_nation, l_year,
+             SUM(volume)/10000.0 AS revenue
+      FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              CAST(STRFTIME('%Y', l_shipdate * 86400, 'unixepoch')
+                   AS INTEGER) AS l_year,
+              l_extendedprice * (100 - l_discount) AS volume
+            FROM supplier, lineitem, orders, customer,
+                 nation n1, nation n2
+            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey
+              AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = '{nation1}' AND n2.n_name = '{nation2}')
+                OR (n1.n_name = '{nation2}' AND n2.n_name = '{nation1}'))
+              AND l_shipdate BETWEEN {days('1995-01-01')}
+                  AND {days('1996-12-31')})
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year"""
+
+
+def _q8_sql(region="AMERICA", p_type="ECONOMY ANODIZED STEEL",
+            nation="BRAZIL"):
+    return f"""
+      SELECT o_year,
+             CAST(SUM(CASE WHEN nation = '{nation}' THEN volume ELSE 0
+                  END) AS REAL) / SUM(volume) AS mkt_share
+      FROM (SELECT CAST(STRFTIME('%Y', o_orderdate * 86400, 'unixepoch')
+                        AS INTEGER) AS o_year,
+              l_extendedprice * (100 - l_discount) AS volume,
+              n2.n_name AS nation
+            FROM part, supplier, lineitem, orders, customer,
+                 nation n1, nation n2, region
+            WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+              AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n1.n_nationkey
+              AND n1.n_regionkey = r_regionkey AND r_name = '{region}'
+              AND s_nationkey = n2.n_nationkey
+              AND o_orderdate BETWEEN {days('1995-01-01')}
+                  AND {days('1996-12-31')}
+              AND p_type = '{p_type}')
+      GROUP BY o_year ORDER BY o_year"""
+
+
+def _q17_sql(brand="Brand#23", container="MED BOX"):
+    return f"""
+      SELECT SUM(l_extendedprice)/100.0/7.0 AS avg_yearly
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey AND p_brand = '{brand}'
+        AND p_container = '{container}'
+        AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem
+                          WHERE l_partkey = p_partkey)"""
+
+
+def _q19_sql(b1="Brand#12", b2="Brand#23", b3="Brand#34",
+             q1=1, q2=10, q3=20):
+    # quantities in whole units; the oracle speaks hundredths
+    return f"""
+      SELECT SUM(l_extendedprice * (100 - l_discount))/10000.0 AS revenue
+      FROM lineitem, part
+      WHERE (p_partkey = l_partkey AND p_brand = '{b1}'
+        AND p_container IN ('SM CASE','SM BOX','SM PACK','SM PKG')
+        AND l_quantity >= {q1 * 100} AND l_quantity <= {(q1 + 10) * 100}
+        AND p_size BETWEEN 1 AND 5
+        AND l_shipmode IN ('AIR', 'REG AIR')
+        AND l_shipinstruct = 'DELIVER IN PERSON')
+      OR (p_partkey = l_partkey AND p_brand = '{b2}'
+        AND p_container IN ('MED BAG','MED BOX','MED PKG','MED PACK')
+        AND l_quantity >= {q2 * 100} AND l_quantity <= {(q2 + 10) * 100}
+        AND p_size BETWEEN 1 AND 10
+        AND l_shipmode IN ('AIR', 'REG AIR')
+        AND l_shipinstruct = 'DELIVER IN PERSON')
+      OR (p_partkey = l_partkey AND p_brand = '{b3}'
+        AND p_container IN ('LG CASE','LG BOX','LG PACK','LG PKG')
+        AND l_quantity >= {q3 * 100} AND l_quantity <= {(q3 + 10) * 100}
+        AND p_size BETWEEN 1 AND 15
+        AND l_shipmode IN ('AIR', 'REG AIR')
+        AND l_shipinstruct = 'DELIVER IN PERSON')"""
+
+
+def _q20_sql(color="forest", nation="CANADA"):
+    return f"""
+      SELECT s_name, s_address FROM supplier, nation
+      WHERE s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        WHERE ps_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_name LIKE '{color}%')
+          AND ps_availqty > (
+            SELECT 0.5 * SUM(l_quantity) / 100.0 FROM lineitem
+            WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              AND l_shipdate >= {days('1994-01-01')}
+              AND l_shipdate < {days('1995-01-01')}))
+        AND s_nationkey = n_nationkey AND n_name = '{nation}'
+      ORDER BY s_name"""
+
+
+_PARAM_SQL = {7: _q7_sql, 8: _q8_sql, 17: _q17_sql, 19: _q19_sql,
+              20: _q20_sql}
 
 ORACLE_SQL = {
     2: """
@@ -57,44 +184,8 @@ ORACLE_SQL = {
         AND o_orderdate >= {days('1994-01-01')}
         AND o_orderdate < {days('1995-01-01')}
       GROUP BY n_name ORDER BY revenue DESC""",
-    7: f"""
-      SELECT supp_nation, cust_nation, l_year,
-             SUM(volume)/10000.0 AS revenue
-      FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-              CAST(STRFTIME('%Y', l_shipdate * 86400, 'unixepoch')
-                   AS INTEGER) AS l_year,
-              l_extendedprice * (100 - l_discount) AS volume
-            FROM supplier, lineitem, orders, customer,
-                 nation n1, nation n2
-            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
-              AND c_custkey = o_custkey
-              AND s_nationkey = n1.n_nationkey
-              AND c_nationkey = n2.n_nationkey
-              AND ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY') OR
-                   (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
-              AND l_shipdate BETWEEN {days('1995-01-01')}
-                  AND {days('1996-12-31')})
-      GROUP BY supp_nation, cust_nation, l_year
-      ORDER BY supp_nation, cust_nation, l_year""",
-    8: f"""
-      SELECT o_year,
-             CAST(SUM(CASE WHEN nation = 'BRAZIL' THEN volume ELSE 0 END)
-                  AS REAL) / SUM(volume) AS mkt_share
-      FROM (SELECT CAST(STRFTIME('%Y', o_orderdate * 86400, 'unixepoch')
-                        AS INTEGER) AS o_year,
-              l_extendedprice * (100 - l_discount) AS volume,
-              n2.n_name AS nation
-            FROM part, supplier, lineitem, orders, customer,
-                 nation n1, nation n2, region
-            WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
-              AND l_orderkey = o_orderkey AND o_custkey = c_custkey
-              AND c_nationkey = n1.n_nationkey
-              AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
-              AND s_nationkey = n2.n_nationkey
-              AND o_orderdate BETWEEN {days('1995-01-01')}
-                  AND {days('1996-12-31')}
-              AND p_type = 'ECONOMY ANODIZED STEEL')
-      GROUP BY o_year ORDER BY o_year""",
+    7: _q7_sql(),
+    8: _q8_sql(),
     9: """
       SELECT nation, o_year, SUM(amount)/10000.0 AS sum_profit
       FROM (SELECT n_name AS nation,
@@ -188,47 +279,9 @@ ORACLE_SQL = {
           WHERE s_comment LIKE '%Customer%Complaints%')
       GROUP BY p_brand, p_type, p_size
       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
-    17: """
-      SELECT SUM(l_extendedprice)/100.0/7.0 AS avg_yearly
-      FROM lineitem, part
-      WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
-        AND p_container = 'MED BOX'
-        AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem
-                          WHERE l_partkey = p_partkey)""",
-    19: """
-      SELECT SUM(l_extendedprice * (100 - l_discount))/10000.0 AS revenue
-      FROM lineitem, part
-      WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
-        AND p_container IN ('SM CASE','SM BOX','SM PACK','SM PKG')
-        AND l_quantity >= 100 AND l_quantity <= 1100
-        AND p_size BETWEEN 1 AND 5
-        AND l_shipmode IN ('AIR', 'REG AIR')
-        AND l_shipinstruct = 'DELIVER IN PERSON')
-      OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
-        AND p_container IN ('MED BAG','MED BOX','MED PKG','MED PACK')
-        AND l_quantity >= 1000 AND l_quantity <= 2000
-        AND p_size BETWEEN 1 AND 10
-        AND l_shipmode IN ('AIR', 'REG AIR')
-        AND l_shipinstruct = 'DELIVER IN PERSON')
-      OR (p_partkey = l_partkey AND p_brand = 'Brand#34'
-        AND p_container IN ('LG CASE','LG BOX','LG PACK','LG PKG')
-        AND l_quantity >= 2000 AND l_quantity <= 3000
-        AND p_size BETWEEN 1 AND 15
-        AND l_shipmode IN ('AIR', 'REG AIR')
-        AND l_shipinstruct = 'DELIVER IN PERSON')""",
-    20: f"""
-      SELECT s_name, s_address FROM supplier, nation
-      WHERE s_suppkey IN (
-        SELECT ps_suppkey FROM partsupp
-        WHERE ps_partkey IN (SELECT p_partkey FROM part
-                             WHERE p_name LIKE 'forest%')
-          AND ps_availqty > (
-            SELECT 0.5 * SUM(l_quantity) / 100.0 FROM lineitem
-            WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
-              AND l_shipdate >= {days('1994-01-01')}
-              AND l_shipdate < {days('1995-01-01')}))
-        AND s_nationkey = n_nationkey AND n_name = 'CANADA'
-      ORDER BY s_name""",
+    17: _q17_sql(),
+    19: _q19_sql(),
+    20: _q20_sql(),
     21: """
       SELECT s_name, COUNT(*) AS numwait
       FROM supplier, lineitem l1, orders, nation

@@ -269,19 +269,20 @@ def q5(connector_id: str = "tpch") -> P.PlanNode:
             .plan())
 
 
-def q7(connector_id: str = "tpch") -> P.PlanNode:
-    """Volume shipping FRANCE <-> GERMANY 1995-1996."""
+def q7(connector_id: str = "tpch", nation1: str = "FRANCE",
+       nation2: str = "GERMANY") -> P.PlanNode:
+    """Volume shipping nation1 <-> nation2, 1995-1996 (spec defaults
+    FRANCE/GERMANY; TPC-H spec §2.4 substitution parameters)."""
     cid = connector_id
     b = PlanBuilder()
+    nation_filter = f"n_name = '{nation1}' or n_name = '{nation2}'"
     n1 = (b.new_builder()
           .table_scan("nation", ["n_nationkey", "n_name"],
-                      connector_id=cid,
-                      filter="n_name = 'FRANCE' or n_name = 'GERMANY'")
+                      connector_id=cid, filter=nation_filter)
           .project(["n_nationkey as s_nkey", "n_name as supp_nation"]))
     n2 = (b.new_builder()
           .table_scan("nation", ["n_nationkey", "n_name"],
-                      connector_id=cid,
-                      filter="n_name = 'FRANCE' or n_name = 'GERMANY'")
+                      connector_id=cid, filter=nation_filter)
           .project(["n_nationkey as c_nkey", "n_name as cust_nation"]))
     supplier = (b.new_builder()
                 .table_scan("supplier", ["s_suppkey", "s_nationkey"],
@@ -312,9 +313,10 @@ def q7(connector_id: str = "tpch") -> P.PlanNode:
                        output=["l_shipdate", "l_extendedprice",
                                "l_discount", "supp_nation",
                                "cust_nation"])
-            .filter("(supp_nation = 'FRANCE' and cust_nation = 'GERMANY')"
-                    " or (supp_nation = 'GERMANY' and "
-                    "cust_nation = 'FRANCE')")
+            .filter(f"(supp_nation = '{nation1}' and "
+                    f"cust_nation = '{nation2}')"
+                    f" or (supp_nation = '{nation2}' and "
+                    f"cust_nation = '{nation1}')")
             .project(["supp_nation", "cust_nation",
                       "year(l_shipdate) as l_year",
                       "l_extendedprice * (1.0 - l_discount) as volume"])
@@ -324,13 +326,16 @@ def q7(connector_id: str = "tpch") -> P.PlanNode:
             .plan())
 
 
-def q8(connector_id: str = "tpch") -> P.PlanNode:
-    """National market share: AMERICA, ECONOMY ANODIZED STEEL."""
+def q8(connector_id: str = "tpch", region: str = "AMERICA",
+       p_type: str = "ECONOMY ANODIZED STEEL",
+       nation: str = "BRAZIL") -> P.PlanNode:
+    """National market share (spec defaults AMERICA / ECONOMY ANODIZED
+    STEEL / BRAZIL; TPC-H spec §2.4 substitution parameters)."""
     cid = connector_id
     b = PlanBuilder()
     region = (b.new_builder()
               .table_scan("region", ["r_regionkey", "r_name"],
-                          connector_id=cid, filter="r_name = 'AMERICA'")
+                          connector_id=cid, filter=f"r_name = '{region}'")
               .project(["r_regionkey"]))
     n1 = (b.new_builder()
           .table_scan("nation", ["n_nationkey", "n_regionkey"],
@@ -358,7 +363,7 @@ def q8(connector_id: str = "tpch") -> P.PlanNode:
     part = (b.new_builder()
             .table_scan("part", ["p_partkey", "p_type"],
                         connector_id=cid,
-                        filter="p_type = 'ECONOMY ANODIZED STEEL'")
+                        filter=f"p_type = '{p_type}'")
             .project(["p_partkey"]))
     supplier = (b.new_builder()
                 .table_scan("supplier", ["s_suppkey", "s_nationkey"],
@@ -382,7 +387,7 @@ def q8(connector_id: str = "tpch") -> P.PlanNode:
                       "l_extendedprice * (1.0 - l_discount) as volume",
                       "nation"])
             .project(["o_year", "volume",
-                      "case when nation = 'BRAZIL' then volume "
+                      f"case when nation = '{nation}' then volume "
                       "else 0.0000 end as brazil_vol"])
             .single_aggregation(
                 ["o_year"],
@@ -679,8 +684,10 @@ def q16(connector_id: str = "tpch") -> P.PlanNode:
             .plan())
 
 
-def q17(connector_id: str = "tpch") -> P.PlanNode:
-    """Small-quantity-order revenue: correlated AVG join-back."""
+def q17(connector_id: str = "tpch", brand: str = "Brand#23",
+        container: str = "MED BOX") -> P.PlanNode:
+    """Small-quantity-order revenue: correlated AVG join-back (spec
+    defaults Brand#23 / MED BOX; TPC-H §2.4 substitution parameters)."""
     cid = connector_id
     b = PlanBuilder()
     avg_qty = (b.new_builder()
@@ -692,8 +699,8 @@ def q17(connector_id: str = "tpch") -> P.PlanNode:
     part = (b.new_builder()
             .table_scan("part", ["p_partkey", "p_brand", "p_container"],
                         connector_id=cid,
-                        filter="p_brand = 'Brand#23' and "
-                               "p_container = 'MED BOX'")
+                        filter=f"p_brand = '{brand}' and "
+                               f"p_container = '{container}'")
             .project(["p_partkey"]))
     return (b.table_scan("lineitem",
                          ["l_partkey", "l_quantity", "l_extendedprice"],
@@ -710,9 +717,12 @@ def q17(connector_id: str = "tpch") -> P.PlanNode:
             .plan())
 
 
-def q19(connector_id: str = "tpch") -> P.PlanNode:
+def q19(connector_id: str = "tpch", b1: str = "Brand#12",
+        b2: str = "Brand#23", b3: str = "Brand#34",
+        q1: int = 1, q2: int = 10, q3: int = 20) -> P.PlanNode:
     """Discounted revenue: OR of bracketed part/lineitem conditions as a
-    join filter."""
+    join filter (brands and quantity windows are the TPC-H §2.4
+    substitution parameters; each window is [qN, qN+10])."""
     cid = connector_id
     b = PlanBuilder()
     part = (b.new_builder()
@@ -730,34 +740,39 @@ def q19(connector_id: str = "tpch") -> P.PlanNode:
                                "l_discount", "p_brand", "p_container",
                                "p_size"])
             .filter(
-                "(p_brand = 'Brand#12' and "
+                f"(p_brand = '{b1}' and "
                 "(p_container = 'SM CASE' or p_container = 'SM BOX' or "
                 "p_container = 'SM PACK' or p_container = 'SM PKG') and "
-                "l_quantity >= 1.0 and l_quantity <= 11.0 and "
+                f"l_quantity >= {q1:.1f} and "
+                f"l_quantity <= {q1 + 10:.1f} and "
                 "p_size between 1 and 5) or "
-                "(p_brand = 'Brand#23' and "
+                f"(p_brand = '{b2}' and "
                 "(p_container = 'MED BAG' or p_container = 'MED BOX' or "
                 "p_container = 'MED PKG' or p_container = 'MED PACK') "
-                "and l_quantity >= 10.0 and l_quantity <= 20.0 and "
+                f"and l_quantity >= {q2:.1f} and "
+                f"l_quantity <= {q2 + 10:.1f} and "
                 "p_size between 1 and 10) or "
-                "(p_brand = 'Brand#34' and "
+                f"(p_brand = '{b3}' and "
                 "(p_container = 'LG CASE' or p_container = 'LG BOX' or "
                 "p_container = 'LG PACK' or p_container = 'LG PKG') and "
-                "l_quantity >= 20.0 and l_quantity <= 30.0 and "
+                f"l_quantity >= {q3:.1f} and "
+                f"l_quantity <= {q3 + 10:.1f} and "
                 "p_size between 1 and 15)")
             .project(["l_extendedprice * (1.0 - l_discount) as rev"])
             .single_aggregation([], ["sum(rev) as revenue"])
             .plan())
 
 
-def q20(connector_id: str = "tpch") -> P.PlanNode:
-    """Potential part promotion (CANADA, forest parts, 1994)."""
+def q20(connector_id: str = "tpch", color: str = "forest",
+        nation: str = "CANADA") -> P.PlanNode:
+    """Potential part promotion, 1994 (spec defaults CANADA / forest;
+    TPC-H §2.4 substitution parameters)."""
     cid = connector_id
     b = PlanBuilder()
     forest_parts = (b.new_builder()
                     .table_scan("part", ["p_partkey", "p_name"],
                                 connector_id=cid,
-                                filter="p_name like 'forest%'")
+                                filter=f"p_name like '{color}%'")
                     .project(["p_partkey"]))
     half_qty = (b.new_builder()
                 .table_scan("lineitem",
@@ -783,14 +798,15 @@ def q20(connector_id: str = "tpch") -> P.PlanNode:
                    .filter("cast(ps_availqty as double) > "
                            "0.5 * cast(sq as double)")
                    .project(["ps_suppkey"]))
-    nation = (b.new_builder()
-              .table_scan("nation", ["n_nationkey", "n_name"],
-                          connector_id=cid, filter="n_name = 'CANADA'")
-              .project(["n_nationkey"]))
+    nation_sub = (b.new_builder()
+                  .table_scan("nation", ["n_nationkey", "n_name"],
+                              connector_id=cid,
+                              filter=f"n_name = '{nation}'")
+                  .project(["n_nationkey"]))
     return (b.table_scan("supplier",
                          ["s_suppkey", "s_name", "s_address",
                           "s_nationkey"], connector_id=cid)
-            .hash_join(["s_nationkey"], ["n_nationkey"], nation,
+            .hash_join(["s_nationkey"], ["n_nationkey"], nation_sub,
                        output=["s_suppkey", "s_name", "s_address"],
                        join_type="left_semi_filter")
             .hash_join(["s_suppkey"], ["ps_suppkey"], eligible_ps,
@@ -892,7 +908,11 @@ _QUERIES = {1: q1, 2: q2, 3: q3, 4: q4, 5: q5, 6: q6, 7: q7, 8: q8,
             22: q22}
 
 
-def tpch_plan(q: int, connector_id: str = "tpch") -> P.PlanNode:
+def tpch_plan(q: int, connector_id: str = "tpch",
+              **params) -> P.PlanNode:
+    """Build the plan for query ``q``. ``params`` forwards the query's
+    TPC-H §2.4 substitution parameters (see each builder's signature);
+    defaults are the spec validation values."""
     # look up BEFORE calling: a KeyError raised inside the builder (e.g.
     # connector not registered) must not masquerade as "not implemented"
     try:
@@ -901,4 +921,4 @@ def tpch_plan(q: int, connector_id: str = "tpch") -> P.PlanNode:
         raise ValueError(
             f"TPC-H Q{q} not implemented (have {sorted(_QUERIES)})"
         ) from None
-    return build(connector_id)
+    return build(connector_id, **params)
