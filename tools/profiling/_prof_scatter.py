@@ -16,14 +16,19 @@ valf = jnp.asarray(np.random.rand(N).astype(np.float32))
 vali = jnp.asarray(np.random.randint(0, 1000, N).astype(np.int32))
 
 
+def _force(out):
+    """block_until_ready does NOT wait through the axon tunnel; a scalar
+    fetch forces execution (25 ms RTT rides every measurement equally)."""
+    leaves = jax.tree_util.tree_leaves(out)
+    jax.device_get(leaves[0].ravel()[0])
+
+
 def bench(name, fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _force(fn(*args))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _force(fn(*args))
         best = min(best, time.perf_counter() - t0)
     print(f"{name}: {best*1e3:.1f} ms  ({N/best/1e6:.1f} M/s)", flush=True)
 
