@@ -26,8 +26,24 @@ import os as _os
 if _os.environ.get("VELOX_TPU_COMPILE_CACHE", "1") != "0":
     # process-flag tier (common/flags.py): VELOX_TPU_COMPILE_CACHE_DIR
     _cache_dir = _os.environ.get("VELOX_TPU_COMPILE_CACHE_DIR") \
-        or _os.environ.get("JAX_COMPILATION_CACHE_DIR") \
-        or _os.path.expanduser("~/.cache/velox_tpu_jax")
+        or _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not _cache_dir:
+        # The default dir is keyed by a HOST CPU fingerprint: XLA:CPU AOT
+        # cache entries bake in the compile machine's ISA features, and
+        # loading them on a different host warns "could lead to execution
+        # errors such as SIGILL" — observed as a hard segfault in
+        # backend_compile when a cache written on another machine was
+        # reused. A host-keyed dir makes a machine change start fresh.
+        import hashlib as _hashlib
+        import platform as _platform
+        try:
+            with open("/proc/cpuinfo") as _f:
+                _feat = "".join(ln for ln in _f if ln.startswith("flags"))
+        except OSError:
+            _feat = ""
+        _fp = _hashlib.sha256(
+            (_platform.machine() + _feat).encode()).hexdigest()[:12]
+        _cache_dir = _os.path.expanduser(f"~/.cache/velox_tpu_jax_{_fp}")
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)

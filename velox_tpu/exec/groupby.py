@@ -296,12 +296,23 @@ def reduce_sort_mode(
     every addend and key column through it) measured ~195 ms/M rows on
     this chip with gathers/scatters dominating; riding + lane decode
     removes all of them (~15 ms/M gather per int64 column saved).
+
+    Round 4: run ends are compacted to the dense group prefix by ONE
+    flag-keyed lax.sort carrying every lane (scan values + key lanes) as
+    payload, replacing the per-lane scatters — an XLA:TPU scatter costs
+    ~10 ms per million rows while an extra sort payload operand costs
+    ~1 ms per million, and the scan values at run ends ARE the group
+    reductions so no end-of-run scatter is needed either. Measured: the
+    Q18 SF1 merge (8M rows, 1 key lane, 1 f64 sum) 346 ms -> 103 ms.
     """
     from velox_tpu.exec.sort import (
         decode_key_field, extract_lane_bits, lane_bit_widths,
         lane_prefix_neq, pack_words_u64, sort_perm_key, sort_words_layout,
     )
-    from velox_tpu.ops.wide import scatter_unique_set, segmented_reduce_sorted
+    from velox_tpu.ops.wide import (
+        scatter_unique_set, segment_offsets, segmented_reduce_sorted,
+        segmented_scan_values,
+    )
 
     words, bits, layout = sort_words_layout(keys, None, capacity, active,
                                             ranges=ranges)
@@ -319,20 +330,32 @@ def reduce_sort_mode(
         lw = lane_bit_widths(total_bits)
         boundary = lane_prefix_neq(skey, lw, total_bits)
         active_sorted = extract_lane_bits(skey, lw, 0, 1) == 0
-        gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
         num_groups = jnp.sum((boundary & active_sorted).astype(jnp.int32))
-        out_states = [
-            segmented_reduce_sorted(d, gid, boundary, active_sorted,
-                                    capacity, combine)
-            for d, (_, combine) in zip(sorted_addends, addends)]
-        # compact each group's first-sorted-row LANES to a dense prefix
-        # (2 int32 scatters per lane — independent of key count), then
-        # decode the key values out of the compacted lane bits
-        target = jnp.where(boundary & active_sorted, gid,
-                           jnp.int32(capacity))
-        glanes = [scatter_unique_set(capacity + 1, target, ln)[:capacity]
-                  for ln in skey]
+        # per-row inclusive run scans: the value at a run's LAST row is
+        # the run's reduction (int sums: global cumsum, diff'd after
+        # compaction — exact in integers)
+        run_off = segment_offsets(boundary, capacity)
+        scans = [segmented_scan_values(d, run_off, capacity, combine)
+                 for d, (_, combine) in zip(sorted_addends, addends)]
+        # ONE compaction sort: active run ends (one per group, already in
+        # key order) move to the prefix; everything rides as payload
+        is_end = jnp.concatenate([boundary[1:], jnp.ones((1,), bool)])
+        flag = (~(is_end & active_sorted)).astype(jnp.uint8)
+        cops = jax.lax.sort(
+            (flag,) + tuple(v for v, _ in scans) + tuple(skey),
+            num_keys=1, is_stable=True)
         group_mask = jnp.arange(capacity, dtype=jnp.int32) < num_groups
+        out_states = []
+        for (v, needs_diff), cv in zip(scans, cops[1:1 + len(scans)]):
+            if needs_diff:
+                prev = jnp.concatenate([jnp.zeros_like(cv[:1]), cv[:-1]])
+                cv = cv - prev
+            # rows past num_groups hold non-end leftovers: zero them so
+            # downstream extraction math never sees garbage
+            out_states.append(jnp.where(group_mask, cv,
+                                        jnp.zeros_like(cv)))
+        glanes = [jnp.where(group_mask, ln, jnp.zeros_like(ln))
+                  for ln in cops[1 + len(scans):]]
         out_keys = []
         for v, f in zip(keys, layout):
             data, isnull = decode_key_field(f, glanes, lw, capacity)
