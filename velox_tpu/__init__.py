@@ -27,13 +27,16 @@ if _os.environ.get("VELOX_TPU_COMPILE_CACHE", "1") != "0":
     # process-flag tier (common/flags.py): VELOX_TPU_COMPILE_CACHE_DIR
     _cache_dir = _os.environ.get("VELOX_TPU_COMPILE_CACHE_DIR") \
         or _os.environ.get("JAX_COMPILATION_CACHE_DIR")
-    if not _cache_dir:
-        # The default dir is keyed by a HOST CPU fingerprint: XLA:CPU AOT
-        # cache entries bake in the compile machine's ISA features, and
-        # loading them on a different host warns "could lead to execution
-        # errors such as SIGILL" — observed as a hard segfault in
-        # backend_compile when a cache written on another machine was
-        # reused. A host-keyed dir makes a machine change start fresh.
+    _plat = str(getattr(_jax.config, "jax_platforms", None)
+                or _os.environ.get("JAX_PLATFORMS") or "")
+    if not _cache_dir and "cpu" in _plat:
+        # CPU-platform runs get a dir keyed by a HOST CPU fingerprint:
+        # XLA:CPU AOT cache entries bake in the compile machine's ISA
+        # features, and loading them on a different host warns "could
+        # lead to execution errors such as SIGILL". TPU entries are
+        # host-independent (the program runs on the TPU), so the TPU
+        # path below shares one dir across machines — losing it would
+        # re-pay minutes-long multi-join compiles every machine change.
         import hashlib as _hashlib
         import platform as _platform
         try:
@@ -44,6 +47,8 @@ if _os.environ.get("VELOX_TPU_COMPILE_CACHE", "1") != "0":
         _fp = _hashlib.sha256(
             (_platform.machine() + _feat).encode()).hexdigest()[:12]
         _cache_dir = _os.path.expanduser(f"~/.cache/velox_tpu_jax_{_fp}")
+    if not _cache_dir:
+        _cache_dir = _os.path.expanduser("~/.cache/velox_tpu_jax")
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)

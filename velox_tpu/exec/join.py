@@ -77,6 +77,10 @@ class SortedBuild(NamedTuple):
     #                                          position of key, 0 if absent
     arr_count: Optional[jnp.ndarray] = None  # int32[domain]: run length
     arr_base: Optional[jnp.ndarray] = None   # int64 scalar: domain base
+    arr_row1: Optional[jnp.ndarray] = None   # int32[domain]: BUILD ROW id
+    #   + 1 of the key's FIRST match, 0 if absent — unique-build probes
+    #   need ONE gather through this instead of three (start, count,
+    #   perm); XLA:TPU gathers cost ~7-15 ms per million probes
 
 
 class BuiltTable(NamedTuple):
@@ -174,9 +178,15 @@ def build_sorted_table(b: DeviceBatch, key_fields,
                 iota + 1, mode="drop")
         arr_count = ends - arr_start  # untouched keys: 0 - 0 = 0
         arr_base = jnp.int64(lo_v)
+        # unique-probe fast lane: first match's BUILD row + 1 (0 absent)
+        arr_row1 = jnp.zeros((domain,), jnp.int32).at[
+            jnp.where(first, norm, jnp.int32(domain))].set(
+                perm + 1, mode="drop")
+    else:
+        arr_row1 = None
     return SortedBuild(packed, perm, n, b, n.astype(jnp.int64),
                        jnp.any(b.mask & ~usable), jnp.any(dup),
-                       arr_start, arr_count, arr_base)
+                       arr_start, arr_count, arr_base, arr_row1)
 
 
 def build_sorted_table_presorted(b: DeviceBatch, key_fields) -> SortedBuild:
@@ -572,8 +582,24 @@ class HashJoinOperator(Operator):
         """Unique build keys AND no filter: emit directly."""
         node = self._node
         cap = batch.capacity
-        probe_ok, loc, counts, hit = self._lookup(batch, bt)
-        build_row = self._first_build_row(bt, loc)
+        if (isinstance(bt, SortedBuild) and bt.arr_row1 is not None
+                and self._unique_build):
+            # unique array-mode probe: ONE domain-table gather gives the
+            # build row directly (arr_row1 = row + 1, 0 absent) — the
+            # start/count/perm chain costs two more ~7 ms/M gathers
+            keys = _key_values(batch, self._node.left_keys)
+            probe_ok = _usable(batch, keys)
+            domain = bt.arr_row1.shape[0]
+            k = keys[0].full_data(cap).astype(jnp.int64)
+            norm = k - bt.arr_base
+            in_range = (norm >= 0) & (norm < domain)
+            idx = jnp.clip(norm, 0, domain - 1).astype(jnp.int32)
+            row1 = bt.arr_row1[idx]
+            hit = probe_ok & in_range & (row1 > 0)
+            build_row = row1 - 1
+        else:
+            probe_ok, loc, counts, hit = self._lookup(batch, bt)
+            build_row = self._first_build_row(bt, loc)
         jt = node.join_type
 
         new_matched = None
