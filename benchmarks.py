@@ -125,6 +125,20 @@ def run_micro(rows_log2: int = 20):
     dt = timeit(probe, table, pk)
     rows.append(("hash-join probe (25% hit domain)", n / dt / 1e6))
 
+    # wide-key (2xBIGINT) group-by through the PRODUCTION dispatch:
+    # reduce_sort_mode with no stats ranges (4 value words -> 3 lanes)
+    gk3 = jnp.asarray(rng.randint(0, 1 << 8, n).astype(np.int64))
+
+    @jax.jit
+    def wide_group_sum(gk2, gk3, vals, active):
+        kv = [EvalValue(gk2, None, T.BIGINT),
+              EvalValue(gk3, None, T.BIGINT)]
+        _, gs, _ = G.reduce_sort_mode(kv, [(vals, "sum")], active, n)
+        return gs[0]
+
+    dt = timeit(wide_group_sum, gk2, gk3, vals, active)
+    rows.append(("wide-key group-by sum (2xi64, sort mode)", n / dt / 1e6))
+
     # array-mode join probe (HashMode::kArray analogue — the TPC-H path:
     # dense start/count domain table, two int32 gathers per probe)
     from velox_tpu import types as _T
@@ -152,6 +166,36 @@ def run_micro(rows_log2: int = 20):
 
     dt = timeit(array_probe, bt, pk)
     rows.append(("array-mode join probe (dense domain)", n / dt / 1e6))
+
+    # wide-key (2xBIGINT) join probe through the PRODUCTION dispatch:
+    # sorted build + merge-rank probe (exec/join.py wide mode)
+    bk2 = jnp.asarray(rng.randint(0, 1 << 8, n // 4).astype(np.int64))
+    pk2 = jnp.asarray(rng.randint(0, 1 << 8, n).astype(np.int64))
+    kf2 = (_KF("k", _T.BIGINT), _KF("k2", _T.BIGINT))
+    bb2 = DeviceBatch({"k": DeviceColumn(bk, None, _T.BIGINT, None),
+                       "k2": DeviceColumn(bk2, None, _T.BIGINT, None)},
+                      jnp.ones((n // 4,), bool))
+    bt2 = jax.jit(lambda b: J.build_table(b, kf2))(bb2)
+    assert isinstance(bt2, J.SortedBuild), type(bt2)
+
+    class _Probe(J.HashJoinOperator):
+        def __init__(self):  # bare probe: skip the Operator plumbing
+            self._node = type("N", (), {
+                "left_keys": kf2, "right_keys": kf2})()
+            self._join_key_ranges = None
+
+    pb = DeviceBatch({"k": DeviceColumn(pk, None, _T.BIGINT, None),
+                      "k2": DeviceColumn(pk2, None, _T.BIGINT, None)},
+                     jnp.ones((n,), bool))
+    op = _Probe()
+
+    @jax.jit
+    def wide_probe(batch, bt):
+        _, lo, counts, hit = op._lookup(batch, bt)
+        return jnp.sum(counts), jnp.sum(hit)
+
+    dt = timeit(wide_probe, pb, bt2)
+    rows.append(("wide-key join probe (2xi64, merge-rank)", n / dt / 1e6))
 
     # gather: XLA take vs the lane-roll flat-gather kernel
     data32 = jnp.asarray(rng.randint(-10**9, 10**9, min(n, 1 << 20))

@@ -397,3 +397,90 @@ def test_array_join_masked_duplicate_of_max_key():
     import numpy as np
     counts = np.asarray(bt.arr_count)
     assert list(counts) == [1, 1, 1]
+
+
+def _wide_tables(n_keys: int, with_nulls: bool, seed=13):
+    """probe/build frames keyed on n_keys BIGINT columns."""
+    rng = np.random.RandomState(seed)
+    probe = pd.DataFrame({f"pk{i}": rng.randint(0, 8, 400).astype("int64")
+                          for i in range(n_keys)})
+    probe["pv"] = rng.randint(0, 1000, 400).astype("int64")
+    build = pd.DataFrame({f"bk{i}": rng.randint(0, 8, 120).astype("int64")
+                          for i in range(n_keys)})
+    build["bv"] = rng.randint(0, 1000, 120).astype("int64")
+    if with_nulls:
+        probe.loc[rng.rand(400) < 0.1, "pk0"] = None
+        build.loc[rng.rand(120) < 0.1, "bk0"] = None
+        probe["pk0"] = probe["pk0"].astype("Int64")
+        build["bk0"] = build["bk0"].astype("Int64")
+    return probe, build
+
+
+@pytest.mark.parametrize("n_keys,jt", [
+    (2, "inner"), (2, "left"), (2, "left_semi_filter"), (2, "anti"),
+    (3, "inner"), (3, "right"),
+    (4, "inner"),   # 8 value words: beyond the sorted budget -> hash
+    (5, "inner"),   # 10 value words: hash fallback
+])
+def test_wide_key_join_types(n_keys, jt):
+    """Wide key tuples (> one packed u64) ride the sorted build +
+    merge-rank probe up to sortable_words; beyond that the scatter-probe
+    hash table remains. Same answers either way."""
+    probe, build = _wide_tables(n_keys, with_nulls=(jt != "right"))
+    pk = [f"pk{i}" for i in range(n_keys)]
+    bk = [f"bk{i}" for i in range(n_keys)]
+    b = PlanBuilder()
+    bb = b.new_builder().values([to_arrow(build)])
+    out_cols = pk + ["pv"] + (["bv"] if jt in ("inner", "left", "right")
+                              else [])
+    plan = (b.values([to_arrow(probe)])
+            .hash_join(pk, bk, bb, output=out_cols, join_type=jt)
+            .plan())
+    got = run_plan(plan)
+    pd_jt = {"inner": "inner", "left": "left", "right": "right"}.get(jt)
+    if pd_jt is not None:
+        exp = probe.dropna().merge(build.dropna(), left_on=pk,
+                                   right_on=bk, how="inner")
+        if jt == "left":
+            matched = probe.merge(build.dropna(), left_on=pk,
+                                  right_on=bk, how="left")
+            exp = matched
+        elif jt == "right":
+            exp = probe.merge(build, left_on=pk, right_on=bk,
+                              how="right")
+        exp = exp[out_cols]
+    elif jt == "left_semi_filter":
+        keys = set(map(tuple, build.dropna()[bk].to_numpy()))
+        m = probe.dropna()[pk].apply(tuple, axis=1).isin(keys)
+        exp = probe.dropna()[m][out_cols]
+    else:  # anti (not null-aware): probe rows with no match
+        keys = set(map(tuple, build.dropna()[bk].to_numpy()))
+        mask = ~probe[pk].apply(
+            lambda r: (not r.isna().any())
+            and tuple(r.astype("int64")) in keys, axis=1)
+        exp = probe[mask][out_cols]
+    cols = out_cols
+    g, e = _sorted(got, cols), _sorted(exp, cols)
+    assert len(g) == len(e), (len(g), len(e))
+    for c in cols:
+        np.testing.assert_array_equal(
+            pd.isna(g[c]).to_numpy(), pd.isna(e[c]).to_numpy(), err_msg=c)
+        gv = g[c].fillna(-1).to_numpy("int64")
+        ev = e[c].fillna(-1).to_numpy("int64")
+        np.testing.assert_array_equal(gv, ev, err_msg=c)
+
+
+def test_wide_key_join_uses_sorted_build():
+    """3 BIGINT keys must take the sorted (merge-rank) path, not the
+    scatter-probe table."""
+    from velox_tpu.exec.join import SortedBuild, build_table
+    from velox_tpu.vector.device import from_arrow
+    from velox_tpu.core.expressions import FieldAccess
+    from velox_tpu import types as T
+    probe, build = _wide_tables(3, with_nulls=False)
+    batch = from_arrow(to_arrow(build))
+    kf = [FieldAccess(T.BIGINT, f"bk{i}") for i in range(3)]
+    bt = build_table(batch, kf)
+    assert isinstance(bt, SortedBuild)
+    kf5 = [FieldAccess(T.BIGINT, f"bk{min(i, 2)}") for i in range(5)]
+    assert not isinstance(build_table(batch, kf5), SortedBuild)

@@ -30,31 +30,23 @@ if _os.environ.get("VELOX_TPU_COMPILE_CACHE", "1") != "0":
     _plat = str(getattr(_jax.config, "jax_platforms", None)
                 or _os.environ.get("JAX_PLATFORMS") or "")
     if not _cache_dir and "cpu" in _plat:
-        # CPU-platform runs get a dir keyed by a HOST CPU fingerprint:
-        # XLA:CPU AOT cache entries bake in the compile machine's ISA
-        # features, and loading them on a different host warns "could
-        # lead to execution errors such as SIGILL". TPU entries are
-        # host-independent (the program runs on the TPU), so the TPU
-        # path below shares one dir across machines — losing it would
-        # re-pay minutes-long multi-join compiles every machine change.
-        import hashlib as _hashlib
-        import platform as _platform
-        try:
-            with open("/proc/cpuinfo") as _f:
-                _feat = "".join(ln for ln in _f if ln.startswith("flags"))
-        except OSError:
-            _feat = ""
-        _fp = _hashlib.sha256(
-            (_platform.machine() + _feat).encode()).hexdigest()[:12]
-        _cache_dir = _os.path.expanduser(f"~/.cache/velox_tpu_jax_{_fp}")
-    if not _cache_dir:
+        # NO persistent cache on the CPU platform: XLA:CPU AOT entries
+        # bake in compile-machine ISA features ("could lead to execution
+        # errors such as SIGILL"), and in this environment reloading
+        # them segfaulted the full test suite deterministically — with
+        # the cache off, all 408 tests pass. CPU compiles are fast;
+        # only the TPU's remote AOT compiles (minutes for multi-join
+        # plans) are worth persisting, and those are host-independent.
+        _cache_dir = None
+    elif not _cache_dir:
         _cache_dir = _os.path.expanduser("~/.cache/velox_tpu_jax")
-    try:
-        _os.makedirs(_cache_dir, exist_ok=True)
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                           1.0)
-    except Exception:
-        pass
+    if _cache_dir:
+        try:
+            _os.makedirs(_cache_dir, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
 
 from velox_tpu import types  # noqa: F401,E402

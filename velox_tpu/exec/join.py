@@ -118,9 +118,16 @@ def build_sorted_table(b: DeviceBatch, key_fields,
 
     ``array_range`` = static (min, max) storage bounds of a SINGLE
     integral build key: additionally builds the dense direct-address
-    start/count table (HashMode::kArray parity — see SortedBuild)."""
+    start/count table (HashMode::kArray parity — see SortedBuild).
+
+    WIDE keys (value words beyond one packed u64, up to sortable_words):
+    the build still sorts — probes go through the merge-rank sort, which
+    never reads ``sorted_key`` — and only duplicate detection needs the
+    sorted lanes, so ``sorted_key`` holds a placeholder. This replaces
+    the scatter-probe hash table for multi-BIGINT/decimal key tuples
+    (measured 0.5 Mrows/s probe vs ~30 Mrows/s through merge-rank)."""
     from velox_tpu.exec.sort import (
-        decode_key_field, lane_bit_widths, sort_perm_key,
+        decode_key_field, lane_bit_widths, packable_words, sort_perm_key,
         sort_words_layout,
     )
     cap = b.capacity
@@ -131,6 +138,23 @@ def build_sorted_table(b: DeviceBatch, key_fields,
     perm, skey = sort_perm_key(words, bits, cap)
     n = jnp.sum(usable.astype(jnp.int32))
     in_prefix = jnp.arange(cap, dtype=jnp.int32) < n
+    if not packable_words([k.dtype for k in key_fields]):
+        # wide mode: adjacent-equal duplicate detection over the sorted
+        # key representation (lanes when lax.sort ran, else the words
+        # gathered through the permutation)
+        if skey is not None:
+            eq = jnp.ones((cap - 1,), bool)
+            for lane in skey:
+                eq = eq & (lane[1:] == lane[:-1])
+        else:
+            eq = jnp.ones((cap - 1,), bool)
+            for w in words:
+                ws = w[perm]
+                eq = eq & (ws[1:] == ws[:-1])
+        dup = eq & in_prefix[1:]
+        placeholder = jnp.where(in_prefix, jnp.uint64(0), _U64_MAX)
+        return SortedBuild(placeholder, perm, n, b, n.astype(jnp.int64),
+                           jnp.any(b.mask & ~usable), jnp.any(dup))
     decoded_sorted = None
     if skey is not None and all(f.decodable for f in layout):
         # reconstruct the SORTED key values from the sorted lane bits —
@@ -240,8 +264,12 @@ def build_hash_table(b: DeviceBatch, key_fields) -> BuiltTable:
 
 
 def build_table(b: DeviceBatch, key_fields, array_range=None):
+    from velox_tpu.exec.sort import sortable_words
     if packable_words([k.dtype for k in key_fields]):
         return build_sorted_table(b, key_fields, array_range)
+    if sortable_words([k.dtype for k in key_fields]):
+        # wide keys: sorted build + merge-rank probes (no u64 packing)
+        return build_sorted_table(b, key_fields, None)
     return build_hash_table(b, key_fields)
 
 
@@ -480,10 +508,24 @@ class HashJoinOperator(Operator):
             run_start = lane_prefix_neq(skey, lane_bit_widths(total),
                                         total - 1)
         else:
-            kw = pack_key_u64(merged_keys[:-1], m)
-            kw_s = kw[perm]
-            prev = jnp.concatenate([kw_s[:1], kw_s[:-1]])
-            run_start = (kw_s != prev).at[0].set(True)
+            # radix fallback (keys beyond the lax.sort lane budget):
+            # word-wise prefix compare through the permutation, dropping
+            # the trailing 1-bit src field (it may share a packed word
+            # with key bits, so shift it out of the last compared word)
+            total = int(sum(bits))
+            neq = jnp.zeros((m,), bool)
+            consumed = 0
+            for w, wb in zip(words, bits):
+                take = min(wb, (total - 1) - consumed)
+                if take <= 0:
+                    break
+                ws = w[perm]
+                if take < wb:
+                    ws = ws >> np.uint32(wb - take)
+                prev = jnp.concatenate([ws[:1], ws[:-1]])
+                neq = neq | (ws != prev)
+                consumed += take
+            run_start = neq.at[0].set(True)
         # builds before the run start == builds with key < run key
         base = jnp.where(run_start, nb_before, jnp.int32(0))
         base = jax.lax.cummax(base)

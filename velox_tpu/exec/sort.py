@@ -575,6 +575,16 @@ def packable_words(dtypes: Sequence[T.DataType]) -> bool:
     return sum(num_value_words(dt) for dt in dtypes) <= 2
 
 
+def sortable_words(dtypes: Sequence[T.DataType]) -> bool:
+    """True if the key tuple's order-preserving words (plus the active /
+    null bits) stay within the lax.sort lane budget — the precondition
+    for the WIDE-key sorted-join path (exec/join.py build_sorted_table
+    wide mode): such builds probe via the merge-rank sort, which never
+    packs keys into one u64. Beyond this, the scatter-probe hash table
+    remains the fallback."""
+    return sum(num_value_words(dt) for dt in dtypes) <= 7
+
+
 def pack_key_u64(keys: Sequence[EvalValue], capacity: int):
     """One order-preserving uint64 per row from <=2 total value words.
 
