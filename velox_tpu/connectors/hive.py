@@ -58,10 +58,18 @@ class HiveTable:
     filesystem for remote storage (S3/GCS adapters — parity:
     connectors/hive/storage_adapters/)."""
 
-    def __init__(self, name: str, paths: List[str], fs=None):
+    def __init__(self, name: str, paths: List[str], fs=None,
+                 string_encoding: str = "dict"):
         import pyarrow.parquet as pq
         self.name = name
         self.fs = fs
+        # VARCHAR representation policy: "dict" | "raw" | "auto"
+        # ("auto" probes each string column's first row group once and
+        # picks raw when distinct > rows/2 — the cardinality regime
+        # where a table-stable dictionary would materialize ~the whole
+        # column on the host; see vector/strings.py)
+        self.string_encoding = string_encoding
+        self._raw_cols: Optional[set] = None
         self.paths = sorted(paths)
         if not self.paths:
             raise ValueError(f"hive table {name!r}: no files")
@@ -79,6 +87,35 @@ class HiveTable:
         self._dictionaries: Optional[Dict[str, Dictionary]] = None
         self._max_row_group_rows: Optional[int] = None
 
+    def raw_string_cols(self, columns=None) -> set:
+        """String columns read as RAW byte matrices instead of
+        dictionaries (table-stable decision; see string_encoding)."""
+        if self.string_encoding == "dict":
+            return set()
+        if self._raw_cols is None:
+            self._raw_cols = set()
+            str_cols = [f.name for f in self.schema_arrow
+                        if T.from_arrow(f.type).is_string]
+            if self.string_encoding == "raw":
+                self._raw_cols.update(str_cols)
+            elif str_cols:
+                from velox_tpu.vector import strings as S
+                import pyarrow.compute as pc
+                import pyarrow.parquet as pq
+                pf = pq.ParquetFile(self.paths[0], filesystem=self.fs)
+                t = pf.read_row_group(0, columns=str_cols)
+                for c in str_cols:
+                    col = t.column(c)
+                    n = len(col)
+                    if not n:
+                        continue
+                    distinct = pc.count_distinct(col).as_py()
+                    max_len = pc.max(pc.binary_length(col)).as_py() or 0
+                    if distinct > n // 2 and max_len <= S.MAX_WIDTH:
+                        self._raw_cols.add(c)
+        return (self._raw_cols if columns is None
+                else self._raw_cols & set(columns))
+
     def dictionaries(self, columns=None) -> Dict[str, Dictionary]:
         """Sorted table-stable dictionaries, built LAZILY PER COLUMN:
         only string columns a query actually scans pay the distinct
@@ -86,17 +123,19 @@ class HiveTable:
         unique-ish comment column). The per-column pass itself is
         O(distinct) host work — the documented cost of dict-id strings
         (SURVEY §7.1); columns whose distinct count approaches the row
-        count are still correct, just ingest-bound."""
+        count read as RAW byte matrices instead (raw_string_cols)."""
         if self._dictionaries is None:
             self._dictionaries = {}
             for c in self.partition_cols:
                 vals = {ps.get(c) for ps in self.partitions.values()}
                 self._dictionaries[c] = Dictionary(
                     sorted(v for v in vals if v is not None))
+        raw = self.raw_string_cols()
         str_cols = [f.name for f in self.schema_arrow
                     if T.from_arrow(f.type).is_string
                     and (columns is None or f.name in columns)
-                    and f.name not in self._dictionaries]
+                    and f.name not in self._dictionaries
+                    and f.name not in raw]
         if str_cols:
             import pyarrow.compute as pc
             import pyarrow.parquet as pq
@@ -182,8 +221,11 @@ class HiveDataSource(DataSource):
                 t = t.append_column(
                     c, pa.array([part.get(c)] * t.num_rows, pa.string()))
             t = t.select(self._columns)
+        enc = {c: "raw"
+               for c in self._table.raw_string_cols(self._columns)}
         batch = from_arrow(t, capacity=self._capacity,
-                           dictionaries=self.dictionaries())
+                           dictionaries=self.dictionaries(),
+                           string_encoding=enc)
         DataCache.instance().put(ckey, batch)
         return batch
 
@@ -309,7 +351,8 @@ class HiveConnector(Connector):
         self._tables: Dict[str, HiveTable] = {}
 
     def register_table(self, name: str, path_or_glob: str,
-                       filesystem=None) -> HiveTable:
+                       filesystem=None,
+                       string_encoding: str = "dict") -> HiveTable:
         """Register parquet files as a table. ``path_or_glob`` may be a
         local path/glob, an ``s3://``/``gs://`` URI (resolved via
         pyarrow.fs — parity: connectors/hive/storage_adapters/s3fs,
@@ -334,14 +377,16 @@ class HiveConnector(Connector):
                          if f.path.endswith(".parquet")]
             else:
                 paths = [path]
-            t = HiveTable(name, paths, fs=fs)
+            t = HiveTable(name, paths, fs=fs,
+                          string_encoding=string_encoding)
         else:
             if os.path.isdir(path):
                 paths = globmod.glob(os.path.join(
                     path, "**", "*.parquet"), recursive=True)
             else:
                 paths = globmod.glob(path) or [path]
-            t = HiveTable(name, paths)
+            t = HiveTable(name, paths,
+                          string_encoding=string_encoding)
         self._tables[name] = t
         return t
 

@@ -50,6 +50,9 @@ class ValuesNode(PlanNode):
     row_type: T.DataType = None
     # host-side payload (list of pyarrow tables); not hashed
     tables: tuple = dfield(default=(), hash=False, compare=False)
+    # VARCHAR representation: "dict" | "raw" | "auto" (vector/device.py
+    # column_from_arrow)
+    string_encoding: str = "dict"
 
     def output_type(self):
         return self.row_type

@@ -23,7 +23,18 @@ def concat_batches(batches: List[DeviceBatch]) -> DeviceBatch:
     cols = {}
 
     def concat_cols(parts):
-        data = jnp.concatenate([p.data for p in parts])
+        first = parts[0]
+        if first.dtype.is_string and first.dictionary is None \
+                and getattr(first.data, "ndim", 1) == 2 \
+                and len(parts) > 1:
+            # raw string columns: align byte-matrix size classes by
+            # zero-padding the narrower parts, then concat rows
+            w = max(p.data.shape[1] for p in parts)
+            datas = [jnp.pad(p.data, ((0, 0), (0, w - p.data.shape[1])))
+                     if p.data.shape[1] < w else p.data for p in parts]
+            data = jnp.concatenate(datas)
+        else:
+            data = jnp.concatenate([p.data for p in parts])
         if any(p.validity is not None for p in parts):
             validity = jnp.concatenate([
                 p.validity if p.validity is not None
@@ -31,11 +42,13 @@ def concat_batches(batches: List[DeviceBatch]) -> DeviceBatch:
                 for p in parts])
         else:
             validity = None
-        first = parts[0]
         children = first.children
         if first.dtype.kind is T.TypeKind.ROW \
-                or first.dtype.is_long_decimal:
-            # row-aligned children concatenate with the parent
+                or first.dtype.is_long_decimal \
+                or (first.dtype.is_string and first.dictionary is None
+                    and getattr(first.data, "ndim", 1) == 2):
+            # row-aligned children (ROW fields, decimal hi limb, raw
+            # string lens) concatenate with the parent
             children = tuple(
                 concat_cols([p.children[i] for p in parts])
                 for i in range(len(first.children)))
@@ -99,6 +112,11 @@ def map_column_rows(col: DeviceColumn, f) -> DeviceColumn:
     children = col.children
     starts = None
     if col.dtype.kind is T.TypeKind.ROW or col.dtype.is_long_decimal:
+        children = tuple(map_column_rows(c, f) for c in col.children)
+    elif col.dtype.is_string and col.dictionary is None \
+            and getattr(col.data, "ndim", 1) == 2:
+        # raw string column: the lens child is row-aligned (the byte
+        # matrix itself transforms along axis 0 like any column)
         children = tuple(map_column_rows(c, f) for c in col.children)
     elif col.dtype.is_complex:
         starts = f(col.offsets())

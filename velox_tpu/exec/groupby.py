@@ -236,6 +236,7 @@ def group_keys_sorted(keys: Sequence[EvalValue], perm, gid, boundary,
     group's first sorted row. Shared by reduce_sort_mode and the collect
     aggregate pathway."""
     from velox_tpu.ops.wide import scatter_unique_set
+    from velox_tpu.vector import strings as S
     group_mask = jnp.arange(capacity, dtype=jnp.int32) < num_groups
     target = jnp.where(boundary & active_sorted, gid, jnp.int32(capacity))
     out_keys = []
@@ -249,6 +250,12 @@ def group_keys_sorted(keys: Sequence[EvalValue], perm, gid, boundary,
             validity = validity | ~group_mask  # padding rows: non-null
         else:
             validity = None
+        if S.is_raw(v):
+            lens = S.lens_of(v)[perm]
+            glens = scatter_unique_set(capacity + 1, target,
+                                       lens)[:capacity]
+            out_keys.append(S.raw_value(gd, glens, validity))
+            continue
         out_keys.append(EvalValue(gd, validity, v.dtype, v.dictionary))
     return out_keys, group_mask
 

@@ -138,7 +138,8 @@ def build_sorted_table(b: DeviceBatch, key_fields,
     perm, skey = sort_perm_key(words, bits, cap)
     n = jnp.sum(usable.astype(jnp.int32))
     in_prefix = jnp.arange(cap, dtype=jnp.int32) < n
-    if not packable_words([k.dtype for k in key_fields]):
+    if _has_raw_key(b, key_fields) \
+            or not packable_words([k.dtype for k in key_fields]):
         # wide mode: adjacent-equal duplicate detection over the sorted
         # key representation (lanes when lax.sort ran, else the words
         # gathered through the permutation)
@@ -263,8 +264,18 @@ def build_hash_table(b: DeviceBatch, key_fields) -> BuiltTable:
                       jnp.any(usable & ~is_new))
 
 
+def _has_raw_key(b: DeviceBatch, key_fields) -> bool:
+    from velox_tpu.vector import strings as S
+    return any(S.is_raw(b.columns.get(k.name)) for k in key_fields)
+
+
 def build_table(b: DeviceBatch, key_fields, array_range=None):
     from velox_tpu.exec.sort import sortable_words
+    if _has_raw_key(b, key_fields):
+        # raw string keys: many byte words per key — always the sorted
+        # build + merge-rank probe (the whole point of the raw layout:
+        # no host dictionary of every distinct value)
+        return build_sorted_table(b, key_fields, None)
     if packable_words([k.dtype for k in key_fields]):
         return build_sorted_table(b, key_fields, array_range)
     if sortable_words([k.dtype for k in key_fields]):
@@ -475,6 +486,30 @@ class HashJoinOperator(Operator):
         both_ok = jnp.concatenate([busable, probe_ok])
         merged_keys = []
         for bv, pv in zip(bkeys, pkeys):
+            from velox_tpu.vector import strings as S
+            if S.is_raw(bv) or S.is_raw(pv):
+                # raw string key: merge the byte matrices (dictionary /
+                # constant sides convert via one device gather), padding
+                # size classes to match
+                from velox_tpu.functions.raw_strings import as_raw
+                bb_, bl_, bval = as_raw(bv, bcap)
+                pb_, pl_, pval = as_raw(pv, cap)
+                w = max(bb_.shape[1], pb_.shape[1])
+                if bb_.shape[1] < w:
+                    bb_ = jnp.pad(bb_, ((0, 0), (0, w - bb_.shape[1])))
+                if pb_.shape[1] < w:
+                    pb_ = jnp.pad(pb_, ((0, 0), (0, w - pb_.shape[1])))
+                data = jnp.concatenate([bb_, pb_])
+                lens = jnp.concatenate([bl_, pl_])
+                validity = None
+                if bval is not None or pval is not None:
+                    validity = jnp.concatenate([
+                        bval if bval is not None
+                        else jnp.ones((bcap,), bool),
+                        pval if pval is not None
+                        else jnp.ones((cap,), bool)])
+                merged_keys.append(S.raw_value(data, lens, validity))
+                continue
             want = bv.dtype.np_dtype()
             bd = bv.full_data(bcap).astype(want)
             pd_ = pv.full_data(cap).astype(want)

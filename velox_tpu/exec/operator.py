@@ -119,7 +119,9 @@ class ValuesOperator(SourceOperator):
         self._i += 1
         if isinstance(t, DeviceBatch):
             return t
-        return from_arrow(t, dictionaries=self._dictionaries)
+        return from_arrow(t, dictionaries=self._dictionaries,
+                          string_encoding=getattr(
+                              self.node, "string_encoding", "dict"))
 
     def is_finished(self):
         return self._i >= len(self._tables)

@@ -52,8 +52,15 @@ def _signed_words(data) -> List:
 
 def value_words(v: EvalValue, capacity: int) -> List:
     """Order-preserving unsigned words, most significant first."""
-    data = v.full_data(capacity)
     dt = v.dtype
+    if dt.is_string and v.dictionary is None \
+            and getattr(v.data, "ndim", 1) == 2:
+        # raw string column: big-endian packed byte words + length lane
+        # (vector/strings.py ordering contract)
+        from velox_tpu.vector import strings as S
+        words, _ = S.sort_key_words(v.data, S.lens_of(v))
+        return words
+    data = v.full_data(capacity)
     if dt.is_long_decimal:
         # int128 limbs: hi is the signed limb (biased like int64), lo is
         # the unsigned limb (ops/int128.py convention) -> 4x32-bit words
@@ -230,6 +237,8 @@ def sort_words_layout(
         kind = "words"
         if v.dtype.kind is T.TypeKind.DOUBLE or v.dtype.is_long_decimal:
             kind = "opaque"  # 3xf32 split / int128 limbs: not invertible
+        elif v.dtype.is_string and v.dictionary is None:
+            kind = "opaque"  # raw bytes: decoded via gathers, not lanes
         layout.append(KeyFieldLayout(
             kind, off, 32 * len(vw), 0, desc, null_off, null_is_one,
             v.dtype, arr_dt, v.dictionary))

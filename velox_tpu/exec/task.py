@@ -655,6 +655,11 @@ class Task:
         lt = left.output_type()
         preds = []
         bkeys = _key_values(table.batch, node.right_keys)
+        # raw string keys have no scalar [min, max] summary (byte
+        # matrices); no dynamic filter for such joins
+        from velox_tpu.vector import strings as _S
+        if any(_S.is_raw(v) for v in bkeys):
+            return left
 
         # Everything here fetches SCALARS (or <= 64 values) — pulling the
         # raw key column to the host costs tens of MB over the device

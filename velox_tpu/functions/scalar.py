@@ -531,7 +531,12 @@ def eq_value(ctx, a, b):
 
 def _compare_strings(ctx, a, b, op):
     """Dictionary-id comparison. Requires sorted dictionaries for ordering
-    (connectors build sorted dictionaries; see vector/device.py)."""
+    (connectors build sorted dictionaries; see vector/device.py).
+    Raw (flat byte-matrix) columns compare on device bytes."""
+    from velox_tpu.vector import strings as _S
+    if _S.is_raw(a) or _S.is_raw(b):
+        from velox_tpu.functions.raw_strings import raw_compare
+        return raw_compare(a, b, op)
     a, b = _align_strings(a, b)
     if a.data is None or b.data is None:
         raise ValueError("string comparison needs at least one dictionary-"

@@ -82,7 +82,8 @@ class PlanBuilder:
 
     # ---- sources -----------------------------------------------------------
 
-    def values(self, tables) -> "PlanBuilder":
+    def values(self, tables,
+               string_encoding: str = "dict") -> "PlanBuilder":
         import pyarrow as pa
         first = tables[0]
         if isinstance(first, (pa.Table, pa.RecordBatch)):
@@ -91,7 +92,8 @@ class PlanBuilder:
         else:
             rt = first.row_type()
         self._node = P.ValuesNode(self._ids.next(), row_type=rt,
-                                  tables=tuple(tables))
+                                  tables=tuple(tables),
+                                  string_encoding=string_encoding)
         return self
 
     def table_scan(self, table: str, columns: Sequence[str] = (),

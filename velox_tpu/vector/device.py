@@ -257,8 +257,20 @@ def column_from_arrow(
     arr,
     capacity: int,
     dictionary: Optional[Dictionary] = None,
+    string_encoding: str = "dict",
 ) -> DeviceColumn:
-    """Convert one pyarrow Array/ChunkedArray to a DeviceColumn."""
+    """Convert one pyarrow Array/ChunkedArray to a DeviceColumn.
+
+    ``string_encoding`` picks the VARCHAR representation:
+      * "dict": sorted-dictionary ids (the low-cardinality encoding;
+        string kernels run at trace time over the distinct set)
+      * "raw":  device byte matrix + lengths (vector/strings.py — the
+        scaling path for high-cardinality VARCHAR; parity:
+        velox/type/StringView.h flat strings)
+      * "auto": raw when the distinct count exceeds half the rows (a
+        dictionary would materialize ~the column on the host) and the
+        longest value fits the raw width classes
+    """
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -271,6 +283,21 @@ def column_from_arrow(
     validity_np = None
     if arr.null_count:
         validity_np = np.asarray(pc.is_valid(arr))
+
+    if dtype.is_string and string_encoding != "dict" \
+            and not pa.types.is_dictionary(arr.type):
+        from velox_tpu.vector import strings as S
+        use_raw = string_encoding == "raw"
+        if string_encoding == "auto" and n:
+            distinct = pc.count_distinct(arr).as_py()
+            max_len = pc.max(pc.binary_length(arr)).as_py() or 0
+            use_raw = distinct > n // 2 and max_len <= S.MAX_WIDTH
+        if use_raw:
+            bytes2d, lens, validity_np = S.pack_arrow(arr, capacity)
+            validity = (jnp.asarray(validity_np)
+                        if validity_np is not None else None)
+            return S.raw_column(jnp.asarray(bytes2d), jnp.asarray(lens),
+                                validity)
 
     if dtype.kind is T.TypeKind.ARRAY:
         lengths = np.asarray(pc.list_value_length(arr).fill_null(0),
@@ -403,6 +430,7 @@ def from_arrow(
     table,
     capacity: Optional[int] = None,
     dictionaries: Optional[Dict[str, Dictionary]] = None,
+    string_encoding: str = "dict",
 ) -> DeviceBatch:
     """pyarrow Table/RecordBatch -> DeviceBatch (padded, masked)."""
     n = table.num_rows
@@ -410,9 +438,13 @@ def from_arrow(
     if n > cap:
         raise ValueError(f"{n} rows exceed capacity {cap}")
     dictionaries = dictionaries or {}
+    enc = ((lambda n_: string_encoding.get(n_, "dict"))
+           if isinstance(string_encoding, dict)
+           else (lambda n_: string_encoding))
     cols = {
         name: column_from_arrow(table.column(name), cap,
-                                dictionaries.get(name))
+                                dictionaries.get(name),
+                                string_encoding=enc(name))
         for name in table.schema.names
     }
     mask = jnp.arange(cap, dtype=jnp.int32) < n
@@ -444,6 +476,14 @@ def to_arrow(batch: DeviceBatch):
             arrays.append(_complex_to_arrow(col, mask))
         elif col.dtype.is_long_decimal:
             arrays.append(_long_decimal_to_arrow(col, mask))
+        elif col.dtype.is_string and col.dictionary is None \
+                and getattr(col.data, "ndim", 1) == 2:
+            # raw (flat) string column: byte matrix + lens child
+            from velox_tpu.vector import strings as S
+            data, validity = column_to_numpy(col)
+            lens = np.asarray(jax.device_get(col.children[0].data))
+            valid = validity[mask] if validity is not None else None
+            arrays.append(S.to_arrow(data[mask], lens[mask], valid))
         else:
             data, validity = column_to_numpy(col)
             data = data[mask]
