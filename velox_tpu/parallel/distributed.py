@@ -161,18 +161,31 @@ class DistributedTask:
             # shard separately instead of flattening the row axis
             tables = []
             for b in self._run_node(self.plan):
+                b = self._check_errors(b)
                 n = b.mask.shape[0]
                 for i in range(n):
                     shard = jax.tree_util.tree_map(lambda a: a[i], b)
                     tables.append(to_arrow(shard))
         else:
-            tables = [to_arrow(_unstack(b))
+            tables = [to_arrow(_unstack(self._check_errors(b)))
                       for b in self._run_node(self.plan)]
         if not tables:
             schema = T.to_arrow(self.plan.output_type())
             return pa.table({n: pa.array([], type=f.type)
                              for n, f in zip(schema.names, schema)})
         return pa.concat_tables(tables)
+
+    def _check_errors(self, b: DeviceBatch) -> DeviceBatch:
+        """Surface checked-op error counts riding an output batch (the
+        distributed analogue of Task.run's error fetch)."""
+        if b.errors is None:
+            return b
+        total = int(np.asarray(jax.device_get(jnp.sum(b.errors))))
+        if total:
+            from velox_tpu.common.errors import VeloxUserError
+            raise VeloxUserError(
+                f"{total} row(s) failed a checked operation")
+        return DeviceBatch(b.columns, b.mask)
 
     # -- plan walk (stacked (n, cap) batches, sharded on axis d) --------------
 
@@ -210,9 +223,66 @@ class DistributedTask:
             yield from self._run_unnest(node)
         elif isinstance(node, Pn.MarkDistinctNode):
             yield from self._run_markdistinct(node)
+        elif isinstance(node, Pn.NestedLoopJoinNode):
+            yield from self._run_nested_loop(node)
+        elif isinstance(node, Pn.EnforceSingleRowNode):
+            from velox_tpu.exec.misc_ops import EnforceSingleRowOperator
+            # scalar-subquery guard: globally <= 1 row by construction
+            yield from self._funnel_serial(
+                EnforceSingleRowOperator(node), node.source)
+        elif isinstance(node, Pn.MergeJoinNode):
+            # distributed merge joins route through the hash-join
+            # machinery (sortedness is a single-stream property; the
+            # partitioned/broadcast exchanges do not preserve it)
+            hj = Pn.HashJoinNode(
+                node.id, left=node.left, right=node.right,
+                join_type=node.join_type, left_keys=node.left_keys,
+                right_keys=node.right_keys, filter=node.filter,
+                output_columns=node.output_columns)
+            yield from self._run_join(hj)
         else:
             raise NotImplementedError(
                 f"distributed operator for {type(node).__name__}")
+
+    def _funnel_serial(self, op, source_node) -> Iterator[DeviceBatch]:
+        """Drive a SERIAL operator over the distributed source's
+        unstacked waves, re-emitting outputs as one-active-shard stacked
+        batches (the single-driver final-stage pattern — the reference
+        likewise funnels stages whose parallel form does not exist)."""
+        for stacked in self._run_node(source_node):
+            op.add_input(_unstack(self._check_errors(stacked)))
+            while True:
+                o = op.get_output()
+                if o is None:
+                    break
+                yield self._restack_one(o)
+        op.no_more_input()
+        while True:
+            o = op.get_output()
+            if o is None:
+                break
+            yield self._restack_one(o)
+
+    def _restack_one(self, flat: DeviceBatch) -> DeviceBatch:
+        return _stack_batches(
+            [flat] + [flat.with_mask(jnp.zeros_like(flat.mask))
+                      for _ in range(self.n - 1)], self.mesh)
+
+    def _run_nested_loop(self, node) -> Iterator[DeviceBatch]:
+        """Distributed nested-loop (cross/inequality) join: gather both
+        the build side and each probe wave to a single flat stream and
+        run the serial operator — NLJ shapes in practice are scalar-
+        subquery joins (tiny sides), and the reference likewise funnels
+        cross joins through one driver when one side is broadcast."""
+        from velox_tpu.exec.batch_utils import concat_batches
+        from velox_tpu.exec.misc_ops import NestedLoopJoinOperator
+        builds = [_unstack(self._check_errors(b))
+                  for b in self._run_node(node.right)]
+        if not builds:
+            raise RuntimeError("empty nested-loop build side")
+        op = NestedLoopJoinOperator(node)
+        op.set_build(concat_batches(builds))
+        yield from self._funnel_serial(op, node.left)
 
     # -- sources ---------------------------------------------------------------
 
@@ -334,6 +404,25 @@ class DistributedTask:
         # per-shard accumulation then cross-device reduction of state
         raw = node.step in (Pn.AggregationStep.PARTIAL,
                             Pn.AggregationStep.SINGLE)
+        from velox_tpu.functions.aggregates import AggregateFunction
+        simple = (not op._collect_mode and all(
+            type(a).map_raw is not AggregateFunction.map_raw
+            and all(st.width == 1 for st in a.states)
+            and all(st.combine in ("sum", "min", "max")
+                    for st in a.states)
+            for a in op._aggs))
+        if not simple:
+            # states the scalar sum/min/max reduction cannot combine
+            # (planar long-decimal limbs, collect/percentile states):
+            # funnel to the serial operator — the same single-driver
+            # final step the reference uses for global aggregates
+            for stacked in self._run_node(node.source):
+                op.add_input(_unstack(self._check_errors(stacked)))
+            op.no_more_input()
+            out = op.get_output()
+            return _stack_batches([out] + [
+                out.with_mask(jnp.zeros_like(out.mask))
+                for _ in range(self.n - 1)], self.mesh)
 
         def local_state(stacked: DeviceBatch):
             def one(batch):
@@ -509,6 +598,22 @@ class DistributedTask:
         Build sides up to the broadcast threshold replicate via all_gather;
         larger builds hash-partition BOTH sides so per-device HBM holds
         only 1/n of the table."""
+        if node.filter is not None \
+                and node.join_type is not Pn.JoinType.INNER:
+            # filtered outer/semi/anti joins: the filter pass tracks
+            # per-probe-row AND per-build-row pass flags across emit
+            # chunks (exec/join.py _probe_filtered) — host-orchestrated
+            # state that has no vmapped form yet. Funnel through the
+            # serial operator (single-driver final stage; correct, not
+            # scaled — the parallel form is future work).
+            from velox_tpu.exec.join import HashBuildStage, HashJoinOperator
+            build = HashBuildStage(node.right_keys)
+            for b in self._run_node(node.right):
+                build.add_input(_unstack(self._check_errors(b)))
+            probe = HashJoinOperator(node)
+            probe.set_built_table(build.finish())
+            yield from self._funnel_serial(probe, node.left)
+            return
         build_parts = [b for b in self._run_node(node.right)]
         if not build_parts:
             raise RuntimeError("empty build side")
@@ -903,11 +1008,19 @@ def _take0(b: DeviceBatch) -> DeviceBatch:
 
 
 def _concat_stacked(batches: List[DeviceBatch]) -> DeviceBatch:
-    """Concatenate stacked (n, cap_i) batches along the capacity axis."""
+    """Concatenate stacked (n, cap_i) batches along the capacity axis.
+    Checked-op error counts ((n,)-stacked scalars, not row-shaped) are
+    summed across waves instead of concatenated."""
     if len(batches) == 1:
         return batches[0]
-    return jax.tree_util.tree_map(
+    errs = [b.errors for b in batches if b.errors is not None]
+    if errs:
+        batches = [DeviceBatch(b.columns, b.mask) for b in batches]
+    out = jax.tree_util.tree_map(
         lambda *arrs: jnp.concatenate(arrs, axis=1), *batches)
+    if errs:
+        out = DeviceBatch(out.columns, out.mask, errors=sum(errs))
+    return out
 
 
 def _pad_batch(b: DeviceBatch, cap: int) -> DeviceBatch:

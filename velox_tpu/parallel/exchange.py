@@ -160,6 +160,24 @@ def partition_max_count_spread(batch: DeviceBatch, key_names: List[str],
     return jnp.max(counts)
 
 
+def _map_cols(batch: DeviceBatch, f) -> "dict":
+    """Apply a row transform to every column INCLUDING row-aligned
+    children (long-decimal hi limbs, raw-string length lanes, ROW
+    fields) — rebuilding DeviceColumns from data+validity alone silently
+    dropped them (observed: Q1's DECIMAL(38) sums lost their hi limb
+    through the gather exchange). ARRAY/MAP columns need element-space
+    exchange, which these row-window transports do not do — refuse."""
+    from velox_tpu.exec.batch_utils import map_column_rows
+    cols = {}
+    for name, col in batch.columns.items():
+        if col.dtype.is_complex:
+            raise NotImplementedError(
+                f"column {name!r}: ARRAY/MAP columns are not supported "
+                "across the distributed exchange yet")
+        cols[name] = map_column_rows(col, f)
+    return cols
+
+
 def gather_hot_rows(batch: DeviceBatch, key_names: List[str], n: int,
                     axis_name: str, hot, window: int) -> DeviceBatch:
     """Inside shard_map: all_gather every device's rows whose destination
@@ -184,13 +202,7 @@ def gather_hot_rows(batch: DeviceBatch, key_names: List[str], n: int,
         return g.reshape((n * window,) + a.shape[2:]) if a.ndim > 1 \
             else g.reshape((n * window,))
 
-    cols = {}
-    for name, col in batch.columns.items():
-        data = gather(compact(col.data))
-        validity = gather(compact(col.validity)) \
-            if col.validity is not None else None
-        cols[name] = DeviceColumn(data, validity, col.dtype,
-                                  col.dictionary)
+    cols = _map_cols(batch, lambda a: gather(compact(a)))
     return DeviceBatch(cols, gather(local_mask))
 
 
@@ -248,12 +260,7 @@ def repartition_all_to_all(batch: DeviceBatch, key_names: List[str],
     block = jnp.arange(n * window, dtype=jnp.int32) // window
     mask = pos_in_block < recv_counts[block]
 
-    cols: Dict[str, DeviceColumn] = {}
-    for name, col in batch.columns.items():
-        data = exchange_col(col.data)
-        validity = exchange_col(col.validity) \
-            if col.validity is not None else None
-        cols[name] = DeviceColumn(data, validity, col.dtype, col.dictionary)
+    cols = _map_cols(batch, exchange_col)
     return DeviceBatch(cols, mask)
 
 
@@ -267,10 +274,5 @@ def broadcast_gather(batch: DeviceBatch, n: int,
         g = jax.lax.all_gather(data, axis_name, axis=0, tiled=False)
         return g.reshape((n * cap,) + data.shape[1:])
 
-    cols = {}
-    for name, col in batch.columns.items():
-        data = gather_col(col.data)
-        validity = gather_col(col.validity) \
-            if col.validity is not None else None
-        cols[name] = DeviceColumn(data, validity, col.dtype, col.dictionary)
+    cols = _map_cols(batch, gather_col)
     return DeviceBatch(cols, gather_col(batch.mask))
