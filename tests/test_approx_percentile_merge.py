@@ -111,3 +111,60 @@ def test_distributed_split_through_exchange():
     np.testing.assert_array_equal(got.g, exp.g)
     # per-group W ~ 1000 < K=1024 on each producer: exact
     np.testing.assert_array_equal(got.q, exp.x)
+
+
+def test_accuracy_argument_contract_fuzz():
+    """The reference's kFromEpsilon contract (functions/lib/
+    KllSketch.h:51): approx_percentile(x, p, accuracy) keeps the
+    NORMALIZED RANK ERROR within `accuracy` through arbitrary fragment
+    splits and the partial->final merge. Randomized shapes, splits,
+    percentiles, and accuracies."""
+    rng = np.random.RandomState(42)
+    for trial in range(8):
+        n = int(rng.randint(2_000, 40_000))
+        p = float(rng.choice([0.01, 0.25, 0.5, 0.9, 0.99]))
+        acc = float(rng.choice([0.2, 0.05, 0.01]))
+        n_frag = int(rng.randint(1, 6))
+        x = rng.permutation(n).astype("int64")  # value == rank-1
+        dfs = [pd.DataFrame({"x": x[i::n_frag]}) for i in range(n_frag)]
+        b = PlanBuilder()
+        b.values([pa.table(d) for d in dfs])
+        b.partial_aggregation(
+            [], [f"approx_percentile(x, {p}, {acc}) as q"])
+        b.final_aggregation()
+        got = int(Task(b.plan()).run().to_pandas().q[0])
+        exact_rank = int(np.ceil(p * n))       # 1-based
+        got_rank = got + 1                     # value == rank-1
+        err = abs(got_rank - exact_rank) / n
+        assert err <= acc + 1.0 / n, (
+            trial, n, p, acc, n_frag, got_rank, exact_rank, err)
+
+
+def test_accuracy_argument_grouped():
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "g": rng.randint(0, 4, 20_000).astype("int64"),
+        "x": rng.randint(0, 10**6, 20_000).astype("int64")})
+    b = PlanBuilder()
+    b.values([pa.table(df)])
+    b.partial_aggregation(["g"], ["approx_percentile(x, 0.5, 0.04) as q"])
+    b.final_aggregation()
+    got = (Task(b.plan()).run().to_pandas()
+           .sort_values("g").reset_index(drop=True))
+    for g, grp in df.groupby("g"):
+        v = np.sort(grp.x.to_numpy())
+        q = int(got[got.g == g].q.iloc[0])
+        rank = int(np.searchsorted(v, q, side="right"))
+        exact = int(np.ceil(0.5 * len(v)))
+        assert abs(rank - exact) / len(v) <= 0.04 + 1e-9
+
+
+def test_accuracy_argument_validation():
+    import pytest
+    from velox_tpu.common.errors import VeloxUserError
+    b = PlanBuilder()
+    b.values([pa.table(pd.DataFrame({"x": np.arange(10, dtype="int64")}))])
+    b.partial_aggregation([], ["approx_percentile(x, 0.5, 1.5) as q"])
+    b.final_aggregation()
+    with pytest.raises(VeloxUserError):
+        Task(b.plan()).run()

@@ -121,6 +121,27 @@ class AggregationOperator(Operator):
                     if c.dtype.kind is T.TypeKind.DECIMAL:
                         p /= 10.0 ** c.dtype.scale  # unscaled literal
                     a.percentile = p
+                    if len(call.inputs) > 2:
+                        # approx_percentile(x, p, accuracy): the
+                        # reference's kFromEpsilon contract — pick the
+                        # summary size so the normalized rank error
+                        # stays within `accuracy` (KllSketch.h:51)
+                        acc = call.inputs[2]
+                        if not isinstance(acc, ex.Constant):
+                            raise NotImplementedError(
+                                "approx_percentile: accuracy must be a "
+                                "constant")
+                        av = float(acc.value)
+                        if acc.dtype.kind is T.TypeKind.DECIMAL:
+                            av /= 10.0 ** acc.dtype.scale
+                        if not 0.0 < av < 1.0:
+                            from velox_tpu.common.errors import (
+                                VeloxUserError,
+                            )
+                            raise VeloxUserError(
+                                "approx_percentile accuracy must be in "
+                                f"(0, 1), got {av}")
+                        a.accuracy = av
                 from velox_tpu.functions.aggregates import BloomFilterAgg
                 if isinstance(a, BloomFilterAgg) and len(call.inputs) > 1:
                     from velox_tpu.core import expressions as ex
@@ -158,9 +179,20 @@ class AggregationOperator(Operator):
                 return cached_jit(ck + (name,), lambda: jax.jit(fn))
             self._collect_prep_fn = _mk("prep", self._collect_prep)
             self._collect_final_fn = _mk("final", self._collect_finalize)
-            # knots per group and partial: rank error <= W/K per input
-            # fragment, additive under merge
+            # Knots per group and partial: rank error <= W/K per
+            # compression and compressions happen at TWO depths (partial
+            # fragments, then the final merged re-select), so total
+            # normalized rank error <= 2/K. The reference's randomized
+            # KLL compactors exist for single-pass streams of unknown
+            # length; this engine compresses BULK sorted runs, where
+            # evenly spaced deterministic knots achieve the same
+            # mergeable contract with a deterministic bound
+            # (functions/lib/KllSketch.h:51 kFromEpsilon; default k=200
+            # ~ epsilon 1.33% — the default here is tighter).
             self._pct_k = 1024
+            acc = getattr(self._aggs[0], "accuracy", None)
+            if acc:
+                self._pct_k = min(1 << 20, max(2, int(np.ceil(2.0 / acc))))
             if self._pct_split:
                 self._pct_compress_fn = _mk("pctc", self._pct_compress)
                 self._pct_final_fn = _mk("pctf", self._pct_final)
