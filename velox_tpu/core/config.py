@@ -29,6 +29,13 @@ class QueryConfig:
     # RAM (velox Spiller kHashJoinBuild/kOrderBy analogues)
     JOIN_BUILD_OFFLOAD_BYTES = "join_build_offload_bytes"
     SORT_OFFLOAD_BYTES = "orderby_offload_bytes"
+    # host-RAM byte budget per offload buffer before the DISK tier takes
+    # over (spill files; parity: velox SpillConfig maxSpillBytes /
+    # Spiller.h spill files). 0 = unlimited host RAM (no disk spill).
+    OFFLOAD_HOST_BUDGET_BYTES = "offload_host_budget_bytes"
+    # directory for spill files (velox kSpillPath analogue); empty =
+    # a per-buffer temp directory
+    SPILL_DIR = "spill_dir"
     # hot-destination factor for exchange skew detection (a destination
     # with > factor * (rows/n) rows triggers key splitting)
     SKEW_FACTOR = "exchange_skew_factor"
@@ -68,6 +75,8 @@ class QueryConfig:
         SKEW_FACTOR: 4,
         JOIN_BUILD_OFFLOAD_BYTES: 4 << 30,
         SORT_OFFLOAD_BYTES: 4 << 30,
+        OFFLOAD_HOST_BUDGET_BYTES: 0,
+        SPILL_DIR: "",
         TRACE_ENABLED: False,
         TRACE_DIR: "",
         TRACE_NODE_IDS: "",

@@ -322,14 +322,17 @@ class HashBuildStage:
     velox Spiller kHashJoinBuild, exec/Spiller.h:29)."""
 
     def __init__(self, key_fields, offload_bytes=None, pool=None,
-                 array_range=None):
+                 array_range=None, host_budget_bytes=None,
+                 spill_dir=None):
         from velox_tpu.common import metrics as M
         from velox_tpu.exec.memory import OffloadBuffer
         self._key_fields = list(key_fields)
         self._array_range = array_range
         self._buf = OffloadBuffer(offload_bytes,
                                   metric_key=M.K_JOIN_BUILD_OFFLOADS,
-                                  pool=pool)
+                                  pool=pool,
+                                  host_budget_bytes=host_budget_bytes,
+                                  spill_dir=spill_dir)
 
     def add_input(self, batch: DeviceBatch):
         self._buf.add(batch)
@@ -971,13 +974,16 @@ class MergeBuildStage:
     """Accumulates the (pre-sorted) right side of a merge join; finish()
     validates the sort contract once and returns a SortedBuild."""
 
-    def __init__(self, key_fields, offload_bytes=None, pool=None):
+    def __init__(self, key_fields, offload_bytes=None, pool=None,
+                 host_budget_bytes=None, spill_dir=None):
         from velox_tpu.common import metrics as M
         from velox_tpu.exec.memory import OffloadBuffer
         self._key_fields = list(key_fields)
         self._buf = OffloadBuffer(offload_bytes,
                                   metric_key=M.K_JOIN_BUILD_OFFLOADS,
-                                  pool=pool)
+                                  pool=pool,
+                                  host_budget_bytes=host_budget_bytes,
+                                  spill_dir=spill_dir)
 
     def add_input(self, batch: DeviceBatch):
         self._buf.add(batch)

@@ -5,11 +5,15 @@ spill framework (``velox/exec/Spiller.h``, SpillConfig). Per SURVEY.md §7.1,
 disk spill maps to **host-RAM offload**: operator state (aggregation
 partial runs, join build batches) is device_get into pinned numpy buffers
 and re-uploaded for the merge phase — state survives HBM pressure the way
-the reference's spilled runs survive memory arbitration.
+the reference's spilled runs survive memory arbitration. Round 4 adds the
+DISK TIER below host RAM (DiskBatch): when a buffer's host bytes exceed
+their budget, the oldest host batches round-trip through spill files, so
+state larger than host RAM completes instead of dying.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -28,30 +32,63 @@ def batch_nbytes(batch: DeviceBatch) -> int:
 
 
 class HostBatch:
-    """A device batch offloaded to host RAM (numpy mirrors + metadata)."""
+    """A device batch offloaded to host RAM: the full batch PYTREE as
+    numpy leaves + treedef (preserves row-aligned children — long-
+    decimal hi limbs, raw-string length lanes, ROW fields — and complex
+    starts; the earlier columns-only mirror silently dropped them)."""
 
     def __init__(self, batch: DeviceBatch):
         import jax
-        self.columns = {}
-        for name, col in batch.columns.items():
-            data = np.asarray(jax.device_get(col.data))
-            validity = (np.asarray(jax.device_get(col.validity))
-                        if col.validity is not None else None)
-            self.columns[name] = (data, validity, col.dtype, col.dictionary)
-        self.mask = np.asarray(jax.device_get(batch.mask))
+        leaves, self.treedef = jax.tree_util.tree_flatten(batch)
+        self.leaves = [np.asarray(x) for x in jax.device_get(leaves)]
         self.nbytes = batch_nbytes(batch)
 
     def restore(self) -> DeviceBatch:
+        import jax
         import jax.numpy as jnp
-        cols = {
-            name: DeviceColumn(
-                jnp.asarray(data),
-                jnp.asarray(validity) if validity is not None else None,
-                dtype, dictionary)
-            for name, (data, validity, dtype, dictionary)
-            in self.columns.items()
-        }
-        return DeviceBatch(cols, __import__("jax").numpy.asarray(self.mask))
+        return jax.tree_util.tree_unflatten(
+            self.treedef, [jnp.asarray(x) for x in self.leaves])
+
+
+class DiskBatch:
+    """A host batch spilled to a file: numpy leaves in one .npz plus the
+    pickled treedef — the DISK TIER below host-RAM offload (parity:
+    velox Spiller writing spill files, exec/Spiller.h:29-92; builds or
+    sort state larger than host RAM survive by round-tripping here)."""
+
+    def __init__(self, host: HostBatch, spill_dir: str):
+        import pickle
+        import uuid
+        os.makedirs(spill_dir, exist_ok=True)
+        self.path = os.path.join(spill_dir, f"spill-{uuid.uuid4().hex}")
+        np.savez(self.path + ".npz",
+                 **{f"l{i}": x for i, x in enumerate(host.leaves)})
+        with open(self.path + ".tree", "wb") as f:
+            pickle.dump(host.treedef, f)
+        self.n_leaves = len(host.leaves)
+        self.nbytes = host.nbytes
+        from velox_tpu.common import metrics as M
+        M.record_counter(M.K_SPILL_DISK_WRITES)
+
+    def restore(self) -> DeviceBatch:
+        import pickle
+
+        import jax
+        import jax.numpy as jnp
+        with np.load(self.path + ".npz") as z:
+            leaves = [jnp.asarray(z[f"l{i}"])
+                      for i in range(self.n_leaves)]
+        with open(self.path + ".tree", "rb") as f:
+            treedef = pickle.load(f)
+        self.delete()
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def delete(self):
+        for suffix in (".npz", ".tree"):
+            try:
+                os.remove(self.path + suffix)
+            except OSError:
+                pass
 
 
 class MemoryPool:
@@ -191,12 +228,20 @@ class OffloadBuffer:
     kHashJoinBuild / kOrderBy spiller types)."""
 
     def __init__(self, budget_bytes: Optional[int], metric_key=None,
-                 pool: Optional[MemoryPool] = None):
+                 pool: Optional[MemoryPool] = None,
+                 host_budget_bytes: Optional[int] = None,
+                 spill_dir: Optional[str] = None):
         self.budget = budget_bytes
         self.used = 0
         self._device: List[DeviceBatch] = []
         self._host: List[HostBatch] = []
         self._metric_key = metric_key
+        # disk tier: host bytes past host_budget_bytes round-trip
+        # through spill files (parity: Spiller.h spill files)
+        self.host_budget = host_budget_bytes
+        self.host_used = 0
+        self._disk: List[DiskBatch] = []
+        self._spill_dir = spill_dir
         # arbitration: account device batches against the pool hierarchy
         # and accept force-offload requests from the arbitrator
         self._pool = pool
@@ -209,16 +254,32 @@ class OffloadBuffer:
             from velox_tpu.common import metrics as M
             M.record_counter(self._metric_key)
 
+    def _default_spill_dir(self) -> str:
+        if self._spill_dir is None:
+            import tempfile
+            self._spill_dir = tempfile.mkdtemp(prefix="velox_tpu_spill_")
+        return self._spill_dir
+
+    def _to_host(self, batch: DeviceBatch):
+        self._offload_metric()
+        h = HostBatch(batch)
+        self._host.append(h)
+        self.host_used += h.nbytes
+        if self.host_budget is not None:
+            while self._host and self.host_used > self.host_budget:
+                oldest = self._host.pop(0)
+                self._disk.append(
+                    DiskBatch(oldest, self._default_spill_dir()))
+                self.host_used -= oldest.nbytes
+
     def add(self, batch: DeviceBatch) -> None:
         n = batch_nbytes(batch)
         if self.budget is not None and self.used + n > self.budget:
-            self._offload_metric()
-            self._host.append(HostBatch(batch))
+            self._to_host(batch)
             return
         if (self._pool is not None
                 and not self._pool.reserve_or_reclaim(n)):
-            self._offload_metric()
-            self._host.append(HostBatch(batch))
+            self._to_host(batch)
             return
         self.used += n
         self._device.append(batch)
@@ -231,8 +292,7 @@ class OffloadBuffer:
         while self._device and freed < needed:
             batch = self._device.pop(0)
             n = batch_nbytes(batch)
-            self._offload_metric()
-            self._host.append(HostBatch(batch))
+            self._to_host(batch)
             self.used -= n
             if self._pool is not None:
                 self._pool.release(n)
@@ -244,14 +304,21 @@ class OffloadBuffer:
             MemoryArbitrator.instance().unregister(self)
             self._pool.release(self.used)
             self.used = 0
+        for d in self._disk:
+            d.delete()
+        self._disk = []
 
     def __len__(self):
-        return len(self._device) + len(self._host)
+        return len(self._device) + len(self._host) + len(self._disk)
 
     def restore_all(self) -> List[DeviceBatch]:
-        """All buffered batches back on device (spill merge phase)."""
-        out = list(self._device) + [h.restore() for h in self._host]
-        self._device, self._host = [], []
+        """All buffered batches back on device (spill merge phase):
+        device-resident, host-RAM, then disk-spilled (files deleted on
+        restore)."""
+        out = (list(self._device) + [h.restore() for h in self._host]
+               + [d.restore() for d in self._disk])
+        self._device, self._host, self._disk = [], [], []
+        self.host_used = 0
         if self._pool is not None:
             MemoryArbitrator.instance().unregister(self)
             self._pool.release(self.used)

@@ -49,17 +49,20 @@ class OrderByOperator(Operator):
     """Full sort: buffer all input, sort once at the end."""
 
     def __init__(self, node: P.OrderByNode, offload_bytes=None,
-                 pool=None):
+                 pool=None, host_budget_bytes=None, spill_dir=None):
         super().__init__(node)
         from velox_tpu.common import metrics as M
         from velox_tpu.exec.memory import OffloadBuffer
         self._keys = list(node.keys)
         self._orders = list(node.orders)
-        # buffered input spills to host RAM past the budget (parity:
-        # velox Spiller kOrderBy, exec/Spiller.h:29)
+        # buffered input spills to host RAM past the budget, and past
+        # the host budget to DISK spill files (parity: velox Spiller
+        # kOrderBy, exec/Spiller.h:29)
         self._buffer = OffloadBuffer(offload_bytes,
                                      metric_key=M.K_SORT_OFFLOADS,
-                                     pool=pool)
+                                     pool=pool,
+                                     host_budget_bytes=host_budget_bytes,
+                                     spill_dir=spill_dir)
         self._out: Optional[DeviceBatch] = None
         rngs = _key_ranges(node, self._keys)
         from velox_tpu.exec.jit_cache import cached_jit

@@ -72,6 +72,16 @@ class Task:
             from velox_tpu.exec.trace import write_plan
             write_plan(self._trace_dir, plan)
 
+    def _spill_kwargs(self) -> dict:
+        """Disk-tier spill knobs for offload buffers (OffloadBuffer):
+        host-RAM budget before spill files take over + spill dir."""
+        from velox_tpu.core.config import QueryConfig as QC
+        qc = self.ctx.query_config
+        hb = qc.get_int(QC.OFFLOAD_HOST_BUDGET_BYTES, 0)
+        sd = qc.get_str(QC.SPILL_DIR)
+        return {"host_budget_bytes": hb or None,
+                "spill_dir": sd or None}
+
     @staticmethod
     def _block(tree):
         """Force pending device work (debug_sync_operators)."""
@@ -376,7 +386,8 @@ class Task:
             yield from self._drive(node.source, OrderByOperator(
                 node, offload_bytes=self.ctx.query_config.get_int(
                     QC.SORT_OFFLOAD_BYTES, 4 << 30),
-                pool=self.ctx.memory_pool))
+                pool=self.ctx.memory_pool,
+                **self._spill_kwargs()))
         elif isinstance(node, P.TopNNode):
             yield from self._drive(node.source, TopNOperator(node))
         elif isinstance(node, P.LimitNode):
@@ -596,7 +607,8 @@ class Task:
             offload_bytes=self.ctx.query_config.get_int(
                 QC.JOIN_BUILD_OFFLOAD_BYTES, 4 << 30),
             pool=self.ctx.memory_pool,
-            array_range=array_join_range(node))
+            array_range=array_join_range(node),
+            **self._spill_kwargs())
         for batch in self._run_node(node.right):
             build.add_input(batch)
         t0 = time.perf_counter_ns()
@@ -620,7 +632,8 @@ class Task:
             node.right_keys,
             offload_bytes=self.ctx.query_config.get_int(
                 QC.JOIN_BUILD_OFFLOAD_BYTES, 4 << 30),
-            pool=self.ctx.memory_pool)
+            pool=self.ctx.memory_pool,
+            **self._spill_kwargs())
         for batch in self._run_node(node.right):
             build.add_input(batch)
         t0 = time.perf_counter_ns()
