@@ -80,26 +80,8 @@ def cpu_wall(fn, iters=3):
     return (time.perf_counter() - t0) / iters, r
 
 
-def main():
-    import jax
-    jax.config.update("jax_enable_x64", True)
-
-    from velox_tpu.connectors.tpch import TPCH_SCHEMAS, register_tpch
-    from velox_tpu.testing.plan_builder import PlanBuilder
-    from velox_tpu.tpch import tpch_plan
-
-    sf = 1.0
-    conn = register_tpch(sf, rows_per_split=1 << 21)
-    li_rows = conn.gen.num_rows("lineitem")
-
-    # host tables for the CPU baseline (shared, generated once)
-    host = {}
-    for t in ("lineitem", "orders", "customer"):
-        cols = list(TPCH_SCHEMAS[t].names)
-        host[t] = pd.DataFrame(
-            conn.gen.generate(t, 0, conn.num_index_rows(t), cols))
-    li, od, cu = host["lineitem"], host["orders"], host["customer"]
-
+def make_cpu_fns(li, od, cu):
+    """pandas baselines over host frames (shared by SF1 and SF10)."""
     d94, d95 = days("1994-01-01"), days("1995-01-01")
     d0315 = days("1995-03-15")
     d0902 = days("1998-09-02")
@@ -146,6 +128,99 @@ def main():
         keys = np.lexsort((li.l_orderkey.to_numpy(),
                            li.l_shipdate.to_numpy()))
         return keys[:1000]
+
+    return {"q6": cpu_q6, "q1": cpu_q1, "q3": cpu_q3, "q18": cpu_q18,
+            "orderby": cpu_orderby}
+
+
+def _run_sf10():
+    """Q1/Q3/Q18 at SF10 (60M lineitem rows) with a capped query pool:
+    arbitration + host offload run inside the measurement, plus the
+    per-query program count, peak HBM, and offload/spill counters
+    (VERDICT r4 #5 and #8). Program shapes match SF1 (same per-split
+    capacity), so the warm run reuses every compiled program. Baselines
+    are single-iteration pandas over the identical SF10 data."""
+    from velox_tpu.common import metrics as M
+    from velox_tpu.connectors.tpch import register_tpch
+    from velox_tpu.core.config import QueryConfig as QC
+    from velox_tpu.exec.jit_cache import program_count
+    from velox_tpu.exec.memory import MemoryPool
+    from velox_tpu.exec.task import QueryCtx, Task
+    from velox_tpu.tpch import tpch_plan
+
+    cid = "tpch-sf10"
+    conn = register_tpch(10.0, rows_per_split=1 << 21, connector_id=cid)
+    li_rows = conn.gen.num_rows("lineitem")
+    out = {"lineitem_rows": li_rows}
+    cols_needed = {
+        "lineitem": ["l_orderkey", "l_quantity", "l_extendedprice",
+                     "l_discount", "l_tax", "l_shipdate", "l_returnflag",
+                     "l_linestatus"],
+        "orders": ["o_orderkey", "o_custkey", "o_orderdate",
+                   "o_shippriority", "o_totalprice"],
+        "customer": ["c_custkey", "c_mktsegment"],
+    }
+    host = {t: pd.DataFrame(conn.gen.generate(
+        t, 0, conn.num_index_rows(t), cols_needed[t]))
+        for t in cols_needed}
+    fns = make_cpu_fns(host["lineitem"], host["orders"],
+                       host["customer"])
+    for q in (1, 3, 18):
+        ctx = QueryCtx({QC.QUERY_HBM_CAP_BYTES: 8 << 30})
+        p0 = program_count()
+        t0 = time.perf_counter()
+        Task(tpch_plan(q, connector_id=cid), ctx).run()
+        first = time.perf_counter() - t0
+        ctx2 = QueryCtx({QC.QUERY_HBM_CAP_BYTES: 8 << 30})
+        t0 = time.perf_counter()
+        res = Task(tpch_plan(q, connector_id=cid), ctx2).run()
+        warm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fns[f"q{q}"]()
+        cpu_dt = time.perf_counter() - t0
+        entry = {
+            "first_s": round(first, 3),
+            "warm_s": round(warm, 3),
+            "cpu_baseline_s": round(cpu_dt, 3),
+            "vs_baseline": round(cpu_dt / warm, 3),
+            "lineitem_rows_per_s_warm": li_rows / warm,
+            "out_rows": res.num_rows,
+            "programs_new": program_count() - p0,
+            "peak_query_hbm_bytes": ctx2.memory_pool.peak,
+            "device_root_peak_bytes": MemoryPool.device_root().peak,
+        }
+        snap = M.reporter().snapshot().get("counters", {})
+        for k in (M.K_AGG_HOST_OFFLOADS, M.K_JOIN_BUILD_OFFLOADS,
+                  M.K_SPILL_DISK_WRITES):
+            if k in snap:
+                entry[k.rsplit(".", 1)[-1]] = snap[k]
+        out[f"q{q}_sf10"] = entry
+    return out
+
+
+def main():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+
+    from velox_tpu.connectors.tpch import TPCH_SCHEMAS, register_tpch
+    from velox_tpu.testing.plan_builder import PlanBuilder
+    from velox_tpu.tpch import tpch_plan
+
+    sf = 1.0
+    conn = register_tpch(sf, rows_per_split=1 << 21)
+    li_rows = conn.gen.num_rows("lineitem")
+
+    # host tables for the CPU baseline (shared, generated once)
+    host = {}
+    for t in ("lineitem", "orders", "customer"):
+        cols = list(TPCH_SCHEMAS[t].names)
+        host[t] = pd.DataFrame(
+            conn.gen.generate(t, 0, conn.num_index_rows(t), cols))
+    li, od, cu = host["lineitem"], host["orders"], host["customer"]
+
+    fns = make_cpu_fns(li, od, cu)
+    cpu_q6, cpu_q1, cpu_q3 = fns["q6"], fns["q1"], fns["q3"]
+    cpu_q18, cpu_orderby = fns["q18"], fns["orderby"]
 
     def orderby_plan():
         return (PlanBuilder()
@@ -195,6 +270,13 @@ def main():
             rates.append(li_rows / warm)
         except Exception as e:  # keep the bench line even on failures
             detail[name] = {"error": f"{type(e).__name__}: {e}"}
+
+    # ---- SF10 stage (VERDICT r4 #5): 10x the rows under a CAPPED query
+    # HBM pool so arbitration/offload runs inside the benchmark.
+    try:
+        detail["sf10"] = _run_sf10()
+    except Exception as e:
+        detail["sf10"] = {"error": f"{type(e).__name__}: {e}"}
 
     # kernel-level micro numbers ride the detail artifact so per-round
     # progress on insert/probe/sort throughput is visible (VERDICT w#12)

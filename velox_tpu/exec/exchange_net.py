@@ -33,6 +33,8 @@ class _Handler(socketserver.StreamRequestHandler):
             return
         task_id, dest, seq, max_bytes = (
             line[1], int(line[2]), int(line[3]), int(line[4]))
+        from velox_tpu.common import testvalue as TV
+        TV.adjust("ExchangeNet::respond", (task_id, seq))
         buf = OutputBufferManager.instance().get(task_id)
         pages, at_end = buf.get(
             dest, seq, None if max_bytes < 0 else max_bytes)
@@ -78,12 +80,22 @@ class SocketExchangeSource(ExchangeSource):
                     f"{-1 if max_bytes is None else max_bytes}\n"
                     .encode())
             f.flush()
-            n, at_end = f.readline().decode().split()
+            header = f.readline().decode().split()
+            if len(header) != 2:
+                from velox_tpu.common.errors import VeloxRuntimeError
+                raise VeloxRuntimeError(
+                    f"exchange server at {self.addr} closed the "
+                    "connection mid-response (truncated header)")
+            n, at_end = header
             pages = []
             for _ in range(int(n)):
                 size = int(f.readline())
                 page = f.read(size)
-                assert len(page) == size
+                if len(page) != size:
+                    from velox_tpu.common.errors import VeloxRuntimeError
+                    raise VeloxRuntimeError(
+                        f"exchange server at {self.addr} closed the "
+                        "connection mid-page (truncated payload)")
                 pages.append(page)
         self._seq += len(pages)
         return pages, bool(int(at_end))

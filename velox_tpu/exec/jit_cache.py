@@ -22,9 +22,18 @@ _CACHE: Dict = {}
 
 def cached_jit(key: Tuple, make: Callable):
     """Return the cached callable for `key`, building it via `make()` on
-    first use."""
+    first use. Each first build counts toward the compile-budget metric
+    (distinct traced PROGRAMS per process — the cold-wall driver;
+    bench.py reports per-query program counts from this counter)."""
     fn = _CACHE.get(key)
     if fn is None:
         fn = make()
         _CACHE[key] = fn
+        from velox_tpu.common import metrics as M
+        M.record_counter(M.K_JIT_PROGRAMS)
     return fn
+
+
+def program_count() -> int:
+    """Distinct cached programs created so far in this process."""
+    return len(_CACHE)

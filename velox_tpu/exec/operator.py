@@ -208,6 +208,8 @@ class TableScanOperator(SourceOperator):
     def _produce(self):
         try:
             for split in self._splits:
+                from velox_tpu.common import testvalue as TV
+                TV.adjust("TableScan::prefetch", split)
                 if self._stop.is_set():
                     return
                 while True:

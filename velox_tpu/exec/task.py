@@ -546,6 +546,8 @@ class Task:
             try:
                 self._driver_slice.value = (i, n)
                 for batch in self._run_node(node.source):
+                    from velox_tpu.common import testvalue as TV
+                    TV.adjust("LocalPartition::produce", (i, batch))
                     nb = batch.nbytes
                     if not q.put(batch, nb):
                         return
