@@ -346,3 +346,58 @@ def test_distributed_window_range_k_frame():
     s = serial.sort_values(["p", "o", "v", "s"]).reset_index(drop=True)
     assert len(d) == len(s)
     np.testing.assert_array_equal(d.s, s.s)
+
+
+def test_skew_hot_set_refreshes_on_new_hot_keys():
+    """Two-phase skew (VERDICT r4 #10): wave 1's hot key differs from
+    wave 2's. The hot SET must grow to the union and the build must
+    re-augment — previously it froze at first detection, so the second
+    hot key saw no splitting. Keys 3 and 17 hash to different
+    destinations on an 8-device mesh (asserted below), so the second
+    wave genuinely adds a new hot destination."""
+    rng = np.random.RandomState(5)
+    key_a, key_b = 3, 17
+    probe_tables = []
+    for i in range(16):  # 2 waves of 8
+        pk = rng.randint(0, 64, 100).astype("int64")
+        if i < 8:
+            pk[:80] = key_a
+        else:
+            pk[:80] = key_b
+        probe_tables.append(pa.table(pd.DataFrame({
+            "pk": pk,
+            "pv": np.arange(i * 100, (i + 1) * 100, dtype="int64")})))
+    build = pd.DataFrame({"bk": np.arange(64, dtype="int64"),
+                          "bv": np.arange(64, dtype="int64") * 10})
+    # precondition: the two hot keys route to different destinations
+    import jax.numpy as jnp
+    from velox_tpu import types as T
+    from velox_tpu.expression.eval import EvalValue
+    from velox_tpu.parallel.exchange import partition_ids
+    dests = np.asarray(partition_ids(
+        [EvalValue(jnp.asarray(np.array([key_a, key_b], "int64")),
+                   None, T.BIGINT)], 2, 8))
+    assert dests[0] != dests[1], "pick keys on distinct destinations"
+    b = PlanBuilder()
+    bb = b.new_builder().values([pa.table(build)])
+    plan = (b.values(probe_tables)
+            .hash_join(["pk"], ["bk"], bb, output=["pk", "pv", "bv"])
+            .plan())
+    from velox_tpu.common import metrics as M
+    from velox_tpu.core.config import QueryConfig as QC
+    from velox_tpu.exec.task import QueryCtx
+    ctx = QueryCtx({QC.JOIN_BROADCAST_THRESHOLD: 0, QC.SKEW_FACTOR: 3})
+    before = M.reporter().snapshot()["counters"].get(M.K_SKEW_SPLITS, 0)
+    dist = DistributedTask(plan, make_mesh(8), ctx=ctx).run().to_pandas()
+    after = M.reporter().snapshot()["counters"].get(M.K_SKEW_SPLITS, 0)
+    assert after - before >= 2, (
+        f"hot set did not refresh on the second hot key "
+        f"(augmentations: {after - before})")
+    all_probe = pd.concat([t.to_pandas() for t in probe_tables])
+    exp = all_probe.merge(build, left_on="pk", right_on="bk")
+    assert len(dist) == len(exp)
+    assert dist.pv.sum() == exp.pv.sum()
+    assert dist.bv.sum() == exp.bv.sum()
+    g = dist.sort_values(["pk", "pv"]).reset_index(drop=True)
+    e = exp.sort_values(["pk", "pv"]).reset_index(drop=True)
+    np.testing.assert_array_equal(g.bv.to_numpy(), e.bv.to_numpy())

@@ -672,9 +672,12 @@ class DistributedTask:
         emit_fn = self._cjit(pk + ("emit",), lambda: jax.jit(jax.vmap(
             probe._emit_chunk, in_axes=(0, 0, 0, 0, 0, None))))
         # skew handling (SURVEY §7.2 step 7): EVERY probe wave recomputes
-        # the cheap global histogram until skew is detected (skew arriving
-        # in later waves is caught); the hot set freezes at first
-        # detection because the build augmentation bakes it in.
+        # the cheap global histogram; the hot set is the UNION of all
+        # waves' hot destinations, and the build re-augments whenever a
+        # later wave introduces NEW hot keys (round 4 — the set used to
+        # freeze at first detection, so a second hot key saw no
+        # splitting). Re-augmentation rebuilds from the ORIGINAL build
+        # partitions, so it is idempotent over the accumulated set.
         # Right-phase joins are excluded (replicated build rows would
         # need cross-device matched merges).
         skew_ok = not track
@@ -682,19 +685,22 @@ class DistributedTask:
         skew_factor = self.ctx.query_config.get_int(
             QC.SKEW_FACTOR, 4)
         hot = None          # device bool[n] when skew detected
-        bt_aug = bt         # build table, augmented once on detection
+        hot_acc = None      # np bool[n]: union over waves
+        bt_aug = bt         # build table, re-augmented as the set grows
         for stacked in self._run_node(node.left):
-            if skew_ok and hot is None:
+            if skew_ok:
                 hist = self._global_histogram(stacked, lnames)
                 mean = max(1, int(hist.sum()) // n)
-                hot_np = hist > skew_factor * mean
-                if hot_np.any():
+                wave_hot = hist > skew_factor * mean
+                if wave_hot.any() and (
+                        hot_acc is None or (wave_hot & ~hot_acc).any()):
                     from velox_tpu.common import metrics as M
                     M.record_counter(M.K_SKEW_SPLITS)
-                    hot = jnp.asarray(hot_np)
+                    hot_acc = (wave_hot if hot_acc is None
+                               else (hot_acc | wave_hot))
+                    hot = jnp.asarray(hot_acc)
                     bt_aug = self._augment_build_with_hot(
                         node, stacked_build, resharded_b, hot)
-                # no skew this wave: keep re-checking on later waves
             if hot is not None:
                 pwin = self._count_window_spread(stacked, lnames, hot)
                 sp = self._reshard(stacked, lnames, pwin, spread_hot=hot)
