@@ -58,8 +58,44 @@ class QueryConfig:
     # (parity: velox exec/StreamingAggregation.h:29)
     STREAMING_AGG_ENABLED = "streaming_aggregation_enabled"
     # background split preload depth (0 = synchronous scans); parity:
-    # velox split prefetch on the I/O executor
+    # velox split prefetch on the I/O executor / kMaxSplitPreloadPerDriver
     SCAN_PREFETCH_DEPTH = "scan_prefetch_depth"
+    # velox kAbandonPartialAggregationMinRows / ...MinPct
+    # (QueryConfig.h:137-141): partial aggregation stops grouping when
+    # it is not reducing cardinality
+    ABANDON_PARTIAL_AGG_MIN_ROWS = "abandon_partial_aggregation_min_rows"
+    ABANDON_PARTIAL_AGG_MIN_PCT = "abandon_partial_aggregation_min_pct"
+    # velox kMaxLocalExchangeBufferSize (QueryConfig.h): byte bound of
+    # the in-process multi-driver exchange queue
+    MAX_LOCAL_EXCHANGE_BUFFER_BYTES = "max_local_exchange_buffer_size"
+    # velox kAggregationSpillEnabled / kJoinSpillEnabled /
+    # kOrderBySpillEnabled: per-operator-class switches for the offload
+    # (spill-analogue) machinery; disabling one keeps that operator's
+    # state resident in HBM regardless of the byte budgets
+    AGG_SPILL_ENABLED = "aggregation_spill_enabled"
+    JOIN_SPILL_ENABLED = "join_spill_enabled"
+    ORDERBY_SPILL_ENABLED = "order_by_spill_enabled"
+    # velox kDebugDisableCommonSubExpressions: turn off trace-time CSE
+    # in expression compilation (debugging aid)
+    DEBUG_DISABLE_CSE = "debug_disable_common_sub_expressions"
+    # velox kHashProbeFinishEarlyOnEmptyBuild: inner/semi probes skip
+    # the probe pipeline entirely when the build has zero usable rows
+    HASH_PROBE_FINISH_EARLY_ON_EMPTY_BUILD = \
+        "hash_probe_finish_early_on_empty_build"
+    # velox kSessionTimezone + kAdjustTimestampToTimezone: default zone
+    # for timezone-sensitive datetime functions
+    SESSION_TIMEZONE = "session_timezone"
+    ADJUST_TIMESTAMP_TO_SESSION_TIMEZONE = "adjust_timestamp_to_timezone"
+    # velox kBloomFilterExpectedNumItems / kBloomFilterNumBits defaults
+    # for bloom_filter_agg when the call gives no size hints
+    BLOOM_FILTER_EXPECTED_NUM_ITEMS = "bloom_filter_expected_num_items"
+    BLOOM_FILTER_NUM_BITS = "bloom_filter_num_bits"
+    # velox kMaxSpillBytes: cap on total DISK spill bytes per buffer
+    # (0 = unlimited); exceeding it raises instead of filling the disk
+    MAX_SPILL_BYTES = "max_spill_bytes"
+    # velox kPreferredOutputBatchBytes: advisory output batch sizing
+    # (BATCH_CAPACITY covers rows; static shapes make bytes advisory)
+    PREFERRED_OUTPUT_BATCH_BYTES = "preferred_output_batch_bytes"
     # block on each operator's device state at stage boundaries so
     # OperatorStats walls attribute truthfully (XLA dispatch is async;
     # without this, execution time lands at whatever sync point comes
@@ -77,6 +113,20 @@ class QueryConfig:
         SORT_OFFLOAD_BYTES: 4 << 30,
         OFFLOAD_HOST_BUDGET_BYTES: 0,
         SPILL_DIR: "",
+        ABANDON_PARTIAL_AGG_MIN_ROWS: 100_000,
+        ABANDON_PARTIAL_AGG_MIN_PCT: 0.8,
+        MAX_LOCAL_EXCHANGE_BUFFER_BYTES: 32 << 20,
+        AGG_SPILL_ENABLED: True,
+        JOIN_SPILL_ENABLED: True,
+        ORDERBY_SPILL_ENABLED: True,
+        DEBUG_DISABLE_CSE: False,
+        HASH_PROBE_FINISH_EARLY_ON_EMPTY_BUILD: True,
+        SESSION_TIMEZONE: "",
+        ADJUST_TIMESTAMP_TO_SESSION_TIMEZONE: False,
+        BLOOM_FILTER_EXPECTED_NUM_ITEMS: 10_000,
+        BLOOM_FILTER_NUM_BITS: 0,
+        MAX_SPILL_BYTES: 0,
+        PREFERRED_OUTPUT_BATCH_BYTES: 10 << 20,
         TRACE_ENABLED: False,
         TRACE_DIR: "",
         TRACE_NODE_IDS: "",

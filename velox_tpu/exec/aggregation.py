@@ -55,7 +55,9 @@ class AggregationOperator(Operator):
     """Group-by aggregation over one or more key columns."""
 
     def __init__(self, node: P.AggregationNode, pre_fn=None,
-                 host_offload: bool = False, compact_threshold: int = 8):
+                 host_offload: bool = False, compact_threshold: int = 8,
+                 abandon_min_rows: int = 100_000,
+                 abandon_min_pct: float = 0.8):
         super().__init__(node)
         # fused upstream Filter/Project chain, applied inside the same
         # jitted program as the partial step (exec/fuse.py)
@@ -249,8 +251,8 @@ class AggregationOperator(Operator):
         # when grouping barely reduces cardinality, PARTIAL stops grouping
         # and passes raw per-row states through to the final stage
         self._abandoned = False
-        self._abandon_min_rows = 100_000
-        self._abandon_min_pct = 0.8
+        self._abandon_min_rows = abandon_min_rows
+        self._abandon_min_pct = abandon_min_pct
         self._in_rows = []  # device scalars; synced at compact time
 
     def _passthrough_step(self, batch: DeviceBatch) -> DeviceBatch:

@@ -323,7 +323,7 @@ class HashBuildStage:
 
     def __init__(self, key_fields, offload_bytes=None, pool=None,
                  array_range=None, host_budget_bytes=None,
-                 spill_dir=None):
+                 spill_dir=None, max_spill_bytes=None):
         from velox_tpu.common import metrics as M
         from velox_tpu.exec.memory import OffloadBuffer
         self._key_fields = list(key_fields)
@@ -332,7 +332,8 @@ class HashBuildStage:
                                   metric_key=M.K_JOIN_BUILD_OFFLOADS,
                                   pool=pool,
                                   host_budget_bytes=host_budget_bytes,
-                                  spill_dir=spill_dir)
+                                  spill_dir=spill_dir,
+                                  max_spill_bytes=max_spill_bytes)
 
     def add_input(self, batch: DeviceBatch):
         self._buf.add(batch)
@@ -975,7 +976,8 @@ class MergeBuildStage:
     validates the sort contract once and returns a SortedBuild."""
 
     def __init__(self, key_fields, offload_bytes=None, pool=None,
-                 host_budget_bytes=None, spill_dir=None):
+                 host_budget_bytes=None, spill_dir=None,
+                 max_spill_bytes=None):
         from velox_tpu.common import metrics as M
         from velox_tpu.exec.memory import OffloadBuffer
         self._key_fields = list(key_fields)
@@ -983,7 +985,8 @@ class MergeBuildStage:
                                   metric_key=M.K_JOIN_BUILD_OFFLOADS,
                                   pool=pool,
                                   host_budget_bytes=host_budget_bytes,
-                                  spill_dir=spill_dir)
+                                  spill_dir=spill_dir,
+                                  max_spill_bytes=max_spill_bytes)
 
     def add_input(self, batch: DeviceBatch):
         self._buf.add(batch)

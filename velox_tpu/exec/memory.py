@@ -230,7 +230,8 @@ class OffloadBuffer:
     def __init__(self, budget_bytes: Optional[int], metric_key=None,
                  pool: Optional[MemoryPool] = None,
                  host_budget_bytes: Optional[int] = None,
-                 spill_dir: Optional[str] = None):
+                 spill_dir: Optional[str] = None,
+                 max_spill_bytes: Optional[int] = None):
         self.budget = budget_bytes
         self.used = 0
         self._device: List[DeviceBatch] = []
@@ -242,6 +243,9 @@ class OffloadBuffer:
         self.host_used = 0
         self._disk: List[DiskBatch] = []
         self._spill_dir = spill_dir
+        # velox kMaxSpillBytes: cap on disk bytes (None = unlimited)
+        self.max_spill_bytes = max_spill_bytes
+        self.disk_used = 0
         # arbitration: account device batches against the pool hierarchy
         # and accept force-offload requests from the arbitrator
         self._pool = pool
@@ -268,9 +272,18 @@ class OffloadBuffer:
         if self.host_budget is not None:
             while self._host and self.host_used > self.host_budget:
                 oldest = self._host.pop(0)
+                if self.max_spill_bytes is not None and \
+                        self.disk_used + oldest.nbytes \
+                        > self.max_spill_bytes:
+                    from velox_tpu.common.errors import VeloxRuntimeError
+                    raise VeloxRuntimeError(
+                        f"spill limit exceeded: {self.disk_used} + "
+                        f"{oldest.nbytes} bytes > max_spill_bytes="
+                        f"{self.max_spill_bytes}")
                 self._disk.append(
                     DiskBatch(oldest, self._default_spill_dir()))
                 self.host_used -= oldest.nbytes
+                self.disk_used += oldest.nbytes
 
     def add(self, batch: DeviceBatch) -> None:
         n = batch_nbytes(batch)

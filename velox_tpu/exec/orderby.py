@@ -49,7 +49,8 @@ class OrderByOperator(Operator):
     """Full sort: buffer all input, sort once at the end."""
 
     def __init__(self, node: P.OrderByNode, offload_bytes=None,
-                 pool=None, host_budget_bytes=None, spill_dir=None):
+                 pool=None, host_budget_bytes=None, spill_dir=None,
+                 max_spill_bytes=None):
         super().__init__(node)
         from velox_tpu.common import metrics as M
         from velox_tpu.exec.memory import OffloadBuffer
@@ -62,7 +63,8 @@ class OrderByOperator(Operator):
                                      metric_key=M.K_SORT_OFFLOADS,
                                      pool=pool,
                                      host_budget_bytes=host_budget_bytes,
-                                     spill_dir=spill_dir)
+                                     spill_dir=spill_dir,
+                                     max_spill_bytes=max_spill_bytes)
         self._out: Optional[DeviceBatch] = None
         rngs = _key_ranges(node, self._keys)
         from velox_tpu.exec.jit_cache import cached_jit

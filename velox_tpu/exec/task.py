@@ -79,8 +79,10 @@ class Task:
         qc = self.ctx.query_config
         hb = qc.get_int(QC.OFFLOAD_HOST_BUDGET_BYTES, 0)
         sd = qc.get_str(QC.SPILL_DIR)
+        ms = qc.get_int(QC.MAX_SPILL_BYTES, 0)
         return {"host_budget_bytes": hb or None,
-                "spill_dir": sd or None}
+                "spill_dir": sd or None,
+                "max_spill_bytes": ms or None}
 
     @staticmethod
     def _block(tree):
@@ -177,8 +179,13 @@ class Task:
         import jax
         import pyarrow as pa
         from velox_tpu.common import metrics as M
+        from velox_tpu.core.config import QueryConfig as QC
         from velox_tpu.vector.device import to_arrow
         t0 = time.perf_counter()
+        cse_off = self.ctx.query_config.get_bool(QC.DEBUG_DISABLE_CSE)
+        if cse_off:
+            from velox_tpu.expression import eval as _ev
+            _ev.set_cse_disabled(True)
         try:
             dev_batches = [self._compact_for_output(b)
                            for b in self.batches()]
@@ -194,6 +201,9 @@ class Task:
             self._terminate(e)
             raise
         finally:
+            if cse_off:
+                from velox_tpu.expression import eval as _ev
+                _ev.set_cse_disabled(False)
             for op in self.operators:
                 try:
                     op.close()
@@ -372,7 +382,11 @@ class Task:
                     node, pre_fn=pre,
                     host_offload=qc.get_bool(QC.AGG_HOST_OFFLOAD),
                     compact_threshold=qc.get_int(QC.AGG_COMPACT_THRESHOLD,
-                                                 8))
+                                                 8),
+                    abandon_min_rows=qc.get_int(
+                        QC.ABANDON_PARTIAL_AGG_MIN_ROWS, 100_000),
+                    abandon_min_pct=float(qc.get(
+                        QC.ABANDON_PARTIAL_AGG_MIN_PCT, 0.8)))
             # fused one-HBM-pass kernel for Q6-shaped global sums
             # (aggregation pushdown into scan; ops/filter_reduce.py)
             fr_op = self._try_filter_sum(node, chain, mk_agg)
@@ -383,9 +397,12 @@ class Task:
             yield from self._drive(chain.source, mk_agg(pre))
         elif isinstance(node, P.OrderByNode):
             from velox_tpu.core.config import QueryConfig as QC
+            qc_ = self.ctx.query_config
+            ob = (qc_.get_int(QC.SORT_OFFLOAD_BYTES, 4 << 30)
+                  if qc_.get_bool(QC.ORDERBY_SPILL_ENABLED, True)
+                  else None)
             yield from self._drive(node.source, OrderByOperator(
-                node, offload_bytes=self.ctx.query_config.get_int(
-                    QC.SORT_OFFLOAD_BYTES, 4 << 30),
+                node, offload_bytes=ob,
                 pool=self.ctx.memory_pool,
                 **self._spill_kwargs()))
         elif isinstance(node, P.TopNNode):
@@ -539,8 +556,10 @@ class Task:
         splits[i::n] slice into one byte-bounded queue."""
         import threading as _tm
 
+        from velox_tpu.core.config import QueryConfig as QC
         from velox_tpu.exec.local_exchange import LocalExchangeQueue
-        q = LocalExchangeQueue(n)
+        q = LocalExchangeQueue(n, max_bytes=self.ctx.query_config.get_int(
+            QC.MAX_LOCAL_EXCHANGE_BUFFER_BYTES, 32 << 20))
 
         def produce(i):
             try:
@@ -604,10 +623,12 @@ class Task:
         # Build side: nested pipeline run to completion (JoinBridge parity).
         from velox_tpu.core.config import QueryConfig as QC
         from velox_tpu.exec.join import array_join_range
+        qc_ = self.ctx.query_config
         build = HashBuildStage(
             node.right_keys,
-            offload_bytes=self.ctx.query_config.get_int(
-                QC.JOIN_BUILD_OFFLOAD_BYTES, 4 << 30),
+            offload_bytes=(
+                qc_.get_int(QC.JOIN_BUILD_OFFLOAD_BYTES, 4 << 30)
+                if qc_.get_bool(QC.JOIN_SPILL_ENABLED, True) else None),
             pool=self.ctx.memory_pool,
             array_range=array_join_range(node),
             **self._spill_kwargs())
@@ -621,6 +642,8 @@ class Task:
         probe.stats.build_wall_ns = time.perf_counter_ns() - t0
         probe.set_built_table(table)
         left = self._maybe_push_dynamic_filter(node, table)
+        if left is None:  # empty build, inner/semi: no probe at all
+            return
         yield from self._drive(left, probe)
 
     def _run_merge_join(self, node: P.MergeJoinNode
@@ -713,6 +736,13 @@ class Task:
         n_usable, summaries = jax.device_get(summaries_fn(table.batch))
         n_usable = int(n_usable)
         if n_usable == 0:
+            # kHashProbeFinishEarlyOnEmptyBuild: an inner/semi probe of
+            # an empty build emits nothing — skip the probe pipeline
+            # (including its scans) entirely. The n_usable fetch rides
+            # the dynamic-filter summary sync (no extra round trip).
+            if self.ctx.query_config.get_bool(
+                    QC.HASH_PROBE_FINISH_EARLY_ON_EMPTY_BUILD, True):
+                return None
             return left
         for lk, (lo, hi, small) in zip(node.left_keys, summaries):
             dt = lk.dtype

@@ -97,6 +97,16 @@ def merge_validity(*vals: EvalValue):
     return out
 
 
+_cse_disabled = False
+
+
+def set_cse_disabled(flag: bool):
+    """kDebugDisableCommonSubExpressions: turn off trace-time common-
+    subexpression caching (debugging aid; set per-Task around run())."""
+    global _cse_disabled
+    _cse_disabled = flag
+
+
 class EvalCtx:
     """Per-eval context: input columns + static capacity + error channel.
 
@@ -169,6 +179,8 @@ def special_form(name):
 
 
 def _eval(expr: ex.TypedExpr, ctx: EvalCtx, cache) -> EvalValue:
+    if _cse_disabled:
+        return _eval_uncached(expr, ctx, cache)
     hit = cache.get(expr)
     if hit is not None:
         return hit
