@@ -102,3 +102,46 @@ def test_is_subnet_of_ip_column():
     df = pd.DataFrame({"ip": ["10.2.3.4", "11.0.0.1", "10.255.0.1"]})
     got = _run(df, ["is_subnet_of('10.0.0.0/8', ip) as s"])
     assert got.s.tolist() == [True, False, True]
+
+
+JDOCS = [
+    '{"a": {"b": [1, 2, 3]}, "s": "x"}',
+    '[10, 20, "t", true, null]',
+    '"scalar"',
+    'not json',
+    '[]',
+]
+
+
+def test_json_family_completion():
+    df = pd.DataFrame({"j": JDOCS})
+    got = _run(df, [
+        "json_array_get(j, 1) as g1",
+        "json_array_get(j, -1) as gm1",
+        "json_array_contains(j, 20) as c20",
+        "json_size(j, '$') as sz",
+        "json_size(j, '$.a') as sza",
+        "json_format(j) as fmt",
+    ])
+    assert pd.isna(got.g1[0]) and got.g1[1] == "20"
+    assert got.gm1[1] == "null"
+    assert pd.isna(got.g1[3]) and pd.isna(got.g1[4])
+    assert not bool(got.c20[0]) or pd.isna(got.c20[0])
+    assert bool(got.c20[1])
+    assert pd.isna(got.c20[2]) and pd.isna(got.c20[3])
+    assert got.sz[0] == 2 and got.sz[1] == 5 and got.sz[2] == 0
+    assert pd.isna(got.sz[3])
+    assert got.sza[0] == 1
+    assert got.fmt[0] == '{"a":{"b":[1,2,3]},"s":"x"}'
+    assert pd.isna(got.fmt[3])
+
+
+def test_json_parse():
+    df = pd.DataFrame({"j": ['{"a": 1,  "b":[1, 2]}', '[1,2]']})
+    got = _run(df, ["json_parse(j) as p"])
+    assert got.p.tolist() == ['{"a":1,"b":[1,2]}', "[1,2]"]
+    import pytest as _pytest
+    from velox_tpu.common.errors import VeloxError
+    bad = pd.DataFrame({"j": ["{oops"]})
+    with _pytest.raises(VeloxError):
+        _run(bad, ["json_parse(j) as p"])

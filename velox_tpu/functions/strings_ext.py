@@ -209,6 +209,137 @@ def _is_json_scalar_eval(ctx, out_dtype, args):
 register("is_json_scalar", _str_resolver(T.BOOLEAN), _is_json_scalar_eval)
 
 
+def _json_array_contains_eval(ctx, out_dtype, args):
+    """json_array_contains(json, value): value is a constant scalar;
+    NULL on non-array json (JsonFunctions.cpp parity)."""
+    v = args[1]
+    want = v.py_value if v.py_value is not None else (
+        None if v.data is None else v.data.item()
+        if getattr(v.data, "ndim", 1) == 0 else None)
+    if want is None:
+        raise NotImplementedError(
+            "json_array_contains: value must be a constant")
+    if v.dtype.kind is T.TypeKind.DECIMAL:
+        want = float(want) / 10.0 ** v.dtype.scale
+
+    def f(s):
+        try:
+            arr = _json.loads(s)
+        except Exception:
+            return None
+        if not isinstance(arr, list):
+            return None
+        for x in arr:
+            if isinstance(want, bool) or isinstance(x, bool):
+                if x is want:
+                    return True
+            elif isinstance(want, (int, float)) \
+                    and isinstance(x, (int, float)):
+                if float(x) == float(want):
+                    return True
+            elif x == want:
+                return True
+        return False
+
+    d = _require_dict(args[0], "json_array_contains")
+    vals = [f(x) for x in d.values]
+    table = np.array([bool(x) for x in vals], dtype=bool)
+    nulls = np.array([x is None for x in vals], dtype=bool)
+    data = jnp.asarray(table)[args[0].data]
+    isnull = jnp.asarray(nulls)[args[0].data]
+    validity = (~isnull if args[0].validity is None
+                else (args[0].validity & ~isnull))
+    return EvalValue(data, validity, T.BOOLEAN)
+
+
+register("json_array_contains",
+         lambda ts: T.BOOLEAN if len(ts) == 2 and ts[0].is_string
+         else None, _json_array_contains_eval)
+
+
+def _json_array_get_eval(ctx, out_dtype, args):
+    """json_array_get(json, index): negative indexes from the end;
+    out-of-range or non-array -> NULL; the element re-serializes as
+    canonical JSON (scalars keep their JSON form)."""
+    idx_v = args[1]
+    if idx_v.py_value is None:
+        raise NotImplementedError(
+            "json_array_get: index must be a constant")
+    idx = int(idx_v.py_value)
+
+    def f(s):
+        try:
+            arr = _json.loads(s)
+        except Exception:
+            return None
+        if not isinstance(arr, list):
+            return None
+        i = idx if idx >= 0 else len(arr) + idx
+        if not 0 <= i < len(arr):
+            return None
+        return _json.dumps(arr[i], separators=(",", ":"))
+    return _dict_map_nullable(args[0], f)
+
+
+register("json_array_get",
+         lambda ts: T.VARCHAR if len(ts) == 2 and ts[0].is_string
+         else None, _json_array_get_eval)
+
+
+def _json_parse_eval(ctx, out_dtype, args):
+    """json_parse: validates + canonicalizes (the JSON type maps to
+    VARCHAR canonical text here); invalid input is a USER error in the
+    reference — surfaced as NULL + a traced error is not available in
+    dictionary space, so invalid input raises."""
+    def f(s):
+        try:
+            return _json.dumps(_json.loads(s), separators=(",", ":"))
+        except Exception:
+            from velox_tpu.common.errors import VeloxUserError
+            raise VeloxUserError(f"json_parse: invalid JSON: {s[:80]!r}")
+    return _dict_map(args[0], f)
+
+
+register("json_parse", _str_resolver(T.VARCHAR), _json_parse_eval)
+
+
+def _json_format_eval(ctx, out_dtype, args):
+    def f(s):
+        try:
+            return _json.dumps(_json.loads(s), separators=(",", ":"))
+        except Exception:
+            return None
+    return _dict_map_nullable(args[0], f)
+
+
+register("json_format", _str_resolver(T.VARCHAR), _json_format_eval)
+
+
+def _json_size_eval(ctx, out_dtype, args):
+    """json_size(json, path): member count of the object/array at path
+    (scalars -> 0); NULL when the path misses (JsonFunctions.cpp)."""
+    path = _const_str(args[1], "json_size")
+
+    def f(s):
+        try:
+            v = _json_walk(_json.loads(s), path)
+        except Exception:
+            return -1
+        if v is None:
+            return -1
+        return len(v) if isinstance(v, (dict, list)) else 0
+
+    out = _dict_lookup(args[0], f, T.BIGINT)
+    bad = out.data < 0
+    validity = ~bad if out.validity is None else (out.validity & ~bad)
+    return EvalValue(out.data, validity, T.BIGINT)
+
+
+register("json_size",
+         lambda ts: T.BIGINT if len(ts) == 2 and ts[0].is_string
+         else None, _json_size_eval)
+
+
 # ---------------------------------------------------------------------------
 # URL functions (URLFunctions.h parity)
 # ---------------------------------------------------------------------------
