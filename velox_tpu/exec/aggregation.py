@@ -995,18 +995,41 @@ class AggregationOperator(Operator):
                 getattr(self, "_collect_rows", None),
                 getattr(self, "_global_state", None))
 
+    @staticmethod
+    def _pow2_suffix_actives(mask):
+        """Active-row counts past each power-of-two boundary (traced;
+        ~log2(cap) scalars). Fetching this small vector WITH the group
+        count makes the shrink decision ONE host sync instead of two —
+        each device_get pays a ~25 ms RTT through the remote tunnel."""
+        cap = mask.shape[0]
+        cm = jnp.cumsum(mask.astype(jnp.int32))
+        total = cm[-1]
+        bounds = [1 << k for k in range((max(1, cap - 1)).bit_length())
+                  if (1 << k) < cap]
+        if not bounds:
+            return total, jnp.zeros((1,), jnp.int32)
+        idx = jnp.asarray([b - 1 for b in bounds], jnp.int32)
+        return total, total - cm[idx]  # actives at positions >= 2^k
+
     def _compact_partials(self):
         """Fold all pending partial runs into one right-sized state batch.
 
-        Reads the group count back to the host once per fold to pick a
-        static capacity (the analogue of velox's adaptive hash-table resize,
-        HashTable::decideHashMode)."""
-        from velox_tpu.exec.batch_utils import slice_batch
+        ONE host read per fold (group count + pow2-boundary tail counts
+        in a single device_get) picks the static capacity — the analogue
+        of velox's adaptive hash-table resize, HashTable::decideHashMode."""
         merged = self._compact_fn(concat_batches(self._partials))
-        num_groups = int(jax.device_get(merged.num_active()))
-        if self._step is P.AggregationStep.PARTIAL and not self._abandoned \
-                and self._in_rows:
-            rows = int(jax.device_get(sum(self._in_rows)))
+        from velox_tpu.exec.jit_cache import cached_jit
+        suffix_fn = cached_jit(("pow2_suffix", merged.capacity),
+                               lambda: jax.jit(self._pow2_suffix_actives))
+        rows_dev = (sum(self._in_rows)
+                    if (self._step is P.AggregationStep.PARTIAL
+                        and not self._abandoned and self._in_rows)
+                    else None)
+        fetched = jax.device_get((suffix_fn(merged.mask), rows_dev))
+        (num_groups, tails), rows = fetched
+        num_groups = int(num_groups)
+        if rows is not None:
+            rows = int(rows)
             if rows >= self._abandon_min_rows \
                     and num_groups >= self._abandon_min_pct * rows:
                 # grouping is not reducing cardinality: emit the compacted
@@ -1015,7 +1038,7 @@ class AggregationOperator(Operator):
                 self._outputs.append(merged)
                 self._partials = []
                 return
-        merged = self._shrink(merged, num_groups)
+        merged = self._shrink(merged, num_groups, tails)
         if self._host_offload:
             from velox_tpu.common import metrics as M
             from velox_tpu.exec.memory import HostBatch
@@ -1026,9 +1049,12 @@ class AggregationOperator(Operator):
             self._partials = [merged]
 
     def _shrink(self, merged: DeviceBatch,
-                num_groups: Optional[int] = None) -> DeviceBatch:
+                num_groups: Optional[int] = None,
+                tails=None) -> DeviceBatch:
         """Cut a compacted run down to a pow2 capacity near its group count
-        (one host sync; the analogue of HashTable::decideHashMode resize)."""
+        (the analogue of HashTable::decideHashMode resize). ``tails``
+        (pow2-boundary suffix actives, from _pow2_suffix_actives) avoids
+        a second device round trip; without it the tail check fetches."""
         from velox_tpu.exec.batch_utils import slice_batch
         if num_groups is None:
             num_groups = int(jax.device_get(merged.num_active()))
@@ -1037,7 +1063,11 @@ class AggregationOperator(Operator):
         if want < cap:
             # Safe only when groups are a dense prefix (hash mode); array
             # mode scatters groups over the domain — verify before cutting.
-            tail = int(jax.device_get(jnp.sum(merged.mask[want:])))
+            if tails is not None:
+                k = max(0, int(want).bit_length() - 1)
+                tail = int(tails[k]) if k < len(tails) else 0
+            else:
+                tail = int(jax.device_get(jnp.sum(merged.mask[want:])))
             if tail == 0:
                 from velox_tpu.exec.jit_cache import cached_jit
                 fn = cached_jit(("agg_shrink_slice", want),
