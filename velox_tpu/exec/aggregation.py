@@ -1054,10 +1054,16 @@ class AggregationOperator(Operator):
         """Cut a compacted run down to a pow2 capacity near its group count
         (the analogue of HashTable::decideHashMode resize). ``tails``
         (pow2-boundary suffix actives, from _pow2_suffix_actives) avoids
-        a second device round trip; without it the tail check fetches."""
+        a second device round trip; without it both the count and the
+        boundary tails come back in one fetch."""
         from velox_tpu.exec.batch_utils import slice_batch
         if num_groups is None:
-            num_groups = int(jax.device_get(merged.num_active()))
+            from velox_tpu.exec.jit_cache import cached_jit
+            suffix_fn = cached_jit(
+                ("pow2_suffix", merged.capacity),
+                lambda: jax.jit(self._pow2_suffix_actives))
+            num_groups, tails = jax.device_get(suffix_fn(merged.mask))
+            num_groups = int(num_groups)
         cap = merged.capacity
         want = max(1024, 1 << (max(1, num_groups - 1)).bit_length())
         if want < cap:

@@ -688,6 +688,22 @@ class Task:
         if node.join_type not in (P.JoinType.INNER,
                                   P.JoinType.LEFT_SEMI_FILTER):
             return node.left
+        # Cost gate (round 4, measured): the pushdown's summaries fetch
+        # stalls the pipeline ~75-100 ms per join (it forces the build
+        # and serializes against the probe-side scan dispatch). For an
+        # ARRAY-mode probe of a PROVABLY-UNIQUE build the row filter
+        # buys nothing — the dense-domain lookup already rejects
+        # out-of-range keys for free and masked rows cost no compute
+        # under static shapes. Skipping it took Q3 SF1 0.630 -> 0.478 s
+        # and Q18 0.552 -> 0.363 s. Duplicate-key (count-path) joins
+        # keep the pushdown: smaller match counts mean fewer emit
+        # chunks, a real win.
+        from velox_tpu.core.stats import resolve_column_unique
+        from velox_tpu.exec.join import array_join_range
+        if array_join_range(node) is not None and any(
+                resolve_column_unique(node.right, k.name)
+                for k in node.right_keys):
+            return node.left
         from velox_tpu.exec.join import _key_values, _usable
         left = node.left
         lt = left.output_type()
