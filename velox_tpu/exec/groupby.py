@@ -369,6 +369,11 @@ def reduce_sort_mode(
             validity = None
             if isnull is not None:
                 validity = ~isnull | ~group_mask  # padding rows: non-null
+            if f.kind == "raw":
+                from velox_tpu.vector import strings as S
+                bytes2d, lens = data
+                out_keys.append(S.raw_value(bytes2d, lens, validity))
+                continue
             out_keys.append(EvalValue(data, validity, v.dtype,
                                       v.dictionary))
         return out_keys, out_states, group_mask

@@ -232,6 +232,20 @@ class TableScanOperator(SourceOperator):
                     self._queue.get_nowait()
             except Exception:
                 pass
+            # JOIN the producer: a thread that outlives its Task keeps
+            # dispatching JAX concurrently with the next query's main
+            # thread — observed as an XLA:CPU segfault in the test
+            # suite. The producer exits at its next queue/stop check;
+            # the bounded wait covers one in-flight split decode.
+            t = getattr(self, "_thread", None)
+            if t is not None and t.is_alive():
+                while t.is_alive():
+                    t.join(timeout=0.25)
+                    try:
+                        while True:
+                            self._queue.get_nowait()
+                    except Exception:
+                        pass
 
     def get_output(self):
         if self._queue is not None:

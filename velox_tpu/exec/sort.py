@@ -126,8 +126,11 @@ class KeyFieldLayout:
 
     kind: 'const' (contributes no bits; value == base), 'narrow'
     (stats-narrowed: value = base + bits), 'words' (full-width
-    order-preserving words; decode per dtype), 'opaque' (not invertible —
-    DOUBLE's 3xf32 split, int128 limbs)."""
+    order-preserving words; decode per dtype), 'raw' (raw string byte
+    words + length word; ``base`` holds the byte-matrix width W and
+    decode reassembles the (cap, W) matrix from the lanes with pure
+    shifts), 'opaque' (not invertible — DOUBLE's 3xf32 split, int128
+    limbs)."""
 
     __slots__ = ("kind", "off", "nb", "base", "desc", "null_off",
                  "null_is_one", "dtype", "arr_dtype", "dictionary")
@@ -235,13 +238,16 @@ def sort_words_layout(
             vw = [~x for x in vw]
         fields.extend((x, 32) for x in vw)
         kind = "words"
+        base_val = 0
         if v.dtype.kind is T.TypeKind.DOUBLE or v.dtype.is_long_decimal:
             kind = "opaque"  # 3xf32 split / int128 limbs: not invertible
-        elif v.dtype.is_string and v.dictionary is None:
-            kind = "opaque"  # raw bytes: decoded via gathers, not lanes
+        elif v.dtype.is_string and v.dictionary is None \
+                and getattr(v.data, "ndim", 1) == 2:
+            kind = "raw"     # byte words + length word; base stores W
+            base_val = int(v.data.shape[1])
         layout.append(KeyFieldLayout(
-            kind, off, 32 * len(vw), 0, desc, null_off, null_is_one,
-            v.dtype, arr_dt, v.dictionary))
+            kind, off, 32 * len(vw), base_val, desc, null_off,
+            null_is_one, v.dtype, arr_dt, v.dictionary))
         off += 32 * len(vw)
 
     # msb-first bit packing into up-to-32-bit words
@@ -318,6 +324,25 @@ def decode_key_field(f: KeyFieldLayout, lanes: List, lane_bits: List[int],
             return (w != 0).astype(f.arr_dtype), isnull
         data = w.astype(jnp.int64) + jnp.int64(f.base)
         return data.astype(f.arr_dtype), isnull
+    if f.kind == "raw":
+        # raw string: W/4 big-endian byte words + a length word, packed
+        # by vector/strings.py sort_key_words. Reassembling the (cap, W)
+        # byte matrix is pure shifts — no gathers.
+        w_bytes = f.base
+        nwords = f.nb // 32
+        ws = [extract_lane_bits(lanes, lane_bits, f.off + 32 * j, 32)
+              for j in range(nwords)]
+        if f.desc:
+            ws = [~w for w in ws]
+        cols = []
+        for j in range(w_bytes // 4):
+            word = ws[j]
+            for shift in (24, 16, 8, 0):
+                cols.append(((word >> np.uint32(shift))
+                             & np.uint32(0xFF)).astype(jnp.uint8))
+        data = jnp.stack(cols, axis=1)
+        lens = ws[-1].astype(jnp.int32)
+        return (data, lens), isnull
     if f.kind == "words":
         nwords = f.nb // 32
         ws = [extract_lane_bits(lanes, lane_bits, f.off + 32 * j, 32)

@@ -576,7 +576,8 @@ class Task:
             finally:
                 self._driver_slice.value = None
 
-        threads = [_tm.Thread(target=produce, args=(i,), daemon=True)
+        threads = [_tm.Thread(target=produce, args=(i,), daemon=True,
+                              name=f"velox-lp-{node.id}-{i}")
                    for i in range(n)]
         for t in threads:
             t.start()
@@ -588,6 +589,15 @@ class Task:
                 yield batch
         finally:
             q.stop()
+            # JOIN producers: a thread outliving its Task dispatches JAX
+            # concurrently with the next query's main thread — observed
+            # as an XLA:CPU segfault in the full test suite. Producers
+            # exit at their next put()/stop check, so this waits at most
+            # one in-flight batch per thread.
+            for t in threads:
+                while t.is_alive():
+                    t.join(timeout=0.25)
+                    q.stop()  # re-signal in case of a put/stop race
 
     def _make_scan(self, node: P.TableScanNode) -> TableScanOperator:
         from velox_tpu.connectors.connector import get_connector
