@@ -2,7 +2,11 @@
 available device, vs a pandas/numpy CPU baseline over identical data.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} and writes
-per-config detail to bench_detail.json.
+per-config detail to bench_detail.json. A wall-clock budget
+(VELOX_BENCH_BUDGET_S, default 480s) guards the run: a watchdog thread
+prints the summary from whatever configs completed and exits at the
+deadline, and the SF10/micro stages are skipped when too little budget
+remains — the summary line is ALWAYS produced.
 
 Configs follow BASELINE.json (Q6 scan+filter+sum, Q1 hash aggregate,
 orderBy radix sort, Q3 join+aggregate, Q18 skewed join) at SF1 on the one
@@ -24,11 +28,67 @@ BASELINE.md records that no absolute reference numbers are published.
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
 import pandas as pd
+
+# ---- wall-clock budget + watchdog -----------------------------------------
+# Round 4's driver run timed out (rc=124) with ZERO output: the final
+# commits invalidated the persistent compile cache, every multi-join plan
+# recompiled through the minutes-long remote AOT path, and the summary line
+# never printed. The bench must ALWAYS emit its one JSON line within the
+# budget, reporting whatever configs completed; a daemon watchdog prints the
+# partial summary and exits the process at the deadline.
+BUDGET_S = float(os.environ.get("VELOX_BENCH_BUDGET_S", "480"))
+_T0 = time.monotonic()
+_STATE = {"rates": [], "ratios": [], "detail": {}, "printed": False}
+_PRINT_LOCK = threading.Lock()
+
+
+def _remaining():
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+def _emit_summary(partial=False):
+    """Print the one stdout JSON line (idempotent across threads)."""
+    with _PRINT_LOCK:
+        if _STATE["printed"]:
+            return
+        _STATE["printed"] = True
+    rates, ratios = _STATE["rates"], _STATE["ratios"]
+    detail = _STATE["detail"]
+    if partial:
+        detail = dict(detail)
+        detail["budget_exceeded"] = {
+            "budget_s": BUDGET_S, "configs_done": len(rates)}
+    try:
+        with open("bench_detail.json", "w") as f:
+            json.dump(detail, f, indent=1)
+    except Exception:
+        pass
+    print(json.dumps(detail), file=sys.stderr)
+    geo_rate = float(np.exp(np.mean(np.log(rates)))) if rates else 0.0
+    geo_ratio = float(np.exp(np.mean(np.log(ratios)))) if ratios else 0.0
+    print(json.dumps({
+        "metric": "tpch_sf1_geomean_lineitem_rows_per_s_warm",
+        "value": geo_rate,
+        "unit": "rows/s",
+        "vs_baseline": geo_ratio,
+    }), flush=True)
+    sys.stderr.flush()
+
+
+def _watchdog():
+    while True:
+        r = _remaining()
+        if r <= 0:
+            _emit_summary(partial=True)
+            os._exit(0)
+        time.sleep(min(r, 5.0))
 
 
 def days(iso):
@@ -199,6 +259,7 @@ def _run_sf10():
 
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
     import jax
     jax.config.update("jax_enable_x64", True)
 
@@ -230,12 +291,14 @@ def main():
                 .limit(1000)
                 .plan())
 
+    # cheapest-cold first so a cache-invalidated run still reports the
+    # scan/agg/sort configs before the minutes-long multi-join compiles
     configs = [
         ("q6_sf1", lambda: tpch_plan(6), cpu_q6),
         ("q1_sf1", lambda: tpch_plan(1), cpu_q1),
         ("orderby_sf1", orderby_plan, cpu_orderby),
-        ("q3_sf1", lambda: tpch_plan(3), cpu_q3),
         ("q18_sf1", lambda: tpch_plan(18), cpu_q18),
+        ("q3_sf1", lambda: tpch_plan(3), cpu_q3),
     ]
 
     try:
@@ -243,9 +306,9 @@ def main():
     except Exception:
         hbm_bw = None
 
-    detail = {}
-    ratios = []
-    rates = []
+    detail = _STATE["detail"]
+    ratios = _STATE["ratios"]
+    rates = _STATE["rates"]
     for name, plan_fn, cpu_fn in configs:
         try:
             cold, warm, out, task = engine_wall(plan_fn)
@@ -272,33 +335,28 @@ def main():
             detail[name] = {"error": f"{type(e).__name__}: {e}"}
 
     # ---- SF10 stage (VERDICT r4 #5): 10x the rows under a CAPPED query
-    # HBM pool so arbitration/offload runs inside the benchmark.
-    try:
-        detail["sf10"] = _run_sf10()
-    except Exception as e:
-        detail["sf10"] = {"error": f"{type(e).__name__}: {e}"}
+    # HBM pool so arbitration/offload runs inside the benchmark. Only when
+    # enough budget remains: SF10 host data gen + pandas baselines + the
+    # three engine runs need ~3 minutes warm.
+    if _remaining() > 210:
+        try:
+            detail["sf10"] = _run_sf10()
+        except Exception as e:
+            detail["sf10"] = {"error": f"{type(e).__name__}: {e}"}
+    else:
+        detail["sf10"] = {"skipped": f"budget ({_remaining():.0f}s left)"}
 
     # kernel-level micro numbers ride the detail artifact so per-round
     # progress on insert/probe/sort throughput is visible (VERDICT w#12)
-    try:
-        from benchmarks import run_micro
-        detail["micro_Mrows_per_s"] = {
-            k: round(v, 1) for k, v in run_micro(20).items()}
-    except Exception as e:
-        detail["micro_Mrows_per_s"] = {"error": str(e)}
+    if _remaining() > 60:
+        try:
+            from benchmarks import run_micro
+            detail["micro_Mrows_per_s"] = {
+                k: round(v, 1) for k, v in run_micro(20).items()}
+        except Exception as e:
+            detail["micro_Mrows_per_s"] = {"error": str(e)}
 
-    with open("bench_detail.json", "w") as f:
-        json.dump(detail, f, indent=1)
-    print(json.dumps(detail), file=sys.stderr)
-
-    geo_rate = float(np.exp(np.mean(np.log(rates)))) if rates else 0.0
-    geo_ratio = float(np.exp(np.mean(np.log(ratios)))) if ratios else 0.0
-    print(json.dumps({
-        "metric": "tpch_sf1_geomean_lineitem_rows_per_s_warm",
-        "value": geo_rate,
-        "unit": "rows/s",
-        "vs_baseline": geo_ratio,
-    }))
+    _emit_summary()
 
 
 if __name__ == "__main__":

@@ -1,11 +1,14 @@
-"""Hive connector: file-based table scans and writes (Parquet).
+"""Hive connector: file-based table scans and writes (Parquet + ORC).
 
 Role parity: ``velox/connectors/hive`` (HiveDataSource splits/partitions,
 HiveDataSink) + the dwio reader stack. Per SURVEY.md §7.4, file decoding on
-the TPU is out of scope: pyarrow's Parquet reader plays the role of the
-dwio readers, and this connector supplies the split model (one split = a
-row-group range of one file, parity connectors/hive/HiveConnectorSplit),
-column pruning, and device upload with trace-stable dictionaries.
+the TPU is out of scope: pyarrow's Parquet and ORC readers play the role of
+the dwio readers (dwio/parquet; the ORC flavor of dwio/dwrf — DWRF proper,
+Meta's pre-ORC fork, has no host decoder in this image and stays out of
+scope), and this connector supplies the split model (one split = a
+row-group/stripe range of one file, parity connectors/hive/
+HiveConnectorSplit), column pruning, and device upload with trace-stable
+dictionaries.
 
 String dictionaries: ordered comparisons run in dictionary-id space, which
 requires one *sorted, table-stable* dictionary per column. The connector
@@ -41,6 +44,74 @@ class HiveSplit(ConnectorSplit):
     row_group_hi: int = 0  # exclusive
 
 
+# ---------------------------------------------------------------------------
+# File-format layer. Parity: the dwio reader dispatch (dwio/common/
+# ReaderFactory.h registers per-format readers; dwio/parquet + the ORC
+# flavor of dwio/dwrf). Per SURVEY §7.4 decoding happens on the host via
+# pyarrow; this layer maps both formats onto the ONE split model above —
+# a parquet row group and an ORC stripe are the same unit here. DWRF
+# (Meta's pre-ORC fork) has no host-side decoder in this image and stays
+# out of scope.
+# ---------------------------------------------------------------------------
+
+def file_format(path: str) -> str:
+    return "orc" if path.endswith(".orc") else "parquet"
+
+
+def _orc_file(path: str, fs=None):
+    import pyarrow.orc as orc
+    return orc.ORCFile(fs.open_input_file(path) if fs is not None
+                       else path)
+
+
+def _read_schema(path: str, fs=None):
+    if file_format(path) == "orc":
+        return _orc_file(path, fs).schema
+    import pyarrow.parquet as pq
+    return pq.read_schema(path, filesystem=fs)
+
+
+def _num_row_groups(path: str, fs=None) -> int:
+    if file_format(path) == "orc":
+        return _orc_file(path, fs).nstripes
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(path, filesystem=fs).metadata.num_row_groups
+
+
+def _row_group_sizes(path: str, fs=None) -> List[int]:
+    """Rows per row group / stripe. Parquet reads footer metadata; ORC
+    (pyarrow exposes no per-stripe row counts) reads the first column of
+    each stripe — paid once per table, cached by the caller."""
+    if file_format(path) == "orc":
+        f = _orc_file(path, fs)
+        col = [f.schema.names[0]] if f.schema.names else None
+        return [f.read_stripe(i, columns=col).num_rows
+                for i in range(f.nstripes)]
+    import pyarrow.parquet as pq
+    md = pq.ParquetFile(path, filesystem=fs).metadata
+    return [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+
+
+def _read_row_groups(path: str, fs, lo: int, hi: int, columns):
+    import pyarrow as pa
+    if file_format(path) == "orc":
+        f = _orc_file(path, fs)
+        batches = [f.read_stripe(i, columns=list(columns))
+                   for i in range(lo, hi)]
+        return pa.Table.from_batches(
+            batches, schema=batches[0].schema if batches else None)
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(path, filesystem=fs)
+    return pf.read_row_groups(list(range(lo, hi)), columns=columns)
+
+
+def _read_table(path: str, fs, columns):
+    if file_format(path) == "orc":
+        return _orc_file(path, fs).read(columns=list(columns))
+    import pyarrow.parquet as pq
+    return pq.read_table(path, columns=columns, filesystem=fs)
+
+
 def _path_partitions(path: str) -> Dict[str, str]:
     """Hive partition values from ``key=value`` path segments."""
     out: Dict[str, str] = {}
@@ -60,7 +131,6 @@ class HiveTable:
 
     def __init__(self, name: str, paths: List[str], fs=None,
                  string_encoding: str = "dict"):
-        import pyarrow.parquet as pq
         self.name = name
         self.fs = fs
         # VARCHAR representation policy: "dict" | "raw" | "auto"
@@ -73,8 +143,7 @@ class HiveTable:
         self.paths = sorted(paths)
         if not self.paths:
             raise ValueError(f"hive table {name!r}: no files")
-        self.schema_arrow = pq.read_schema(self.paths[0],
-                                           filesystem=fs)
+        self.schema_arrow = _read_schema(self.paths[0], fs)
         self.partitions = {p: _path_partitions(p) for p in self.paths}
         self.partition_cols = sorted(
             {k for ps in self.partitions.values() for k in ps})
@@ -101,9 +170,8 @@ class HiveTable:
             elif str_cols:
                 from velox_tpu.vector import strings as S
                 import pyarrow.compute as pc
-                import pyarrow.parquet as pq
-                pf = pq.ParquetFile(self.paths[0], filesystem=self.fs)
-                t = pf.read_row_group(0, columns=str_cols)
+                t = _read_row_groups(self.paths[0], self.fs, 0, 1,
+                                     str_cols)
                 for c in str_cols:
                     col = t.column(c)
                     n = len(col)
@@ -138,11 +206,9 @@ class HiveTable:
                     and f.name not in raw]
         if str_cols:
             import pyarrow.compute as pc
-            import pyarrow.parquet as pq
             uniq = {c: set() for c in str_cols}
             for p in self.paths:
-                t = pq.read_table(p, columns=str_cols,
-                                  filesystem=self.fs)
+                t = _read_table(p, self.fs, str_cols)
                 for c in str_cols:
                     col = t.column(c)
                     vals = pc.unique(col.combine_chunks()).to_pylist()
@@ -153,22 +219,16 @@ class HiveTable:
 
     def max_row_group_rows(self) -> int:
         if self._max_row_group_rows is None:
-            import pyarrow.parquet as pq
             m = 1
             for p in self.paths:
-                md = pq.ParquetFile(p, filesystem=self.fs).metadata
-                for i in range(md.num_row_groups):
-                    m = max(m, md.row_group(i).num_rows)
+                m = max(m, max(_row_group_sizes(p, self.fs), default=1))
             self._max_row_group_rows = m
         return self._max_row_group_rows
 
     def splits(self) -> List[HiveSplit]:
-        import pyarrow.parquet as pq
         out = []
         for p in self.paths:
-            n = pq.ParquetFile(p, filesystem=self.fs).metadata \
-                .num_row_groups
-            for i in range(n):
+            for i in range(_num_row_groups(p, self.fs)):
                 out.append(HiveSplit("hive", p, i, i + 1))
         return out
 
@@ -190,7 +250,6 @@ class HiveDataSource(DataSource):
         return {c: d[c] for c in self._columns if c in d}
 
     def next(self, split: HiveSplit) -> Optional[DeviceBatch]:
-        import pyarrow.parquet as pq
         key = (split.path, split.row_group_lo)
         if key in self._done:
             return None
@@ -200,19 +259,18 @@ class HiveDataSource(DataSource):
         if fs is None:
             mtime = os.path.getmtime(split.path)  # invalidate on rewrite
         else:
-            mtime = fs.get_file_info(split.path).mtime_ns
+            # some filesystems (e.g. fsspec memory) report no mtime
+            mtime = fs.get_file_info(split.path).mtime_ns or 0
         ckey = ("hive", split.path, mtime, split.row_group_lo,
                 split.row_group_hi, tuple(self._columns), self._capacity)
         cached = DataCache.instance().get(ckey)
         if cached is not None:
             return cached
-        pf = pq.ParquetFile(split.path, filesystem=fs)
         pcols = [c for c in self._columns
                  if c in self._table.partition_cols]
         fcols = [c for c in self._columns if c not in pcols]
-        t = pf.read_row_groups(
-            list(range(split.row_group_lo, split.row_group_hi)),
-            columns=fcols)
+        t = _read_row_groups(split.path, fs, split.row_group_lo,
+                             split.row_group_hi, fcols)
         if pcols:
             # partition values are path metadata -> constant columns
             import pyarrow as pa
@@ -275,11 +333,15 @@ class HiveDataSink(DataSink):
     partitioned/bucketed writes)."""
 
     def __init__(self, path: str, partition_keys: Sequence[str] = (),
-                 bucket_count: int = 0, bucket_keys: Sequence[str] = ()):
+                 bucket_count: int = 0, bucket_keys: Sequence[str] = (),
+                 file_format: str = None):
         self.path = path
         self.partition_keys = list(partition_keys)
         self.bucket_count = int(bucket_count)
         self.bucket_keys = list(bucket_keys)
+        # format from the target path extension unless given explicitly
+        # (parity: HiveInsertTableHandle tableStorageFormat)
+        self.file_format = file_format or globals()["file_format"](path)
         self._tables = []
         self.rows_written = 0
         self.bytes_written = 0
@@ -292,9 +354,13 @@ class HiveDataSink(DataSink):
         self.rows_written += t.num_rows
 
     def _write_file(self, table, path):
-        import pyarrow.parquet as pq
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        pq.write_table(table, path)
+        if self.file_format == "orc":
+            import pyarrow.orc as orc
+            orc.write_table(table, path)
+        else:
+            import pyarrow.parquet as pq
+            pq.write_table(table, path)
         self.bytes_written += os.path.getsize(path)
         self.files_written.append(path)
 
@@ -304,11 +370,12 @@ class HiveDataSink(DataSink):
                            .fill_null(0)) for k in self.bucket_keys]
         bucket = _np_murmur3(cols).view(np.int32) % self.bucket_count
         bucket = np.abs(bucket)
+        ext = "orc" if self.file_format == "orc" else "parquet"
         for b in range(self.bucket_count):
             sel = table.filter(pa.array(bucket == b))
             if sel.num_rows:
                 self._write_file(
-                    sel, os.path.join(dirpath, f"{b:05d}_0_part.parquet"))
+                    sel, os.path.join(dirpath, f"{b:05d}_0_part.{ext}"))
 
     def close(self):
         import pyarrow as pa
@@ -339,8 +406,9 @@ class HiveDataSink(DataSink):
             if self.bucket_count:
                 self._write_buckets(sub, dirpath)
             else:
+                ext = "orc" if self.file_format == "orc" else "parquet"
                 self._write_file(
-                    sub, os.path.join(dirpath, "part-0.parquet"))
+                    sub, os.path.join(dirpath, f"part-0.{ext}"))
 
 
 class HiveConnector(Connector):
@@ -374,15 +442,17 @@ class HiveConnector(Connector):
             if info.type == pafs.FileType.Directory:
                 sel = pafs.FileSelector(path, recursive=True)
                 paths = [f.path for f in fs.get_file_info(sel)
-                         if f.path.endswith(".parquet")]
+                         if f.path.endswith((".parquet", ".orc"))]
             else:
                 paths = [path]
             t = HiveTable(name, paths, fs=fs,
                           string_encoding=string_encoding)
         else:
             if os.path.isdir(path):
-                paths = globmod.glob(os.path.join(
+                paths = (globmod.glob(os.path.join(
                     path, "**", "*.parquet"), recursive=True)
+                    + globmod.glob(os.path.join(
+                        path, "**", "*.orc"), recursive=True))
             else:
                 paths = globmod.glob(path) or [path]
             t = HiveTable(name, paths,
@@ -398,9 +468,10 @@ class HiveConnector(Connector):
         return HiveDataSource(self._tables[table], columns, cap)
 
     def create_data_sink(self, path: str, partition_keys=(),
-                         bucket_count=0, bucket_keys=()) -> HiveDataSink:
+                         bucket_count=0, bucket_keys=(),
+                         file_format: str = None) -> HiveDataSink:
         return HiveDataSink(path, partition_keys, bucket_count,
-                            bucket_keys)
+                            bucket_keys, file_format=file_format)
 
     def default_splits(self, table: str, ctx=None) -> List[HiveSplit]:
         return self._tables[table].splits()
@@ -451,6 +522,11 @@ class HiveConnector(Connector):
                         drop = True
                 if drop:
                     break
+            if not drop and file_format(s.path) == "orc":
+                # pyarrow exposes no per-stripe ORC statistics: keep the
+                # split (conservative); partition pruning above applies
+                kept.append(s)
+                continue
             if not drop:
                 md = md_cache.get(s.path)
                 if md is None:

@@ -265,6 +265,7 @@ class TableWriteNode(PlanNode):
     partition_keys: Tuple[str, ...] = ()
     bucket_count: int = 0
     bucket_keys: Tuple[str, ...] = ()
+    file_format: Optional[str] = None  # None = from path ext (parquet/orc)
 
     @property
     def sources(self):

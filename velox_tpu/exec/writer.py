@@ -21,13 +21,16 @@ class TableWriterOperator(Operator):
         self._node = node
         from velox_tpu.connectors.connector import get_connector
         conn = get_connector(node.connector_id)
+        kw = {}
+        if getattr(node, "file_format", None):
+            kw["file_format"] = node.file_format
         if node.partition_keys or node.bucket_count:
             self._sink = conn.create_data_sink(
                 node.target_path, partition_keys=node.partition_keys,
                 bucket_count=node.bucket_count,
-                bucket_keys=node.bucket_keys)
+                bucket_keys=node.bucket_keys, **kw)
         else:
-            self._sink = conn.create_data_sink(node.target_path)
+            self._sink = conn.create_data_sink(node.target_path, **kw)
         self._out: Optional[DeviceBatch] = None
 
     def add_input(self, batch):

@@ -352,12 +352,14 @@ class PlanBuilder:
                     connector_id: str = "hive",
                     partition_keys: Sequence[str] = (),
                     bucket_count: int = 0,
-                    bucket_keys: Sequence[str] = ()) -> "PlanBuilder":
+                    bucket_keys: Sequence[str] = (),
+                    file_format: Optional[str] = None) -> "PlanBuilder":
         self._node = P.TableWriteNode(
             self._ids.next(), source=self._node,
             connector_id=connector_id, target_path=target_path,
             partition_keys=tuple(partition_keys),
-            bucket_count=bucket_count, bucket_keys=tuple(bucket_keys))
+            bucket_count=bucket_count, bucket_keys=tuple(bucket_keys),
+            file_format=file_format)
         return self
 
     def merge_join(self, left_keys, right_keys, build: "PlanBuilder",
