@@ -43,7 +43,7 @@ import pandas as pd
 # never printed. The bench must ALWAYS emit its one JSON line within the
 # budget, reporting whatever configs completed; a daemon watchdog prints the
 # partial summary and exits the process at the deadline.
-BUDGET_S = float(os.environ.get("VELOX_BENCH_BUDGET_S", "480"))
+BUDGET_S = float(os.environ.get("VELOX_BENCH_BUDGET_S", "420"))
 _T0 = time.monotonic()
 _STATE = {"rates": [], "ratios": [], "detail": {}, "printed": False}
 _PRINT_LOCK = threading.Lock()
@@ -89,6 +89,22 @@ def _watchdog():
             _emit_summary(partial=True)
             os._exit(0)
         time.sleep(min(r, 5.0))
+
+
+def _install_sigterm_summary():
+    """If an OUTER timeout (the driver wraps the bench in `timeout`)
+    fires before our own budget, emit the partial summary on SIGTERM
+    instead of dying silently."""
+    import signal
+
+    def _on_term(sig, frame):
+        _emit_summary(partial=True)
+        os._exit(0)
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+    except (ValueError, OSError):
+        pass  # non-main thread / restricted env
 
 
 def days(iso):
@@ -260,6 +276,7 @@ def _run_sf10():
 
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
+    _install_sigterm_summary()
     import jax
     jax.config.update("jax_enable_x64", True)
 

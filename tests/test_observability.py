@@ -99,3 +99,51 @@ def test_debug_sync_operators_attributes_walls():
     # the point is that attribution is nonzero and builds are timed)
     assert attributed > 0.15 * wall
     assert "+build" in task.print_plan_with_stats()
+
+
+def test_values_ingest_cache_reuses_device_batch():
+    """Repeat Tasks over the SAME host table skip host pack + device
+    upload (ValuesOperator._INGEST_CACHE); distinct tables don't
+    cross-hit."""
+    rep = M.InMemoryReporter()
+    M.set_reporter(rep)
+    try:
+        df = pd.DataFrame({"v": np.arange(1000, dtype="int64")})
+        t = pa.table(df)
+
+        def plan():
+            return (PlanBuilder().values([t])
+                    .single_aggregation([], ["sum(v) as s"]).plan())
+
+        a = Task(plan()).run()
+        b = Task(plan()).run()
+        assert a.column("s")[0].as_py() == b.column("s")[0].as_py() \
+            == df.v.sum()
+        snap = rep.snapshot()["counters"]
+        assert snap.get(M.K_VALUES_INGEST_HITS, 0) >= 1
+        # a different table object must re-ingest, not reuse
+        t2 = pa.table(pd.DataFrame({"v": np.arange(5, dtype="int64")}))
+        out = Task(PlanBuilder().values([t2])
+                   .single_aggregation([], ["sum(v) as s"])
+                   .plan()).run()
+        assert out.column("s")[0].as_py() == 10
+    finally:
+        M.set_reporter(M.InMemoryReporter())
+
+
+def test_join_prewarms_probe_scans():
+    """_run_join starts probe-side scan prefetch during the build
+    (pipeline overlap); results unchanged."""
+    from velox_tpu.connectors.tpch import register_tpch
+    from velox_tpu.tpch import tpch_plan
+    register_tpch(0.001, connector_id="tpch-prewarm-t",
+                  rows_per_split=1024)
+    rep = M.InMemoryReporter()
+    M.set_reporter(rep)
+    try:
+        out = Task(tpch_plan(3, connector_id="tpch-prewarm-t")).run()
+        snap = rep.snapshot()["counters"]
+        assert snap.get(M.K_SCAN_PREWARMED, 0) >= 1
+        assert out.num_rows > 0
+    finally:
+        M.set_reporter(M.InMemoryReporter())

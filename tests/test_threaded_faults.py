@@ -121,9 +121,11 @@ def test_prefetch_fault_surfaces_cleanly(conn):
         b = PlanBuilder()
         b.table_scan("lineitem", ["l_orderkey"])
         b.single_aggregation([], ["count() as c"])
+        # threaded prefetch is opt-in on the CPU backend (task.py)
+        ctx = QueryCtx({QC.SCAN_PREFETCH_DEPTH: 2})
         t0 = time.time()
         with pytest.raises(BaseException):
-            Task(b.plan()).run()
+            Task(b.plan(), ctx).run()
         assert time.time() - t0 < 30
         TV.clear_callback("TableScan::prefetch")
 
@@ -135,7 +137,8 @@ def test_prefetch_abandoned_by_limit(conn):
     b = PlanBuilder()
     b.table_scan("lineitem", ["l_orderkey"])
     b.limit(5)
-    out = Task(b.plan()).run()
+    ctx = QueryCtx({QC.SCAN_PREFETCH_DEPTH: 2})
+    out = Task(b.plan(), ctx).run()
     assert out.num_rows == 5
     deadline = time.time() + 10
     while time.time() < deadline and len(_threads() - before) > 0:
@@ -175,3 +178,7 @@ def test_tcp_exchange_server_teardown_mid_stream():
     src2 = SocketExchangeSource(f"{host}:{max(1, port - 1)}/t-x", 0)
     with pytest.raises(OSError):
         src2.next()
+
+    # drain: no server/accept threads may outlive the test
+    from velox_tpu.exec.exchange_net import shutdown_exchange_servers
+    shutdown_exchange_servers()

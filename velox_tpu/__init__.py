@@ -29,7 +29,13 @@ if _os.environ.get("VELOX_TPU_COMPILE_CACHE", "1") != "0":
         or _os.environ.get("JAX_COMPILATION_CACHE_DIR")
     _plat = str(getattr(_jax.config, "jax_platforms", None)
                 or _os.environ.get("JAX_PLATFORMS") or "")
-    if not _cache_dir and "cpu" in _plat:
+    # Only the PRIMARY platform matters: under the axon TPU tunnel the
+    # config reads "axon,cpu" (cpu is the fallback entry) and jit targets
+    # the first entry. Matching "cpu" anywhere in the string disabled the
+    # cache for every TPU process — the round-4 driver bench then had to
+    # AOT-recompile every multi-join plan and timed out with zero output.
+    _primary = _plat.split(",")[0].strip()
+    if not _cache_dir and _primary == "cpu":
         # NO persistent cache on the CPU platform: XLA:CPU AOT entries
         # bake in compile-machine ISA features ("could lead to execution
         # errors such as SIGILL"), and in this environment reloading

@@ -91,3 +91,17 @@ K_COMPILED_PROGRAMS = "velox_tpu.jit.programs"
 K_QUERY_WALL_MS = "velox_tpu.task.wall_ms"
 K_MEM_RECLAIMS = "velox_tpu.memory.reclaims"
 K_MEM_RECLAIMED_BYTES = "velox_tpu.memory.reclaimed_bytes"
+K_SCAN_CACHE_HITS = "velox_tpu.cache.device_hits"
+K_SCAN_CACHE_MISSES = "velox_tpu.cache.device_misses"
+K_SCAN_CACHE_EVICTIONS = "velox_tpu.cache.device_evictions"
+K_SSD_CACHE_HITS = "velox_tpu.cache.ssd_hits"
+K_SSD_CACHE_MISSES = "velox_tpu.cache.ssd_misses"
+K_SSD_CACHE_WRITES = "velox_tpu.cache.ssd_writes"
+K_SSD_CACHE_WRITE_BYTES = "velox_tpu.cache.ssd_write_bytes"
+K_VALUES_INGEST_HITS = "velox_tpu.values.ingest_cache_hits"
+K_OUTPUT_ROWS = "velox_tpu.task.output_rows"
+K_OUTPUT_BYTES = "velox_tpu.task.output_bytes"
+K_SCAN_SPLITS = "velox_tpu.scan.splits_processed"
+K_SCAN_PREWARMED = "velox_tpu.scan.prewarmed_operators"
+K_SPILL_DISK_READ_BYTES = "velox_tpu.spill.disk_read_bytes"
+K_SPILL_DISK_WRITE_BYTES = "velox_tpu.spill.disk_write_bytes"

@@ -83,15 +83,21 @@ class SsdTier:
             self._index[eid] = len(blob)
             self.used += len(blob)
             self._checkpoint_locked()
+        from velox_tpu.common import metrics as M
+        M.record_counter(M.K_SSD_CACHE_WRITES)
+        M.record_counter(M.K_SSD_CACHE_WRITE_BYTES, len(blob))
 
     def get(self, key) -> Optional[DeviceBatch]:
+        from velox_tpu.common import metrics as M
         eid = self.entry_id(key)
         with self._lock:
             if eid not in self._index:
                 self.misses += 1
+                M.record_counter(M.K_SSD_CACHE_MISSES)
                 return None
             self._index.move_to_end(eid)
             self.hits += 1
+            M.record_counter(M.K_SSD_CACHE_HITS)
         try:
             with open(self._path(eid), "rb") as f:
                 return pickle.load(f).restore()
@@ -145,13 +151,16 @@ class DataCache:
         return cls._instance
 
     def get(self, key) -> Optional[DeviceBatch]:
+        from velox_tpu.common import metrics as M
         with self._lock:
             hit = self._entries.get(key)
             if hit is not None:
                 self._entries.move_to_end(key)
                 self.hits += 1
+                M.record_counter(M.K_SCAN_CACHE_HITS)
                 return hit[0]
             self.misses += 1
+            M.record_counter(M.K_SCAN_CACHE_MISSES)
         if self._ssd is not None:
             batch = self._ssd.get(key)
             if batch is not None:
@@ -168,7 +177,9 @@ class DataCache:
             if old is not None:
                 self._drop_bytes(old[1])
             while self.used + n > self.budget and self._entries:
+                from velox_tpu.common import metrics as M
                 k, (b, sz) = self._entries.popitem(last=False)
+                M.record_counter(M.K_SCAN_CACHE_EVICTIONS)
                 if self._ssd is not None:
                     self._ssd.put(k, b)  # demote to the disk tier
                 self._drop_bytes(sz)

@@ -49,14 +49,34 @@ class _Server(socketserver.ThreadingTCPServer):
     daemon_threads = True
 
 
+_SERVERS: list = []
+
+
 def serve_exchange(host: str = "127.0.0.1",
                    port: int = 0) -> Tuple[str, int]:
     """Serve this process's OutputBufferManager over TCP on a daemon
-    thread. Returns the bound (host, port)."""
+    thread. Returns the bound (host, port). Servers stay up for the
+    process lifetime unless shutdown_exchange_servers() is called
+    (long-lived workers serve many queries; parity: the reference's
+    task-output HTTP endpoint outliving any one task)."""
     server = _Server((host, port), _Handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
+    _SERVERS.append((server, t))
     return server.server_address[:2]
+
+
+def shutdown_exchange_servers() -> None:
+    """Stop every server started by serve_exchange (tests / worker
+    drain): closes listening sockets and joins the accept threads."""
+    while _SERVERS:
+        server, t = _SERVERS.pop()
+        try:
+            server.shutdown()
+            server.server_close()
+        except Exception:
+            pass
+        t.join(timeout=5)
 
 
 class SocketExchangeSource(ExchangeSource):

@@ -69,12 +69,15 @@ class DiskBatch:
         self.nbytes = host.nbytes
         from velox_tpu.common import metrics as M
         M.record_counter(M.K_SPILL_DISK_WRITES)
+        M.record_counter(M.K_SPILL_DISK_WRITE_BYTES, host.nbytes)
 
     def restore(self) -> DeviceBatch:
         import pickle
 
         import jax
         import jax.numpy as jnp
+        from velox_tpu.common import metrics as M
+        M.record_counter(M.K_SPILL_DISK_READ_BYTES, self.nbytes)
         with np.load(self.path + ".npz") as z:
             leaves = [jnp.asarray(z[f"l{i}"])
                       for i in range(self.n_leaves)]

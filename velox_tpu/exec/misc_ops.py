@@ -460,7 +460,11 @@ class NestedLoopJoinOperator(Operator):
     def add_input(self, batch):
         assert self._build is not None
         from velox_tpu.exec.batch_utils import compact
-        batch = jax.jit(compact)(batch)
+        from velox_tpu.exec.jit_cache import cached_jit
+        # one shared jitted wrapper: a fresh jax.jit(compact) per call
+        # compiled EVERY probe batch (jit caches on wrapper identity)
+        batch = cached_jit(("nlj_compact",),
+                           lambda: jax.jit(compact))(batch)
         if self._probe_template is None:
             self._probe_template = dict(batch.columns)
         n_probe = int(jax.device_get(batch.num_active()))

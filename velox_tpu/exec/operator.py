@@ -102,7 +102,20 @@ class SourceOperator(Operator):
 # ---------------------------------------------------------------------------
 
 class ValuesOperator(SourceOperator):
-    """Parity: velox/exec/Values.h:21."""
+    """Parity: velox/exec/Values.h:21.
+
+    Repeat runs over the SAME host table skip the host pack + device
+    upload: measured on a 2M-row raw-string table, ingest was 5.4 s of
+    an 8.4 s warm query (byte-matrix packing + ~40 MB/s tunnel upload)
+    while the aggregation itself took 0.77 s. The cache plays the role
+    the connector scan cache (connectors/cache.py) plays for TableScan.
+    """
+
+    # (id(table), encoding) -> (table_ref, DeviceBatch); small LRU — the
+    # identity key is only trusted while the table object is alive, so
+    # entries hold a strong reference and the cache is size-bounded.
+    _INGEST_CACHE: Dict = {}
+    _INGEST_CACHE_MAX = 8
 
     def __init__(self, node: P.ValuesNode,
                  dictionaries: Optional[Dict] = None):
@@ -119,9 +132,25 @@ class ValuesOperator(SourceOperator):
         self._i += 1
         if isinstance(t, DeviceBatch):
             return t
-        return from_arrow(t, dictionaries=self._dictionaries,
-                          string_encoding=getattr(
-                              self.node, "string_encoding", "dict"))
+        enc = getattr(self.node, "string_encoding", "dict")
+        cacheable = not self._dictionaries
+        enc_key = (tuple(sorted(enc.items())) if isinstance(enc, dict)
+                   else enc)
+        key = (id(t), enc_key)
+        if cacheable:
+            hit = self._INGEST_CACHE.get(key)
+            if hit is not None and hit[0] is t:
+                from velox_tpu.common import metrics as M
+                M.record_counter(M.K_VALUES_INGEST_HITS)
+                return hit[1]
+        batch = from_arrow(t, dictionaries=self._dictionaries,
+                           string_encoding=enc)
+        if cacheable:
+            cache = self._INGEST_CACHE
+            if len(cache) >= self._INGEST_CACHE_MAX:
+                cache.pop(next(iter(cache)))
+            cache[key] = (t, batch)
+        return batch
 
     def is_finished(self):
         return self._i >= len(self._tables)
@@ -208,8 +237,10 @@ class TableScanOperator(SourceOperator):
     def _produce(self):
         try:
             for split in self._splits:
+                from velox_tpu.common import metrics as M
                 from velox_tpu.common import testvalue as TV
                 TV.adjust("TableScan::prefetch", split)
+                M.record_counter(M.K_SCAN_SPLITS)
                 if self._stop.is_set():
                     return
                 while True:
@@ -262,6 +293,8 @@ class TableScanOperator(SourceOperator):
             split = self._splits[self._i]
             out = self._source.next(split)
             if out is None:
+                from velox_tpu.common import metrics as M
+                M.record_counter(M.K_SCAN_SPLITS)
                 self._i += 1
                 continue
             return out

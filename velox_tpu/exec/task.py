@@ -56,6 +56,9 @@ class Task:
         self.plan = plan
         self.ctx = ctx or QueryCtx()
         self.operators: List[Operator] = []  # for stats
+        # probe-side scans started DURING the build phase (pipeline
+        # overlap): node.id -> live TableScanOperator (prefetch running)
+        self._prewarmed_scans: Dict[str, Operator] = {}
         # per-driver-thread split slice for multi-driver local pipelines
         import threading as _tm
         self._driver_slice = _tm.local()
@@ -209,6 +212,14 @@ class Task:
                     op.close()
                 except Exception:
                     pass
+            # prewarmed probe scans that were never driven (early-exit
+            # probes): stop their prefetch threads too
+            for op in self._prewarmed_scans.values():
+                try:
+                    op.close()
+                except Exception:
+                    pass
+            self._prewarmed_scans.clear()
             self._close_traces()
         if err_v is not None and int(err_v):
             from velox_tpu.common.errors import (
@@ -224,6 +235,9 @@ class Task:
         M.record_counter(M.K_TASK_QUERIES)
         M.record_histogram(M.K_QUERY_WALL_MS,
                            (time.perf_counter() - t0) * 1e3)
+        for t in tables:
+            M.record_counter(M.K_OUTPUT_ROWS, t.num_rows)
+            M.record_counter(M.K_OUTPUT_BYTES, t.nbytes)
         if not tables:
             schema = T.to_arrow(self.plan.output_type())
             return pa.table({n: pa.array([], type=f.type)
@@ -599,7 +613,38 @@ class Task:
                     t.join(timeout=0.25)
                     q.stop()  # re-signal in case of a put/stop race
 
+    def _prewarm_probe_scans(self, left: P.PlanNode) -> None:
+        """Start the probe side's scan operators (and their prefetch
+        threads) BEFORE the build side runs, so probe-side host work
+        (split decode/generation + device upload) overlaps the build's
+        device compute — the pipeline-overlap analogue of velox running
+        HashBuild and the probe pipeline as concurrent drivers
+        (exec/HashBuild.cpp + Driver scheduling). Only for the serial
+        single-driver path: multi-driver slices create per-driver scans."""
+        if getattr(self._driver_slice, "value", None) is not None:
+            return
+
+        def walk(n: P.PlanNode) -> None:
+            if isinstance(n, P.LocalPartitionNode):
+                return  # its scans are per-driver-slice copies
+            if isinstance(n, P.TableScanNode) \
+                    and n.id not in self._prewarmed_scans:
+                try:
+                    self._prewarmed_scans[n.id] = self._make_scan(n)
+                    from velox_tpu.common import metrics as M
+                    M.record_counter(M.K_SCAN_PREWARMED)
+                except Exception:
+                    return  # prewarm is best-effort; _run_node retries
+            for s in n.sources:
+                walk(s)
+
+        walk(left)
+
     def _make_scan(self, node: P.TableScanNode) -> TableScanOperator:
+        if getattr(self._driver_slice, "value", None) is None:
+            warm = self._prewarmed_scans.pop(node.id, None)
+            if warm is not None:
+                return warm
         from velox_tpu.connectors.connector import get_connector
         conn = get_connector(node.connector_id)
         source = conn.create_data_source(node.table, node.columns, self.ctx)
@@ -616,12 +661,23 @@ class Task:
             # parquet row-group stats; connectors/hive.py)
             splits = conn.prune_splits(node.table, splits, pf)
         from velox_tpu.core.config import QueryConfig as QC
-        depth = self.ctx.query_config.get_int(QC.SCAN_PREFETCH_DEPTH, 2)
+        # Default prefetch: ON for accelerator backends (host decode +
+        # tunnel upload overlap device compute), OFF on XLA:CPU — a
+        # prefetch thread's device_put racing a main-thread compile
+        # segfaulted XLA:CPU (observed: faulthandler inside
+        # backend_compile_and_load with a live producer; same class as
+        # the round-4 close()-join fix in operator.py). Tests of the
+        # threaded prefetch machinery opt in via SCAN_PREFETCH_DEPTH.
+        import jax
+        default_depth = 0 if jax.default_backend() == "cpu" else 2
+        depth = self.ctx.query_config.get_int(QC.SCAN_PREFETCH_DEPTH,
+                                              default_depth)
         return TableScanOperator(node, source, splits, prefetch=depth)
 
     def _run_nested_loop_join(self, node) -> Iterator[DeviceBatch]:
         from velox_tpu.exec.batch_utils import concat_batches
         from velox_tpu.exec.misc_ops import NestedLoopJoinOperator
+        self._prewarm_probe_scans(node.left)
         builds = list(self._run_node(node.right))
         if not builds:
             raise RuntimeError("empty nested-loop build side")
@@ -642,6 +698,7 @@ class Task:
             pool=self.ctx.memory_pool,
             array_range=array_join_range(node),
             **self._spill_kwargs())
+        self._prewarm_probe_scans(node.left)
         for batch in self._run_node(node.right):
             build.add_input(batch)
         t0 = time.perf_counter_ns()
@@ -669,6 +726,7 @@ class Task:
                 QC.JOIN_BUILD_OFFLOAD_BYTES, 4 << 30),
             pool=self.ctx.memory_pool,
             **self._spill_kwargs())
+        self._prewarm_probe_scans(node.left)
         for batch in self._run_node(node.right):
             build.add_input(batch)
         t0 = time.perf_counter_ns()
