@@ -111,6 +111,29 @@ def days(iso):
     return (np.datetime64(iso) - np.datetime64("1970-01-01")).astype(int)
 
 
+# columns the pandas baselines actually read: generating full schemas
+# (16 lineitem cols incl. 6M comment strings) cost minutes of host CPU
+# before the first engine run — the whole budget on a small host
+COLS_NEEDED = {
+    "lineitem": ["l_orderkey", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax", "l_shipdate", "l_returnflag",
+                 "l_linestatus"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderdate",
+               "o_shippriority", "o_totalprice"],
+    "customer": ["c_custkey", "c_mktsegment"],
+}
+
+
+def host_frame(conn, table):
+    """Columnar dict -> DataFrame without block consolidation (pandas
+    vstack-consolidates same-dtype columns; measured minutes at SF1 on
+    one core). pyarrow's to_pandas with split_blocks skips it."""
+    import pyarrow as pa
+    d = conn.gen.generate(table, 0, conn.num_index_rows(table),
+                          COLS_NEEDED[table])
+    return pa.table(d).to_pandas(split_blocks=True, self_destruct=True)
+
+
 def engine_wall(plan_fn):
     """(cold_s, warm_s, result_table, warm_task) for a fresh Task."""
     from velox_tpu.exec.task import Task
@@ -146,6 +169,28 @@ def measure_hbm_bw():
         jax.device_get(y[0])
         best = min(best, time.perf_counter() - t0)
     return 2.0 * n * 4 * iters / best
+
+
+def measure_hbm_bw_deadline(deadline_s):
+    """measure_hbm_bw on a daemon thread with a deadline: when the AOT
+    compile service is degraded, a FRESH compile of even a trivial
+    program can hang for minutes (observed: 4+ min for an 8-op
+    elementwise jit while every cached program ran fine). The roofline
+    denominator must never eat the config budget."""
+    if deadline_s <= 5:
+        return None
+    box = {}
+
+    def run():
+        try:
+            box["bw"] = measure_hbm_bw()
+        except Exception:
+            box["bw"] = None
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=deadline_s)
+    return box.get("bw")
 
 
 def cpu_wall(fn, iters=3):
@@ -228,17 +273,7 @@ def _run_sf10():
     conn = register_tpch(10.0, rows_per_split=1 << 21, connector_id=cid)
     li_rows = conn.gen.num_rows("lineitem")
     out = {"lineitem_rows": li_rows}
-    cols_needed = {
-        "lineitem": ["l_orderkey", "l_quantity", "l_extendedprice",
-                     "l_discount", "l_tax", "l_shipdate", "l_returnflag",
-                     "l_linestatus"],
-        "orders": ["o_orderkey", "o_custkey", "o_orderdate",
-                   "o_shippriority", "o_totalprice"],
-        "customer": ["c_custkey", "c_mktsegment"],
-    }
-    host = {t: pd.DataFrame(conn.gen.generate(
-        t, 0, conn.num_index_rows(t), cols_needed[t]))
-        for t in cols_needed}
+    host = {t: host_frame(conn, t) for t in COLS_NEEDED}
     fns = make_cpu_fns(host["lineitem"], host["orders"],
                        host["customer"])
     for q in (1, 3, 18):
@@ -274,13 +309,43 @@ def _run_sf10():
     return out
 
 
+def _probe_device(deadline_s: float = 90.0) -> bool:
+    """One tiny computation with a deadline. The remote-tunnel device
+    intermittently degrades to where even a cached scalar fetch hangs
+    for minutes (observed: jnp.sum(arange(8192)).item() > 3 min while
+    jax.devices() answered instantly); detect that in bounded time so
+    the budget isn't burned producing an empty artifact."""
+    import jax
+    import jax.numpy as jnp
+    box = {}
+
+    def run():
+        try:
+            box["v"] = int(jax.device_get(jnp.sum(jnp.arange(8192))))
+        except Exception:
+            pass
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=deadline_s)
+    return box.get("v") == 8191 * 8192 // 2
+
+
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
     _install_sigterm_summary()
     import jax
     jax.config.update("jax_enable_x64", True)
 
-    from velox_tpu.connectors.tpch import TPCH_SCHEMAS, register_tpch
+    if not _probe_device():
+        _STATE["detail"]["device_unresponsive"] = {
+            "probe": "sum(arange(8192)) hung >90s",
+            "platform": jax.default_backend(),
+        }
+        _emit_summary(partial=True)
+        os._exit(0)  # skip teardown: the probe thread is hung in C
+
+    from velox_tpu.connectors.tpch import register_tpch
     from velox_tpu.testing.plan_builder import PlanBuilder
     from velox_tpu.tpch import tpch_plan
 
@@ -288,12 +353,9 @@ def main():
     conn = register_tpch(sf, rows_per_split=1 << 21)
     li_rows = conn.gen.num_rows("lineitem")
 
-    # host tables for the CPU baseline (shared, generated once)
-    host = {}
-    for t in ("lineitem", "orders", "customer"):
-        cols = list(TPCH_SCHEMAS[t].names)
-        host[t] = pd.DataFrame(
-            conn.gen.generate(t, 0, conn.num_index_rows(t), cols))
+    # host tables for the CPU baseline (shared, generated once; only the
+    # columns the baselines read)
+    host = {t: host_frame(conn, t) for t in COLS_NEEDED}
     li, od, cu = host["lineitem"], host["orders"], host["customer"]
 
     fns = make_cpu_fns(li, od, cu)
@@ -318,11 +380,6 @@ def main():
         ("q3_sf1", lambda: tpch_plan(3), cpu_q3),
     ]
 
-    try:
-        hbm_bw = measure_hbm_bw()
-    except Exception:
-        hbm_bw = None
-
     detail = _STATE["detail"]
     ratios = _STATE["ratios"]
     rates = _STATE["rates"]
@@ -337,19 +394,28 @@ def main():
                 "lineitem_rows_per_s_warm": li_rows / warm,
                 "vs_baseline": cpu_dt / warm,
                 "out_rows": out.num_rows,
+                "hbm_bytes_model": task.total_hbm_bytes(),
             }
-            if hbm_bw:
-                hbm_bytes = task.total_hbm_bytes()
-                ideal_s = hbm_bytes / hbm_bw
-                detail[name].update({
-                    "hbm_bytes_model": hbm_bytes,
-                    "hbm_bw_gbps": round(hbm_bw / 1e9, 1),
-                    "pct_of_roofline": round(100.0 * ideal_s / warm, 2),
-                })
             ratios.append(cpu_dt / warm)
             rates.append(li_rows / warm)
         except Exception as e:  # keep the bench line even on failures
             detail[name] = {"error": f"{type(e).__name__}: {e}"}
+
+    # roofline denominator AFTER the configs (a fresh compile of the
+    # probe can hang for minutes when the AOT service is degraded; the
+    # configs' numbers must never wait on it)
+    hbm_bw = measure_hbm_bw_deadline(min(90.0, _remaining() - 240))
+    if hbm_bw:
+        for name, entry in detail.items():
+            hbm_bytes = entry.get("hbm_bytes_model") \
+                if isinstance(entry, dict) else None
+            if hbm_bytes:
+                warm = entry["engine_warm_s"]
+                entry.update({
+                    "hbm_bw_gbps": round(hbm_bw / 1e9, 1),
+                    "pct_of_roofline": round(
+                        100.0 * (hbm_bytes / hbm_bw) / warm, 2),
+                })
 
     # ---- SF10 stage (VERDICT r4 #5): 10x the rows under a CAPPED query
     # HBM pool so arbitration/offload runs inside the benchmark. Only when

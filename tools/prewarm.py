@@ -41,6 +41,15 @@ def main() -> None:
                 .limit(1000)
                 .plan())
 
+    # the bench's HBM-bandwidth probe compiles a fori_loop program; get
+    # it into the persistent cache too (a fresh compile through a
+    # degraded AOT service hung for minutes)
+    import bench as _bench
+    t0 = time.perf_counter()
+    bw = _bench.measure_hbm_bw_deadline(1800)
+    print(f"prewarm hbm_bw: {time.perf_counter() - t0:.1f}s "
+          f"({(bw or 0) / 1e9:.0f} GB/s)", flush=True)
+
     shapes = [("q6", lambda: tpch_plan(6)),
               ("q1", lambda: tpch_plan(1)),
               ("orderby", orderby_plan),
