@@ -43,7 +43,7 @@ import pandas as pd
 # never printed. The bench must ALWAYS emit its one JSON line within the
 # budget, reporting whatever configs completed; a daemon watchdog prints the
 # partial summary and exits the process at the deadline.
-BUDGET_S = float(os.environ.get("VELOX_BENCH_BUDGET_S", "420"))
+BUDGET_S = float(os.environ.get("VELOX_BENCH_BUDGET_S", "540"))
 _T0 = time.monotonic()
 _STATE = {"rates": [], "ratios": [], "detail": {}, "printed": False}
 _PRINT_LOCK = threading.Lock()
