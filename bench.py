@@ -3,7 +3,7 @@ available device, vs a pandas/numpy CPU baseline over identical data.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} and writes
 per-config detail to bench_detail.json. A wall-clock budget
-(VELOX_BENCH_BUDGET_S, default 480s) guards the run: a watchdog thread
+(VELOX_BENCH_BUDGET_S, default 540s) guards the run: a watchdog thread
 prints the summary from whatever configs completed and exits at the
 deadline, and the SF10/micro stages are skipped when too little budget
 remains — the summary line is ALWAYS produced.
@@ -46,33 +46,45 @@ import pandas as pd
 BUDGET_S = float(os.environ.get("VELOX_BENCH_BUDGET_S", "540"))
 _T0 = time.monotonic()
 _STATE = {"rates": [], "ratios": [], "detail": {}, "printed": False}
-_PRINT_LOCK = threading.Lock()
+# RLock: the SIGTERM handler runs ON the main thread and may interrupt
+# a frame already inside _emit_summary — a plain Lock would self-deadlock
+_PRINT_LOCK = threading.RLock()
 
 
 def _remaining():
     return BUDGET_S - (time.monotonic() - _T0)
 
 
-def _emit_summary(partial=False):
-    """Print the one stdout JSON line (idempotent across threads)."""
+def _emit_summary(partial=False, reason="budget_exceeded"):
+    """Print the one stdout JSON line (idempotent across threads). The
+    summary line must survive EVERYTHING — the detail dict may be
+    mid-mutation on another thread when the watchdog fires, so every
+    step before the final print is individually guarded."""
     with _PRINT_LOCK:
         if _STATE["printed"]:
             return
         _STATE["printed"] = True
-    rates, ratios = _STATE["rates"], _STATE["ratios"]
-    detail = _STATE["detail"]
+    rates = list(_STATE["rates"])
+    ratios = list(_STATE["ratios"])
+    try:
+        detail = dict(_STATE["detail"])  # snapshot (may race mutation)
+    except RuntimeError:
+        detail = {}
     if partial:
-        detail = dict(detail)
-        detail["budget_exceeded"] = {
+        detail[reason] = {
             "budget_s": BUDGET_S, "configs_done": len(rates)}
     try:
         with open("bench_detail.json", "w") as f:
             json.dump(detail, f, indent=1)
+        print(json.dumps(detail), file=sys.stderr)
     except Exception:
         pass
-    print(json.dumps(detail), file=sys.stderr)
-    geo_rate = float(np.exp(np.mean(np.log(rates)))) if rates else 0.0
-    geo_ratio = float(np.exp(np.mean(np.log(ratios)))) if ratios else 0.0
+    try:
+        geo_rate = float(np.exp(np.mean(np.log(rates)))) if rates else 0.0
+        geo_ratio = float(np.exp(np.mean(np.log(ratios)))) \
+            if ratios else 0.0
+    except Exception:
+        geo_rate = geo_ratio = 0.0
     print(json.dumps({
         "metric": "tpch_sf1_geomean_lineitem_rows_per_s_warm",
         "value": geo_rate,
@@ -98,7 +110,7 @@ def _install_sigterm_summary():
     import signal
 
     def _on_term(sig, frame):
-        _emit_summary(partial=True)
+        _emit_summary(partial=True, reason="terminated_by_outer_timeout")
         os._exit(0)
 
     try:
@@ -342,7 +354,7 @@ def main():
             "probe": "sum(arange(8192)) hung >90s",
             "platform": jax.default_backend(),
         }
-        _emit_summary(partial=True)
+        _emit_summary(partial=True, reason="aborted_device_probe")
         os._exit(0)  # skip teardown: the probe thread is hung in C
 
     from velox_tpu.connectors.tpch import register_tpch

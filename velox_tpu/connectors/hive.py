@@ -58,10 +58,26 @@ def file_format(path: str) -> str:
     return "orc" if path.endswith(".orc") else "parquet"
 
 
+_ORC_CACHE: Dict = {}  # (path, id(fs)) -> ORCFile; reopen-per-call was
+# one open_input_file + footer parse per split/helper on remote fs
+
+
 def _orc_file(path: str, fs=None):
     import pyarrow.orc as orc
-    return orc.ORCFile(fs.open_input_file(path) if fs is not None
-                       else path)
+    if fs is None:
+        stamp = (os.path.getmtime(path), os.path.getsize(path))
+    else:
+        info = fs.get_file_info(path)
+        stamp = (info.mtime_ns, info.size)
+    key = (path, id(fs) if fs is not None else None, stamp)
+    f = _ORC_CACHE.get(key)
+    if f is None:
+        f = orc.ORCFile(fs.open_input_file(path) if fs is not None
+                        else path)
+        if len(_ORC_CACHE) > 64:
+            _ORC_CACHE.clear()
+        _ORC_CACHE[key] = f
+    return f
 
 
 def _read_schema(path: str, fs=None):
@@ -96,10 +112,19 @@ def _read_row_groups(path: str, fs, lo: int, hi: int, columns):
     import pyarrow as pa
     if file_format(path) == "orc":
         f = _orc_file(path, fs)
-        batches = [f.read_stripe(i, columns=list(columns))
+        cols = list(columns)
+        drop = []
+        if not cols and f.schema.names:
+            # partition-column-only scans: ORC read_stripe(columns=[])
+            # returns num_rows=0 (unlike parquet) — read the first
+            # column to carry the row count, then drop it
+            drop = [f.schema.names[0]]
+            cols = drop
+        batches = [f.read_stripe(i, columns=cols)
                    for i in range(lo, hi)]
-        return pa.Table.from_batches(
+        t = pa.Table.from_batches(
             batches, schema=batches[0].schema if batches else None)
+        return t.drop_columns(drop) if drop else t
     import pyarrow.parquet as pq
     pf = pq.ParquetFile(path, filesystem=fs)
     return pf.read_row_groups(list(range(lo, hi)), columns=columns)
@@ -258,10 +283,14 @@ class HiveDataSource(DataSource):
         fs = self._table.fs
         if fs is None:
             mtime = os.path.getmtime(split.path)  # invalidate on rewrite
+            size = os.path.getsize(split.path)
         else:
-            # some filesystems (e.g. fsspec memory) report no mtime
-            mtime = fs.get_file_info(split.path).mtime_ns or 0
-        ckey = ("hive", split.path, mtime, split.row_group_lo,
+            info = fs.get_file_info(split.path)
+            # some filesystems (e.g. fsspec memory) report no mtime;
+            # the size rides the key so rewrites still invalidate there
+            mtime = info.mtime_ns or 0
+            size = info.size
+        ckey = ("hive", split.path, mtime, size, split.row_group_lo,
                 split.row_group_hi, tuple(self._columns), self._capacity)
         cached = DataCache.instance().get(ckey)
         if cached is not None:

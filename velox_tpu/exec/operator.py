@@ -114,8 +114,13 @@ class ValuesOperator(SourceOperator):
     # (id(table), encoding) -> (table_ref, DeviceBatch); small LRU — the
     # identity key is only trusted while the table object is alive, so
     # entries hold a strong reference and the cache is size-bounded.
-    _INGEST_CACHE: Dict = {}
+    # Lock: ValuesOperators run concurrently under multi-driver local
+    # pipelines and the distributed task.
+    from collections import OrderedDict as _OD
+    _INGEST_CACHE: "OrderedDict" = _OD()
     _INGEST_CACHE_MAX = 8
+    import threading as _tm
+    _INGEST_LOCK = _tm.Lock()
 
     def __init__(self, node: P.ValuesNode,
                  dictionaries: Optional[Dict] = None):
@@ -138,18 +143,21 @@ class ValuesOperator(SourceOperator):
                    else enc)
         key = (id(t), enc_key)
         if cacheable:
-            hit = self._INGEST_CACHE.get(key)
-            if hit is not None and hit[0] is t:
-                from velox_tpu.common import metrics as M
-                M.record_counter(M.K_VALUES_INGEST_HITS)
-                return hit[1]
+            with self._INGEST_LOCK:
+                hit = self._INGEST_CACHE.get(key)
+                if hit is not None and hit[0] is t:
+                    self._INGEST_CACHE.move_to_end(key)
+                    from velox_tpu.common import metrics as M
+                    M.record_counter(M.K_VALUES_INGEST_HITS)
+                    return hit[1]
         batch = from_arrow(t, dictionaries=self._dictionaries,
                            string_encoding=enc)
         if cacheable:
-            cache = self._INGEST_CACHE
-            if len(cache) >= self._INGEST_CACHE_MAX:
-                cache.pop(next(iter(cache)))
-            cache[key] = (t, batch)
+            with self._INGEST_LOCK:
+                cache = self._INGEST_CACHE
+                while len(cache) >= self._INGEST_CACHE_MAX:
+                    cache.popitem(last=False)
+                cache[key] = (t, batch)
         return batch
 
     def is_finished(self):
@@ -240,7 +248,6 @@ class TableScanOperator(SourceOperator):
                 from velox_tpu.common import metrics as M
                 from velox_tpu.common import testvalue as TV
                 TV.adjust("TableScan::prefetch", split)
-                M.record_counter(M.K_SCAN_SPLITS)
                 if self._stop.is_set():
                     return
                 while True:
@@ -249,6 +256,9 @@ class TableScanOperator(SourceOperator):
                         break
                     if not self._put(out):
                         return
+                # counted only when fully drained — matches the serial
+                # path, so the metric is prefetch-config-independent
+                M.record_counter(M.K_SCAN_SPLITS)
         except BaseException as e:  # surfaced on the consumer side
             self._error = e
         finally:
